@@ -1,0 +1,100 @@
+package graft.queriesdef
+
+import org.apache.spark.sql.functions._
+import graft.QueryRegistry.Entry
+import graft.core.{Catalog, Retail}
+import graft.ops.Commodities
+import graft.silver.TransactionsAdj
+
+/** Ingest / silver / commodity-selection queries (SURVEY.md §2.1-§2.2,
+  * §2.6, A1/A6/A7).
+  */
+object CoreQueries {
+
+  def entries: Seq[Entry] = Seq(
+
+    // S4/P8/P9/F7: the silver CTAS projection (01_Data_Prep.py:121-166).
+    Entry(
+      "transactions_adj",
+      (s, dir) => TransactionsAdj(s, dir),
+      Some(s"""WITH ${Oracle.txAdjFull}
+        |SELECT household_key, basket_id, day, product_id, store_id, week_no,
+        |  units, amount_list, instore_discount, campaign_coupon_discount,
+        |  manuf_coupon_discount, total_coupon_discount, amount_paid
+        |FROM tx""".stripMargin)),
+
+    // A7/O1/J1: top-k commodities by distinct baskets (02:38-47).
+    Entry(
+      "top_commodities",
+      (s, dir) => Commodities.topCommodities(s, dir),
+      Some(s"""WITH ${Oracle.txCommodity}
+        |SELECT commodity_desc, COUNT(DISTINCT basket_id) AS baskets
+        |FROM txc GROUP BY commodity_desc
+        |ORDER BY baskets DESC, commodity_desc LIMIT 10""".stripMargin)),
+
+    // F5: sanitized commodity names for the scoring control table (02:58-68).
+    Entry(
+      "commodities_to_score",
+      (s, dir) => Commodities.commoditiesToScore(s, dir),
+      Some(s"""WITH ${Oracle.txCommodity},
+        |topk AS (
+        |  SELECT commodity_desc, COUNT(DISTINCT basket_id) AS baskets
+        |  FROM txc GROUP BY commodity_desc
+        |  ORDER BY baskets DESC, commodity_desc LIMIT 10)
+        |SELECT commodity_desc,
+        |  replace(regexp_replace(commodity_desc, '[-\\|\\\\/:;,."'']', '_', 'g'), ' ', '_')
+        |    AS commodity_clean
+        |FROM topk""".stripMargin)),
+
+    // F1: int day-number ↔ DATE codec anchored at an epoch (01:66-72).
+    Entry(
+      "day_codec",
+      (s, dir) => {
+        val anchor = lit("1995-01-01").cast("date")
+        Catalog.table(s, dir, "orders")
+          .select(to_date(col("o_orderdate")).as("d"))
+          .distinct()
+          .select(
+            (datediff(col("d"), anchor) + 1).cast("long").as("day_number"),
+            date_add(anchor, datediff(col("d"), anchor)).as("day"))
+      },
+      Some("""SELECT
+        |  CAST(datediff('day', DATE '1995-01-01', d) + 1 AS BIGINT) AS day_number,
+        |  DATE '1995-01-01' + CAST(datediff('day', DATE '1995-01-01', d) AS INT) AS day
+        |FROM (SELECT DISTINCT CAST(o_orderdate AS DATE) AS d FROM orders) t""".stripMargin)),
+
+    // A1: grand aggregate — dataset bounds (util/config.py:40-47, 04a:136-146).
+    Entry(
+      "grand_agg",
+      (s, dir) =>
+        TransactionsAdj(s, dir)
+          .agg(
+            min(col("day")).as("min_day"),
+            max(col("day")).as("max_day"),
+            count(lit(1)).as("n_rows"),
+            countDistinct(col("household_key")).as("n_households")),
+      Some(s"""WITH ${Oracle.txAdj}
+        |SELECT min(day) AS min_day, max(day) AS max_day,
+        |  count(*) AS n_rows,
+        |  COUNT(DISTINCT household_key) AS n_households
+        |FROM transactions_adj""".stripMargin)),
+
+    // A6: key dedup (04a:102, 04b:141-142).
+    Entry(
+      "dedup_households",
+      (s, dir) =>
+        TransactionsAdj(s, dir).select("household_key").distinct(),
+      Some(s"""WITH ${Oracle.txAdj}
+        |SELECT DISTINCT household_key FROM transactions_adj""".stripMargin)),
+
+    // O2/O3: deterministic ordered limit (presentation sorts, previews).
+    Entry(
+      "ordered_limit",
+      (s, dir) =>
+        TransactionsAdj(s, dir)
+          .select("basket_id").distinct()
+          .orderBy(col("basket_id")).limit(100),
+      Some(s"""WITH ${Oracle.txAdj}
+        |SELECT DISTINCT basket_id FROM transactions_adj
+        |ORDER BY basket_id LIMIT 100""".stripMargin)))
+}
