@@ -1,26 +1,25 @@
 package graft.pipeline
 
+import java.nio.file.Files
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions._
-import graft.ops.Commodities
-import graft.silver.TransactionsAdj
+import graft.train.PropensityTrainer
 
-/** The flagship end-to-end slice used by SparkEntry.entry (driver t1 smoke):
-  * silver ingest → commodity selection → per-(household, commodity) spend
-  * summary. Upgraded to the full feature→train→score pipeline as those
-  * stages land.
+/** The flagship end-to-end run used by SparkEntry.entry (driver t1 smoke):
+  * the full reference DAG — silver ingest → feature snapshots at
+  * {cur−30, cur} → per-commodity training → batch scoring → pivoted merge
+  * + unpivoted append — on sf0.001, scaled down to 2 commodities and the
+  * linear trainer so the smoke stays fast. Returns the unpivoted
+  * propensities (rows > 0 ⇔ every stage produced output).
   */
 object Flagship {
   def run(spark: SparkSession, sfDir: String): DataFrame = {
-    val tx = TransactionsAdj(spark, sfDir)
-    val products = graft.core.Retail.products(spark, sfDir)
-      .select("product_id", "commodity_desc")
-    val cts = Commodities.commoditiesToScore(spark, sfDir)
-    tx.join(broadcast(products), Seq("product_id"))
-      .join(broadcast(cts), Seq("commodity_desc"))
-      .groupBy("household_key", "commodity_desc")
-      .agg(
-        sum(col("amount_paid")).as("spend"),
-        countDistinct(col("basket_id")).as("baskets"))
+    val work = Files.createTempDirectory("graft-flagship").toString
+    val cfg = PipelineConfig(
+      sfDir = sfDir, workRoot = work, nCommodities = 2,
+      trainer = PropensityTrainer.Config(algo = "lr", maxIter = 10, parallelism = 2))
+    val p = new PropensityPipeline(spark, cfg)
+    p.init()
+    p.trainAll()
+    p.scoreAll()
   }
 }

@@ -1,3 +1,249 @@
 package graft.queriesdef
+
+import java.sql.Date
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.QueryRegistry.Entry
-object TrainScoreQueries { def entries: Seq[Entry] = Seq() }
+import graft.features.FeatureBuilder
+import graft.labels.LabelBuilder
+import graft.ops.Commodities
+import graft.silver.TransactionsAdj
+import graft.train.TrainingSetBuilder
+
+/** Label / training-set / scoring-sink queries (SURVEY.md J3-J6, W1,
+  * S5-S8, P7/P9/P10).
+  */
+object TrainScoreQueries {
+
+  /** cts CTE: the to-score control table (reused across oracles). */
+  private val ctsCte =
+    """cts AS (
+      |  SELECT commodity_desc FROM (
+      |    SELECT commodity_desc, COUNT(DISTINCT basket_id) AS baskets
+      |    FROM txc GROUP BY commodity_desc
+      |    ORDER BY baskets DESC, commodity_desc LIMIT 10) t)""".stripMargin
+
+  private val labelsCtes =
+    s"""gb AS (SELECT max(day) AS cur FROM txc),
+       |$ctsCte,
+       |households AS (SELECT DISTINCT household_key FROM txc),
+       |universe AS (
+       |  SELECT h.household_key, c.commodity_desc
+       |  FROM households h CROSS JOIN cts c),
+       |positives AS (
+       |  SELECT DISTINCT t.household_key, t.commodity_desc, 1 AS purchased
+       |  FROM txc t CROSS JOIN gb
+       |  WHERE t.day > (gb.cur - 30) AND t.day <= gb.cur
+       |    AND t.commodity_desc IN (SELECT commodity_desc FROM cts)),
+       |labels AS (
+       |  SELECT u.household_key, u.commodity_desc,
+       |    (SELECT cur - 30 FROM gb) AS day,
+       |    COALESCE(p.purchased, 0) AS purchased
+       |  FROM universe u LEFT JOIN positives p
+       |    ON u.household_key = p.household_key
+       |   AND u.commodity_desc = p.commodity_desc)""".stripMargin
+
+  def entries: Seq[Entry] = Seq(
+
+    // J4: the (household × commodity) universe cross join (04a:93-105).
+    Entry(
+      "universe_cross",
+      (s, dir) => {
+        val txc = FeatureBuilder.txWithCommodity(s, dir)
+        txc.select("household_key").distinct()
+          .crossJoin(broadcast(Commodities.topCommodities(s, dir)
+            .select("commodity_desc")))
+      },
+      Some(s"""WITH ${Oracle.txCommodity}, $ctsCte,
+        |households AS (SELECT DISTINCT household_key FROM txc)
+        |SELECT h.household_key, c.commodity_desc
+        |FROM households h CROSS JOIN cts c""".stripMargin)),
+
+    // J3/P9/P10: labels — universe ⟕ positives, coalesce, day stamp
+    // (04b:106-163).
+    Entry(
+      "labels",
+      (s, dir) => {
+        val txc = FeatureBuilder.txWithCommodity(s, dir)
+        val (_, cur) = FeatureBuilder.bounds(txc)
+        LabelBuilder.labels(txc, Commodities.commoditiesToScore(s, dir),
+          cur.minusDays(LabelBuilder.horizonDays))
+      },
+      Some(s"""WITH ${Oracle.txCommodity}, $labelsCtes
+        |SELECT * FROM labels""".stripMargin)),
+
+    // W1: per-commodity positive-class ratio via partitioned window sum
+    // (04b:174-182) — the reference's only window function.
+    Entry(
+      "pos_ratio_window",
+      (s, dir) => {
+        val txc = FeatureBuilder.txWithCommodity(s, dir)
+        val (_, cur) = FeatureBuilder.bounds(txc)
+        val labels = LabelBuilder.labels(txc, Commodities.commoditiesToScore(s, dir),
+          cur.minusDays(LabelBuilder.horizonDays))
+        LabelBuilder.posRatio(labels)
+          .withColumn("commodity_rows", col("commodity_rows").cast("long"))
+      },
+      Some(s"""WITH ${Oracle.txCommodity}, $labelsCtes,
+        |cls AS (
+        |  SELECT commodity_desc, purchased, COUNT(*) AS class_rows
+        |  FROM labels GROUP BY commodity_desc, purchased)
+        |SELECT commodity_desc, purchased, class_rows,
+        |  CAST(SUM(class_rows) OVER (PARTITION BY commodity_desc) AS BIGINT)
+        |    AS commodity_rows,
+        |  CAST(class_rows AS DOUBLE)
+        |    / CAST(SUM(class_rows) OVER (PARTITION BY commodity_desc) AS DOUBLE)
+        |    AS class_ratio
+        |FROM cls""".stripMargin)),
+
+    // J5: multi-key PIT feature lookup with per-table prefixes
+    // (04b:195-217) — labels spine ⟕ three feature tables, fillna 0.
+    Entry(
+      "training_set",
+      (s, dir) => {
+        val tx = TransactionsAdj(s, dir)
+        val txc = FeatureBuilder.txWithCommodity(s, dir)
+        val (_, cur) = FeatureBuilder.bounds(txc)
+        val fed = cur.minusDays(LabelBuilder.horizonDays)
+        val fedD = Date.valueOf(fed)
+        val labels = LabelBuilder.labels(txc, Commodities.commoditiesToScore(s, dir), fed)
+        val txAsOf = tx.filter(col("day") <= lit(fedD))
+        val txcAsOf = txc.filter(col("day") <= lit(fedD))
+        TrainingSetBuilder.build(labels, Seq(
+          TrainingSetBuilder.Lookup(
+            FeatureBuilder.build(txAsOf, FeatureBuilder.household),
+            Seq("household_key"), "household__"),
+          TrainingSetBuilder.Lookup(
+            FeatureBuilder.build(txcAsOf, FeatureBuilder.commodity),
+            Seq("commodity_desc"), "commodity__"),
+          TrainingSetBuilder.Lookup(
+            FeatureBuilder.build(txcAsOf, FeatureBuilder.householdCommodity),
+            Seq("household_key", "commodity_desc"), "household_commodity__")),
+          joinDay = false)
+      },
+      Some(trainingSetSql)),
+
+    // S7/S8 semantics relationally: upsert = incoming ∪ (existing ⟕̸ incoming)
+    // — anti-join + union on the PK (04a:623-630, 04c:189-202).
+    Entry(
+      "feature_upsert",
+      (s, dir) => {
+        val tx = TransactionsAdj(s, dir)
+        val (_, cur) = FeatureBuilder.bounds(tx)
+        val fedD = Date.valueOf(cur.minusDays(LabelBuilder.horizonDays))
+        def snap(df: org.apache.spark.sql.DataFrame) =
+          df.groupBy("household_key").agg(
+            countDistinct(col("basket_id")).as("n_baskets"),
+            sum(col("amount_paid").cast("decimal(18,4)")).cast("double").as("sum_paid"))
+        val existing = snap(tx)
+        val incoming = snap(tx.filter(col("day") <= lit(fedD)))
+        existing.join(incoming, Seq("household_key"), "left_anti")
+          .unionByName(incoming)
+      },
+      Some(s"""WITH ${Oracle.txAdjFull},
+        |gb AS (SELECT max(day) AS cur FROM tx),
+        |existing AS (
+        |  SELECT household_key, COUNT(DISTINCT basket_id) AS n_baskets,
+        |    ${Oracle.dsum("amount_paid", "sum_paid")}
+        |  FROM tx GROUP BY household_key),
+        |incoming AS (
+        |  SELECT household_key, COUNT(DISTINCT basket_id) AS n_baskets,
+        |    ${Oracle.dsum("amount_paid", "sum_paid")}
+        |  FROM tx CROSS JOIN gb WHERE day <= (gb.cur - 30)
+        |  GROUP BY household_key)
+        |SELECT * FROM incoming
+        |UNION ALL
+        |SELECT e.* FROM existing e
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM incoming i WHERE i.household_key = e.household_key)""".stripMargin)),
+
+    // groupBy().pivot(): the idiomatic form of the per-commodity pivoted
+    // merge (04c:124-132); fixed value list keeps the schema static.
+    Entry(
+      "pivot_spend",
+      (s, dir) => {
+        val txc = FeatureBuilder.txWithCommodity(s, dir)
+        txc.groupBy("household_key")
+          .pivot("commodity_desc", PivotBrands.brands)
+          .agg(sum(col("amount_paid").cast("decimal(18,4)")).cast("double"))
+      },
+      Some(s"""WITH ${Oracle.txCommodity}
+        |SELECT household_key,
+        |${PivotBrands.brands.map(b =>
+             s"""  CAST(SUM(CAST(CASE WHEN commodity_desc = '$b' THEN amount_paid END AS DECIMAL(18,4))) AS DOUBLE) AS "$b"""")
+             .mkString(",\n")}
+        |FROM txc GROUP BY household_key""".stripMargin)),
+
+    // unpivot (melt) back to long form — the UNPIVOTED sink shape
+    // (04c:205-217); nulls dropped on both sides.
+    Entry(
+      "unpivot_spend",
+      (s, dir) => {
+        val txc = FeatureBuilder.txWithCommodity(s, dir)
+        val pivoted = txc.groupBy("household_key")
+          .pivot("commodity_desc", PivotBrands.brands)
+          .agg(sum(col("amount_paid").cast("decimal(18,4)")).cast("double"))
+        pivoted.unpivot(
+          Array(col("household_key")),
+          PivotBrands.brands.map(col).toArray,
+          "commodity_desc", "spend")
+          .filter(col("spend").isNotNull)
+      },
+      Some(s"""WITH ${Oracle.txCommodity},
+        |piv AS (
+        |  SELECT household_key,
+        |${PivotBrands.brands.map(b =>
+             s"""    CAST(SUM(CAST(CASE WHEN commodity_desc = '$b' THEN amount_paid END AS DECIMAL(18,4))) AS DOUBLE) AS "$b"""")
+             .mkString(",\n")}
+        |  FROM txc GROUP BY household_key)
+        |${PivotBrands.brands.map(b =>
+             s"""SELECT household_key, '$b' AS commodity_desc, "$b" AS spend FROM piv WHERE "$b" IS NOT NULL""")
+             .mkString("\nUNION ALL\n")}""".stripMargin)),
+
+    // S5/P7: empty-clone CTAS — schema-only copy via limit(0)
+    // (02:151-162, 04c:141). Hash of the empty set checks schema parity.
+    Entry(
+      "empty_clone",
+      (s, dir) => TransactionsAdj(s, dir).limit(0),
+      Some(s"""WITH ${Oracle.txAdjFull}
+        |SELECT household_key, basket_id, day, product_id, store_id, week_no,
+        |  units, amount_list, instore_discount, campaign_coupon_discount,
+        |  manuf_coupon_discount, total_coupon_discount, amount_paid
+        |FROM tx WHERE 1=2""".stripMargin)))
+
+  /** Fixed pivot column set (the p_brand domain is static across SFs). */
+  private object PivotBrands {
+    val brands: Seq[String] =
+      Seq("Brand#11", "Brand#22", "Brand#33", "Brand#44", "Brand#55")
+  }
+
+  /** J5 oracle: labels ⟕ three generated feature chains with prefix
+    * renames + COALESCE fill — rendered from the same MetricDefs.
+    */
+  private def trainingSetSql: String = {
+    val (hFrag, hFin) = FeatureBuilder.cteChain("h_", "fact_h", FeatureBuilder.household)
+    val (cFrag, cFin) = FeatureBuilder.cteChain("c_", "fact_c", FeatureBuilder.commodity)
+    val (hcFrag, hcFin) =
+      FeatureBuilder.cteChain("hc_", "fact_c", FeatureBuilder.householdCommodity)
+    val names = FeatureBuilder.metricNames
+    def sel(alias: String, prefix: String) =
+      names.map(n => s"  COALESCE($alias.$n, 0.0) AS $prefix$n").mkString(",\n")
+    s"""WITH ${Oracle.txCommodity},
+       |gbx AS (SELECT max(day) AS cur FROM txc),
+       |fact_h AS (SELECT t.* FROM tx t CROSS JOIN gbx WHERE t.day <= (gbx.cur - 30)),
+       |fact_c AS (SELECT t.* FROM txc t CROSS JOIN gbx WHERE t.day <= (gbx.cur - 30)),
+       |$hFrag,
+       |$cFrag,
+       |$hcFrag,
+       |$labelsCtes
+       |SELECT l.household_key, l.commodity_desc, l.day, l.purchased,
+       |${sel("h", "household__")},
+       |${sel("c", "commodity__")},
+       |${sel("hc", "household_commodity__")}
+       |FROM labels l
+       |LEFT JOIN $hFin h ON l.household_key = h.household_key
+       |LEFT JOIN $cFin c ON l.commodity_desc = c.commodity_desc
+       |LEFT JOIN $hcFin hc ON l.household_key = hc.household_key
+       |  AND l.commodity_desc = hc.commodity_desc""".stripMargin
+  }
+}

@@ -1,0 +1,54 @@
+package graft.score
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.features.FeatureTable
+
+/** Schema-evolving keyed MERGE for the pivoted propensity table
+  * (SURVEY.md S7; Delta MERGE + `schema.autoMerge` at `04c:156,189-202`).
+  *
+  * Each commodity's scores arrive as (household_key, day, prediction) and
+  * must land as a COLUMN named after the commodity: matched households get
+  * the new score, unmatched keep their row (other columns untouched), new
+  * households are inserted, and a first-seen commodity adds its column to
+  * the schema. Relationally: FULL OUTER join on the key + per-column
+  * `coalesce(src, target)` — which is exactly what Delta's merge executes,
+  * minus the transaction log; atomicity comes from FeatureTable's staged
+  * directory swap.
+  *
+  * Scale: the join shuffles on household_key once per commodity batch. The
+  * 100 TB refinement is to group all commodities of a scoring day into one
+  * wide source (computed here by `pivotScores`) so the table rewrites once
+  * per day, not once per commodity.
+  */
+object MergeWriter {
+
+  /** `groupBy().pivot()` — the idiomatic Spark form of the reference's
+    * per-commodity merge loop; `values` pins the column set so the plan
+    * needs no extra distinct pass and the output schema is deterministic.
+    */
+  def pivotScores(scores: DataFrame, commodities: Seq[String]): DataFrame =
+    scores.groupBy("household_key", "day")
+      .pivot("commodity_desc", commodities)
+      .agg(first(col("prediction")))
+
+  /** Merge one commodity column into the pivoted table (S7). */
+  def mergeColumn(spark: SparkSession, table: FeatureTable,
+      scores: DataFrame, columnName: String): Unit = {
+    val src = scores.select(
+      col("household_key"), col("day"),
+      col("prediction").as(columnName))
+    if (!table.exists) { table.overwrite(src); return }
+    val target = table.read(spark)
+    val joined = target.as("t").join(src.as("s"), table.keys, "full_outer")
+    val untouched = target.columns.toSeq
+      .filterNot(table.keys.contains).filterNot(_ == columnName)
+    val merged = joined.select(
+      table.keys.map(col) ++
+        untouched.map(c => col(s"t.$c").as(c)) ++
+        Seq((if (target.columns.contains(columnName))
+               coalesce(col(s"s.$columnName"), col(s"t.$columnName"))
+             else col(s"s.$columnName")).as(columnName)): _*)
+    table.overwrite(merged)
+  }
+}
