@@ -1,0 +1,164 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines (BASELINE.json
+  * north-star): exact, n-gram Jaccard, MinHash+LSH, SimHash, embedding
+  * cosine. Each has a different exactness/scale trade-off; the exact
+  * shingle-join path is the oracle-checked baseline, the sketch paths are
+  * the 100 TB scale paths (candidate generation without the quadratic
+  * pair space).
+  */
+object Dedup {
+
+  /** Exact dedup: canonical doc per identical content (hash-groupBy).
+    * At scale this groups by md5(text) — a single shuffle on a 16-byte
+    * key instead of the full text.
+    */
+  def exact(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), md5(col("text").cast("binary")).as("content_md5"))
+      .groupBy("content_md5")
+      .agg(min(col("doc_id")).as("canonical_doc_id"),
+        count(lit(1)).as("n_copies"))
+
+  /** Character k-gram shingle set, exploded to (doc_id, shingle) rows.
+    * `sequence` + `substring` keeps it pure column algebra (codegen).
+    */
+  def shingles(docs: DataFrame, k: Int): DataFrame =
+    docs
+      .select(col("doc_id"), col("text"), length(col("text")).as("len"))
+      .filter(col("len") >= k)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), col("len") - (k - 1))).as("pos"),
+        col("text"))
+      .select(col("doc_id"),
+        substring_index_expr(col("text"), col("pos"), k).as("shingle"))
+      .distinct()
+
+  private def substring_index_expr(text: Column, pos: Column, k: Int): Column =
+    text.substr(pos, lit(k))
+
+  /** Exact n-gram Jaccard near-dup pairs via a shingle inverted index:
+    * explode → self-join on shingle → count common → Jaccard =
+    * |∩| / (|A| + |B| − |∩|). This IS the scalable exact algorithm — the
+    * join fans out only over docs sharing a shingle (never the full n²
+    * pair space), shuffles on the shingle key, and the skew mitigation at
+    * 100 TB is dropping ultra-frequent shingles (stop-shingles) before the
+    * join, exactly like stopword removal.
+    */
+  def ngramJaccardPairs(docs: DataFrame, k: Int = 12,
+      threshold: Double = 0.5, maxShingleFreq: Option[Int] = None): DataFrame = {
+    val sh = shingles(docs, k).cache()
+    val filtered = maxShingleFreq match {
+      case Some(maxF) =>
+        val freq = sh.groupBy("shingle").agg(count(lit(1)).as("f"))
+          .filter(col("f") <= maxF).select("shingle")
+        sh.join(freq, Seq("shingle"), "left_semi")
+      case None => sh
+    }
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val a = filtered.as("a")
+    val b = filtered.as("b")
+    val common = a.join(b,
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n_shingles", "size_a"), Seq("doc_a"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n_shingles", "size_b"), Seq("doc_b"))
+      .withColumn("jaccard",
+        col("n_common").cast("double") /
+          (col("size_a") + col("size_b") - col("n_common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "n_common", "size_a", "size_b", "jaccard")
+  }
+
+  /** MinHash signatures: h_i(doc) = min over shingles of
+    * ((a_i * x + b_i) mod p), where x is a 64-bit shingle hash. The
+    * per-band scale path buckets docs by banded signature so candidate
+    * pairs come from bucket joins, not the pair space. xxhash64 is
+    * Spark-native (codegen'd) — deterministic across runs but engine-
+    * specific, so this operator is checked by unit test + rows-only, not
+    * the SQL oracle.
+    */
+  def minhashSignatures(docs: DataFrame, k: Int = 12, numHashes: Int = 16): DataFrame = {
+    // 31-bit domain keeps a*x+b far below Long.MaxValue (ANSI-safe).
+    val p = 2147483647L // 2^31 - 1 (Mersenne prime)
+    val sh = shingles(docs, k)
+      .select(col("doc_id"), pmod(xxhash64(col("shingle")), lit(p)).as("x"))
+    val mins = (0 until numHashes).map { i =>
+      val a = (2 * i + 1).toLong
+      val b = 40503L * (i + 1)
+      min(pmod(col("x") * lit(a) + lit(b), lit(p))).as(s"h$i")
+    }
+    sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+  }
+
+  /** LSH banding over minhash signatures: docs sharing any band bucket are
+    * candidate near-dups; candidates are then verified with exact Jaccard.
+    */
+  def minhashLshCandidates(docs: DataFrame, k: Int = 12,
+      numHashes: Int = 16, bands: Int = 4): DataFrame = {
+    val sig = minhashSignatures(docs, k, numHashes)
+    val rowsPerBand = numHashes / bands
+    val banded = (0 until bands).map { bd =>
+      val cols = (bd * rowsPerBand until (bd + 1) * rowsPerBand).map(i => col(s"h$i"))
+      sig.select(col("doc_id"), lit(bd).as("band"),
+        xxhash64(cols: _*).as("bucket"))
+    }.reduce(_.unionByName(_))
+    val l = banded.as("l")
+    val r = banded.as("r")
+    l.join(r,
+        col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** SimHash: 64-bit sketch — per token hash, each bit position votes
+    * +1/−1, sketch bit = sign of the vote sum. Near-dups have small
+    * Hamming distance. Engine-specific hash ⇒ unit-test + rows-only.
+    */
+  def simhash(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+    val bitVotes = (0 until 64).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i")
+    }
+    val votes = toks.groupBy("doc_id").agg(bitVotes.head, bitVotes.tail: _*)
+    val sketch = (0 until 64).map { i =>
+      when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+    votes.select(col("doc_id"), sketch.as("simhash"))
+  }
+
+  /** Hamming distance between two 64-bit sketches. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs under a Hamming radius. The full self-join is
+    * quadratic; the scale path blocks on sketch prefixes (pigeonhole: one
+    * of (radius+1) chunks must match exactly).
+    */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 12): DataFrame = {
+    val s = simhash(docs).cache()
+    val chunks = 4
+    val blocked = (0 until chunks).map { c =>
+      s.select(col("doc_id"), col("simhash"),
+        lit(c).as("chunk"),
+        shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL).as("block"))
+    }.reduce(_.unionByName(_))
+    val l = blocked.as("l"); val r = blocked.as("r")
+    l.join(r,
+        col("l.chunk") === col("r.chunk") && col("l.block") === col("r.block") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
+        hamming(col("l.simhash"), col("r.simhash")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

