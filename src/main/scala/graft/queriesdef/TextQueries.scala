@@ -24,7 +24,7 @@ object TextQueries {
     * strict >, first-listed wins ties).
     */
   private def langArgmaxSql: String = {
-    var sExpr = "CAST(-1 AS BIGINT)"
+    var sExpr = "CAST(0 AS BIGINT)"
     var lExpr = "'und'"
     TextAnalysis.langMarkers.foreach { case (l, _) =>
       val sc = s"score_$l"

@@ -52,13 +52,22 @@ object EventStreams {
     * one open session; a session closes (emits) when a new event arrives
     * past the gap, or on processing-time timeout.
     */
-  def sessionizeStream(spark: SparkSession, ev: DataFrame): Dataset[SessionOut] = {
+  /** `withTimeout = true` arms a processing-time timeout that flushes idle
+    * open sessions on a live stream; leave false for bounded replays
+    * (AvailableNow) — an armed timeout keeps scheduling wake-up batches and
+    * the query never terminates.
+    */
+  def sessionizeStream(spark: SparkSession, ev: DataFrame,
+      withTimeout: Boolean = false): Dataset[SessionOut] = {
     import spark.implicits._
     val gapMs = EventOps.sessionGapSeconds * 1000L
+    val timeoutConf =
+      if (withTimeout) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     ev.select("event_id", "ts", "user_id", "event_type", "value").as[Event]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionOut](
-        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        OutputMode.Append, timeoutConf) {
         (userId: Long, events: Iterator[Event], state: GroupState[SessionState]) =>
           if (state.hasTimedOut) {
             val out = state.getOption.map(s =>
@@ -82,7 +91,7 @@ object EventStreams {
               }
             }
             cur.foreach(state.update)
-            state.setTimeoutDuration(gapMs)
+            if (withTimeout) state.setTimeoutDuration(gapMs)
             closed.reverseIterator
           }
       }

@@ -82,8 +82,9 @@ object TextAnalysis {
     val scored = docs.select(
       col("doc_id") +: col("lang").as("lang_true") +:
         langMarkers.map { case (l, ws) => wordHits(t, ws).as(s"score_$l") }: _*)
-    // argmax with first-listed language winning ties
-    val best = langMarkers.map(_._1).foldLeft(lit(-1L) -> lit("und")) {
+    // argmax with first-listed language winning ties; a language must score
+    // at least one marker hit to beat the "und" default
+    val best = langMarkers.map(_._1).foldLeft(lit(0L) -> lit("und")) {
       case ((bestScore, bestLang), l) =>
         val s = col(s"score_$l")
         (when(s > bestScore, s).otherwise(bestScore),

@@ -1,0 +1,60 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog again and again"
+  private val nearDup = "the quick brown fox jumps over the lazy dog again and AGAIN"
+  private val distinct1 = "completely different content that shares nothing at all here"
+  private val docs = Seq(
+    (0L, base), (1L, base), (2L, nearDup), (3L, distinct1)
+  ).toDF("doc_id", "text")
+
+  test("exact: identical docs collapse to the min doc_id") {
+    val out = Dedup.exact(docs).collect()
+    val dup = out.find(_.getAs[Long]("n_copies") == 2L).get
+    assert(dup.getAs[Long]("canonical_doc_id") == 0L)
+    assert(out.length == 3) // 4 docs, one pair identical
+  }
+
+  test("ngram jaccard: identical=1.0, near-dup high, distinct absent") {
+    val pairs = Dedup.ngramJaccardPairs(docs, k = 8, threshold = 0.3)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        r.getAs[Double]("jaccard")).toMap
+    assert(pairs((0L, 1L)) == 1.0)
+    assert(pairs((0L, 2L)) > 0.5 && pairs((0L, 2L)) < 1.0)
+    assert(!pairs.keySet.exists { case (a, b) => b == 3L || a == 3L })
+  }
+
+  test("minhash signatures: identical docs get identical signatures") {
+    val sig = Dedup.minhashSignatures(docs, k = 8, numHashes = 8).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (0 until 8).map(i => r.getAs[Long](s"h$i"))).toMap
+    assert(sig(0L) == sig(1L))
+    assert(sig(0L) != sig(3L))
+    // near-dup shares most minhashes (probabilistic but deterministic here)
+    val agree = sig(0L).zip(sig(2L)).count { case (a, b) => a == b }
+    assert(agree >= 4, s"expected >=4/8 matching minhashes, got $agree")
+  }
+
+  test("minhash LSH candidates: finds the planted dup pair, skips distinct") {
+    val cand = Dedup.minhashLshCandidates(docs, k = 8, numHashes = 16, bands = 4)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(cand.contains((0L, 1L)))
+    assert(!cand.contains((0L, 3L)) && !cand.contains((1L, 3L)))
+  }
+
+  test("simhash: identical docs → hamming 0; near dup close; distinct far") {
+    val s = Dedup.simhash(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(s(0L), s(1L)) == 0)
+    assert(ham(s(0L), s(2L)) < ham(s(0L), s(3L)))
+  }
+}

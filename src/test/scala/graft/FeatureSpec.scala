@@ -1,0 +1,77 @@
+package graft
+
+import java.time.LocalDate
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.features.{FeatureBuilder, MetricDefs, WindowSpec}
+
+class FeatureSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def d(s: String) = java.sql.Date.valueOf(s)
+
+  // fact: household 1 buys on cur and cur-40; household 2 only on cur-40.
+  private val cur = LocalDate.parse("2024-12-31")
+  private val fact = Seq(
+    (1L, 10L, d("2024-12-31"), 100L, 1L, 2, 50.0, 5.0, 0.0, 0.0, 5.0, 45.0),
+    (1L, 11L, d("2024-11-21"), 101L, 1L, 1, 30.0, 0.0, 3.0, 0.0, 3.0, 27.0),
+    (2L, 12L, d("2024-11-21"), 102L, 1L, 1, 20.0, 0.0, 0.0, 0.0, 0.0, 20.0)
+  ).toDF("household_key", "basket_id", "day", "product_id", "store_id", "units",
+    "amount_list", "instore_discount", "campaign_coupon_discount",
+    "manuf_coupon_discount", "total_coupon_discount", "amount_paid")
+
+  test("window bounds: 30/60/90 trailing, 1yr = same-season slice") {
+    val w = WindowSpec.windows(cur)
+    assert(w.map(_.name) == Seq("30d", "60d", "90d", "1yr"))
+    assert(w(0).start == cur.minusDays(29) && w(0).end == cur)
+    assert(w(3).start == cur.minusDays(394) && w(3).end == cur.minusDays(365))
+  }
+
+  test("single-pass windows: 30d excludes, 60d includes the older basket") {
+    val out = FeatureBuilder.build(fact, FeatureBuilder.household)
+      .collect().map(r => r.getAs[Long]("household_key") -> r).toMap
+    val h1 = out(1L)
+    assert(h1.getAs[Double]("baskets_30d") == 1.0)
+    assert(h1.getAs[Double]("baskets_60d") == 2.0)
+    assert(h1.getAs[Double]("amount_paid_30d") == 45.0)
+    assert(h1.getAs[Double]("amount_paid_60d") == 72.0)
+    val h2 = out(2L)
+    assert(h2.getAs[Double]("baskets_30d") == 0.0) // fillna after no rows in window
+    assert(h2.getAs[Double]("baskets_60d") == 1.0)
+  }
+
+  test("days-since floors at window start when no qualifying event") {
+    val out = FeatureBuilder.build(fact, FeatureBuilder.household)
+      .collect().map(r => r.getAs[Long]("household_key") -> r).toMap
+    // h1 bought with instore discount on cur → 0 days since, in every window
+    assert(out(1L).getAs[Double]("days_since_instore_30d") == 0.0)
+    // h2 never had instore discount → floor = days from window start to cur
+    assert(out(2L).getAs[Double]("days_since_instore_30d") == 29.0)
+    assert(out(2L).getAs[Double]("days_since_instore_90d") == 89.0)
+    // h2's only purchase is 40 days back → days_since_60d = 40
+    assert(out(2L).getAs[Double]("days_since_60d") == 40.0)
+  }
+
+  test("ratio guard: zero denominator yields 0.0, not null/error") {
+    val out = FeatureBuilder.build(fact, FeatureBuilder.household)
+      .collect().map(r => r.getAs[Long]("household_key") -> r).toMap
+    // h2 has no baskets in 30d → paid_per_basket_30d = 0.0
+    assert(out(2L).getAs[Double]("paid_per_basket_30d") == 0.0)
+    assert(out(1L).getAs[Double]("paid_per_basket_30d") == 45.0)
+  }
+
+  test("double-suffix quirk replicated: products_per_day_30d_30d exists") {
+    assert(FeatureBuilder.metricNames.contains("products_per_day_30d_30d"))
+  }
+
+  test("all metric columns are DOUBLE and null-free") {
+    val df = FeatureBuilder.build(fact, FeatureBuilder.household)
+    val metricCols = df.columns.filterNot(_ == "household_key")
+    assert(metricCols.forall(c =>
+      df.schema(c).dataType == org.apache.spark.sql.types.DoubleType))
+    val anyNull = metricCols.map(c => sum(when(col(c).isNull, 1).otherwise(0)))
+      .reduce(_ + _)
+    assert(df.agg(anyNull).head().getLong(0) == 0L)
+  }
+}

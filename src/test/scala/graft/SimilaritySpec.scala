@@ -1,0 +1,47 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.similarity.Similarity
+
+class SimilaritySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f)),
+    (1L, Array(0.0f, 1.0f, 0.0f)),
+    (2L, Array(1.0f, 1.0f, 0.0f)),
+    (3L, Array(-1.0f, 0.0f, 0.0f))
+  ).toDF("vec_id", "embedding")
+
+  test("cosine: orthogonal=0, parallel=1, opposite=-1, 45°=√2/2") {
+    val pairs = Similarity.cosineNearDupPairs(vecs, threshold = -2.0)
+      .collect().map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b")) ->
+        r.getAs[Double]("cos")).toMap
+    assert(pairs((0L, 1L)) == 0.0)
+    assert(pairs((0L, 3L)) == -1.0)
+    assert(math.abs(pairs((0L, 2L)) - math.sqrt(2) / 2) < 1e-8)
+  }
+
+  test("brute-force top-k: correct neighbor order, self excluded") {
+    val out = Similarity.bruteForceTopK(vecs.filter(col("vec_id") === 0), vecs, k = 3)
+      .orderBy("rank").collect()
+    assert(out.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(2L, 1L, 3L))
+    assert(out.forall(_.getAs[Long]("query_id") == 0L))
+  }
+
+  test("IVF recall vs brute force on the fixture embeddings") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 10)
+    val bf = Similarity.bruteForceTopK(q, emb, k = 5).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val ivf = Similarity.ivfTopK(q, emb, k = 5, nCells = 4).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = (bf & ivf).size.toDouble / bf.size
+    assert(recall >= 0.2, s"IVF recall unreasonably low: $recall")
+    assert(ivf.subsetOf(ivf)) // sanity
+    // every IVF hit must be a real vector pair (query != neighbor)
+    assert(ivf.forall { case (a, b) => a != b })
+  }
+}

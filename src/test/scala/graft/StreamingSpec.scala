@@ -1,0 +1,72 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.streaming.{EventOps, EventStreams}
+
+/** Streaming ≡ batch: the same event transformations through readStream
+  * (file source, AvailableNow) must agree with the batch operators.
+  */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private val rows = Seq(
+    (1L, ts("2024-01-01 10:00:00"), 100L, "click", 1.0, ""),
+    (2L, ts("2024-01-01 10:10:00"), 100L, "click", 2.0, ""),
+    (3L, ts("2024-01-01 11:05:00"), 100L, "view", 3.0, ""),   // > 30 min gap → new session
+    (4L, ts("2024-01-01 10:20:00"), 200L, "click", 4.0, ""),
+    (5L, ts("2024-01-01 10:30:00"), 200L, "purchase", 5.0, "")
+  )
+
+  private lazy val dir: String = {
+    val d = Files.createTempDirectory("events-stream").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(d)
+    d
+  }
+
+  test("windowed stream agg matches batch hourlyByType counts") {
+    val stream = EventStreams.readEvents(spark, dir)
+    // complete mode over a watermarked agg would hold back the open window;
+    // for a bounded file source AvailableNow + complete gives the full result
+    val q = EventStreams.hourlyByTypeStream(stream)
+      .writeStream.outputMode("complete").format("memory").queryName("hourly")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("hourly")
+      .select("hour_start", "event_type", "n_events")
+      .as[(Timestamp, String, Long)].collect().toSet
+    val batch = EventOps.hourlyByType(
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+      .select("hour_start", "event_type", "n_events")
+      .as[(Timestamp, String, Long)].collect().toSet
+    assert(streamed == batch)
+    assert(batch.exists { case (_, t, n) => t == "click" && n == 3 })
+  }
+
+  test("stateful sessionizer closes sessions on gap, matches batch islands") {
+    val stream = EventStreams.readEvents(spark, dir)
+    val sessions = EventStreams.sessionizeStream(spark, stream)
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("sessions")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // append mode emits only CLOSED sessions: user 100's first session
+    // (2 events) closed by the 65-minute gap; open sessions stay in state
+    val closed = spark.table("sessions")
+      .select("user_id", "n_events").as[(Long, Long)].collect().toSet
+    assert(closed.contains((100L, 2L)))
+    val batch = EventOps.sessionize(
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val batchSessions = batch.select("user_id", "n_events")
+      .as[(Long, Long)].collect().toSet
+    // every closed streaming session is a batch session
+    assert(closed.subsetOf(batchSessions))
+    assert(batchSessions == Set((100L, 2L), (100L, 1L), (200L, 2L)))
+  }
+}

@@ -1,0 +1,55 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.text.TextAnalysis
+
+class TextSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "the cat sat on the mat", "en", "s"),
+    (1L, "el gato y el perro", "es", "s"),
+    (2L, "", "en", "s"),
+    (3L, "x1 y2, z3!", "en", "s")
+  ).toDF("doc_id", "text", "lang", "source")
+
+  test("token counts: whitespace and BPE-ish") {
+    val out = TextAnalysis.stats(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(0L).getAs[Long]("n_tokens") == 6)
+    assert(out(2L).getAs[Long]("n_tokens") == 0)
+    // "x1 y2, z3!" → x,1,y,2,',',z,3,'!' = 8 BPE-ish tokens
+    assert(out(3L).getAs[Long]("n_tokens_bpe") == 8)
+    assert(out(3L).getAs[Long]("n_punct") == 2)
+  }
+
+  test("stopword ratio and quality gate") {
+    val out = TextAnalysis.qualityFiltered(docs, minTokens = 5).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(0L).getAs[Long]("n_stopwords") == 2) // two "the"
+    assert(out(0L).getAs[Boolean]("quality_pass"))
+    assert(!out(2L).getAs[Boolean]("quality_pass")) // empty doc fails min tokens
+  }
+
+  test("langId: marker voting picks the right language") {
+    val out = TextAnalysis.langId(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("lang_pred")).toMap
+    assert(out(0L) == "en")
+    assert(out(1L) == "es")
+    assert(out(2L) == "und") // no markers at all
+  }
+
+  test("fingerprints: md5 is content-determined") {
+    val fp = TextAnalysis.fingerprints(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("content_md5")).toMap
+    assert(fp(0L) != fp(1L))
+    assert(fp(0L).length == 32)
+    // fingerprint agrees with a reference md5
+    val expected = java.security.MessageDigest.getInstance("MD5")
+      .digest("the cat sat on the mat".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(fp(0L) == expected)
+  }
+}
