@@ -22,24 +22,24 @@ object Dedup {
       .agg(min(col("doc_id")).as("canonical_doc_id"),
         count(lit(1)).as("n_copies"))
 
-  /** Character k-gram shingle set, exploded to (doc_id, shingle) rows.
-    * `sequence` + `substring` keeps it pure column algebra (codegen).
+  /** Word n-gram shingle set, exploded to (doc_id, shingle) rows — pure
+    * column algebra (split + transform + slice, all codegen-friendly).
+    * Word shingles carry ~wordLen× fewer rows than character shingles for
+    * the same coverage, which directly shrinks the inverted-index join.
     */
-  def shingles(docs: DataFrame, k: Int): DataFrame =
+  def shingles(docs: DataFrame, n: Int): DataFrame = {
+    val words = split(col("text"), " ")
     docs
-      .select(col("doc_id"), col("text"), length(col("text")).as("len"))
-      .filter(col("len") >= k)
+      .select(col("doc_id"), words.as("w"), size(words).as("nw"))
+      .filter(col("nw") >= n)
       .select(col("doc_id"),
-        explode(sequence(lit(1), col("len") - (k - 1))).as("pos"),
-        col("text"))
-      .select(col("doc_id"),
-        substring_index_expr(col("text"), col("pos"), k).as("shingle"))
+        explode(transform(
+          sequence(lit(0), col("nw") - n),
+          i => concat_ws(" ", slice(col("w"), i + 1, lit(n))))).as("shingle"))
       .distinct()
+  }
 
-  private def substring_index_expr(text: Column, pos: Column, k: Int): Column =
-    text.substr(pos, lit(k))
-
-  /** Exact n-gram Jaccard near-dup pairs via a shingle inverted index:
+  /** Exact word-n-gram Jaccard near-dup pairs via a shingle inverted index:
     * explode → self-join on shingle → count common → Jaccard =
     * |∩| / (|A| + |B| − |∩|). This IS the scalable exact algorithm — the
     * join fans out only over docs sharing a shingle (never the full n²
@@ -47,9 +47,9 @@ object Dedup {
     * 100 TB is dropping ultra-frequent shingles (stop-shingles) before the
     * join, exactly like stopword removal.
     */
-  def ngramJaccardPairs(docs: DataFrame, k: Int = 12,
+  def ngramJaccardPairs(docs: DataFrame, n: Int = 5,
       threshold: Double = 0.5, maxShingleFreq: Option[Int] = None): DataFrame = {
-    val sh = shingles(docs, k).cache()
+    val sh = shingles(docs, n).cache()
     val filtered = maxShingleFreq match {
       case Some(maxF) =>
         val freq = sh.groupBy("shingle").agg(count(lit(1)).as("f"))
@@ -84,10 +84,10 @@ object Dedup {
     * specific, so this operator is checked by unit test + rows-only, not
     * the SQL oracle.
     */
-  def minhashSignatures(docs: DataFrame, k: Int = 12, numHashes: Int = 16): DataFrame = {
+  def minhashSignatures(docs: DataFrame, n: Int = 3, numHashes: Int = 16): DataFrame = {
     // 31-bit domain keeps a*x+b far below Long.MaxValue (ANSI-safe).
     val p = 2147483647L // 2^31 - 1 (Mersenne prime)
-    val sh = shingles(docs, k)
+    val sh = shingles(docs, n)
       .select(col("doc_id"), pmod(xxhash64(col("shingle")), lit(p)).as("x"))
     val mins = (0 until numHashes).map { i =>
       val a = (2 * i + 1).toLong
@@ -100,9 +100,9 @@ object Dedup {
   /** LSH banding over minhash signatures: docs sharing any band bucket are
     * candidate near-dups; candidates are then verified with exact Jaccard.
     */
-  def minhashLshCandidates(docs: DataFrame, k: Int = 12,
+  def minhashLshCandidates(docs: DataFrame, n: Int = 3,
       numHashes: Int = 16, bands: Int = 4): DataFrame = {
-    val sig = minhashSignatures(docs, k, numHashes)
+    val sig = minhashSignatures(docs, n, numHashes)
     val rowsPerBand = numHashes / bands
     val banded = (0 until bands).map { bd =>
       val cols = (bd * rowsPerBand until (bd + 1) * rowsPerBand).map(i => col(s"h$i"))

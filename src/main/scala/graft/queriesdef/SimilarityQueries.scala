@@ -26,9 +26,12 @@ object SimilarityQueries {
     // Per-vector norms — the embedding hygiene check.
     Entry(
       "embedding_norms",
-      (s, dir) => Catalog.table(s, dir, "embeddings")
-        .select(col("vec_id"), col("label"),
-          round(Similarity.norm(col("embedding")), 9).as("norm")),
+      (s, dir) => {
+        graft.functions.ArrayOps.register(s)
+        Catalog.table(s, dir, "embeddings")
+          .select(col("vec_id"), col("label"),
+            round(Similarity.norm(col("embedding")), 9).as("norm"))
+      },
       Some(s"""SELECT e.vec_id, e.label,
         |  round(sqrt(${dotSql("e", "e")}), 9) AS norm
         |FROM embeddings e""".stripMargin)),

@@ -119,14 +119,18 @@ object TextQueries {
         |  min(doc_id) AS canonical_doc_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text)""".stripMargin)),
 
-    // Exact n-gram Jaccard near-dup pairs via shingle inverted index.
+    // Exact word-5-gram Jaccard near-dup pairs via shingle inverted index.
     Entry(
       "dedup_ngram_jaccard",
-      (s, dir) => Dedup.ngramJaccardPairs(docs(s, dir), k = 12, threshold = 0.5),
-      Some("""WITH sh0 AS (
-        |  SELECT doc_id,
-        |    substr(text, unnest(generate_series(1, length(text) - 11)), 12) AS shingle
-        |  FROM documents WHERE length(text) >= 12),
+      (s, dir) => Dedup.ngramJaccardPairs(docs(s, dir), n = 5, threshold = 0.5),
+      Some("""WITH ws AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 5),
+        |sh0 AS (
+        |  SELECT doc_id, array_to_string(w[i:i+4], ' ') AS shingle
+        |  FROM (SELECT doc_id, w,
+        |          unnest(generate_series(1, len(w) - 4)) AS i
+        |        FROM ws) t),
         |sh AS (SELECT DISTINCT doc_id, shingle FROM sh0),
         |sz AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id),
         |co AS (

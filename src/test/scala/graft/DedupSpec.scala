@@ -23,7 +23,7 @@ class DedupSpec extends AnyFunSuite {
   }
 
   test("ngram jaccard: identical=1.0, near-dup high, distinct absent") {
-    val pairs = Dedup.ngramJaccardPairs(docs, k = 8, threshold = 0.3)
+    val pairs = Dedup.ngramJaccardPairs(docs, n = 5, threshold = 0.3)
       .collect()
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
         r.getAs[Double]("jaccard")).toMap
@@ -33,7 +33,7 @@ class DedupSpec extends AnyFunSuite {
   }
 
   test("minhash signatures: identical docs get identical signatures") {
-    val sig = Dedup.minhashSignatures(docs, k = 8, numHashes = 8).collect()
+    val sig = Dedup.minhashSignatures(docs, n = 3, numHashes = 8).collect()
       .map(r => r.getAs[Long]("doc_id") ->
         (0 until 8).map(i => r.getAs[Long](s"h$i"))).toMap
     assert(sig(0L) == sig(1L))
@@ -44,7 +44,7 @@ class DedupSpec extends AnyFunSuite {
   }
 
   test("minhash LSH candidates: finds the planted dup pair, skips distinct") {
-    val cand = Dedup.minhashLshCandidates(docs, k = 8, numHashes = 16, bands = 4)
+    val cand = Dedup.minhashLshCandidates(docs, n = 3, numHashes = 16, bands = 4)
       .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
     assert(cand.contains((0L, 1L)))
     assert(!cand.contains((0L, 3L)) && !cand.contains((1L, 3L)))
