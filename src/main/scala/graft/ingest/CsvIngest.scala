@@ -1,0 +1,44 @@
+package graft.ingest
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType}
+
+/** Bronze CSV ingest (SURVEY.md S1 + F1, `01_Data_Prep.py:56-82`): read
+  * with header + schema inference, then convert every integer column whose
+  * name ends in `day` from a 1-based day-number to a real DATE anchored at
+  * an epoch (`date_add(anchor, c - 1)`, `01:66-72` — the reference anchors
+  * Dunnhumby's day 1..711 at 2018-01-01).
+  *
+  * Scale note: inference costs one extra full pass over the file
+  * (exactly as in the reference); production tables should pin explicit
+  * StructTypes and skip inference — `readCsv` accepts an optional schema
+  * for that path.
+  */
+object CsvIngest {
+
+  val defaultAnchor = "2018-01-01"
+
+  def readCsv(spark: SparkSession, path: String,
+      schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
+    val base = spark.read.option("header", "true")
+    schema match {
+      case Some(s) => base.schema(s).csv(path)
+      case None => base.option("inferSchema", "true").csv(path)
+    }
+  }
+
+  /** int day-number → DATE for every `*day` column (DayCodec). */
+  def convertDayColumns(df: DataFrame, anchor: String = defaultAnchor): DataFrame = {
+    val dayCols = df.schema.fields.collect {
+      case f if f.name.toLowerCase.endsWith("day") &&
+        (f.dataType == IntegerType || f.dataType == LongType) => f.name
+    }
+    dayCols.foldLeft(df) { (d, c) =>
+      d.withColumn(c, date_add(lit(anchor).cast("date"), col(c).cast("int") - 1))
+    }
+  }
+
+  def ingest(spark: SparkSession, path: String): DataFrame =
+    convertDayColumns(readCsv(spark, path))
+}

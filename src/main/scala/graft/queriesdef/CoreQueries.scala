@@ -96,5 +96,64 @@ object CoreQueries {
           .orderBy(col("basket_id")).limit(100),
       Some(s"""WITH ${Oracle.txAdj}
         |SELECT DISTINCT basket_id FROM transactions_adj
-        |ORDER BY basket_id LIMIT 100""".stripMargin)))
+        |ORDER BY basket_id LIMIT 100""".stripMargin)),
+
+    // A9: verification counts — per-day row counts (02:110-116).
+    Entry(
+      "verification_counts",
+      (s, dir) => TransactionsAdj(s, dir)
+        .groupBy("day").agg(count(lit(1)).as("n_rows")),
+      Some(s"""WITH ${Oracle.txAdj}
+        |SELECT day, count(*) AS n_rows
+        |FROM transactions_adj GROUP BY day""".stripMargin)),
+
+    // J2: inner-join-as-semi-filter, expressed with the cleaner left_semi
+    // primitive (04b:115-119).
+    Entry(
+      "semi_filter",
+      (s, dir) => {
+        val products = Retail.products(s, dir).select("product_id", "commodity_desc")
+        val cts = Commodities.commoditiesToScore(s, dir).select("commodity_desc")
+        products.join(broadcast(cts), Seq("commodity_desc"), "left_semi")
+          .select("product_id", "commodity_desc")
+      },
+      Some(s"""WITH ${Oracle.txCommodity},
+        |cts AS (
+        |  SELECT commodity_desc FROM (
+        |    SELECT commodity_desc, COUNT(DISTINCT basket_id) AS baskets
+        |    FROM txc GROUP BY commodity_desc
+        |    ORDER BY baskets DESC, commodity_desc LIMIT 10) t)
+        |SELECT p.p_partkey AS product_id, p.p_brand AS commodity_desc
+        |FROM part p WHERE p.p_brand IN (SELECT commodity_desc FROM cts)""".stripMargin)),
+
+    // S11: the SQL surface — registered views + spark.sql (util/config.py
+    // SQL cells; CTAS-style programs run through the same path as S4).
+    Entry(
+      "sql_interface",
+      (s, dir) => {
+        graft.core.Catalog.registerAll(s, dir)
+        s.sql("""SELECT l_returnflag, l_linestatus,
+                |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+                |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+                |  COUNT(*) AS n
+                |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin)
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // A3 at scale: approx_count_distinct variant of the distinct family —
+    // the 100 TB escape hatch for the multi-distinct Expand (SURVEY.md §4).
+    // HLL sketches are engine-specific ⇒ rows-only.
+    Entry(
+      "feature_agg_approx",
+      (s, dir) => TransactionsAdj(s, dir)
+        .groupBy("household_key")
+        .agg(
+          approx_count_distinct(col("day")).as("approx_days"),
+          approx_count_distinct(col("basket_id")).as("approx_baskets"),
+          approx_count_distinct(col("product_id")).as("approx_products")),
+      None))
 }

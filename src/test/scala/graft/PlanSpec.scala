@@ -1,0 +1,65 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.core.Retail
+import graft.features.FeatureBuilder
+import graft.ops.Commodities
+
+/** Physical-plan shape audit: the properties that make these operators
+  * scale are visible in the plan — broadcasts on small sides, pushed
+  * filters, pruned scan schemas, top-k without a global sort. These tests
+  * pin them so a refactor can't silently regress the plan.
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("fact ⋈ products dim is a broadcast hash join") {
+    val p = plan(Commodities.topCommodities(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast join:\n$p")
+  }
+
+  test("top-k plans as TakeOrderedAndProject, not a global sort") {
+    val p = plan(Commodities.topCommodities(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$p")
+  }
+
+  test("orders scan schema is pruned to the two join/projection columns") {
+    val p = plan(Retail.transactions(spark, sf))
+    assert(p.contains("struct<o_orderkey:bigint,o_custkey:bigint>"),
+      s"orders scan should read 2 columns only:\n$p")
+  }
+
+  test("feature-window pre-filter is pushed to the parquet scan") {
+    val tx = graft.silver.TransactionsAdj(spark, sf)
+    val p = plan(FeatureBuilder.build(tx, FeatureBuilder.household))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      s"day bounds should reach the lineitem scan:\n$p")
+  }
+
+  test("universe cross join broadcasts the 10-row commodity side") {
+    val txc = FeatureBuilder.txWithCommodity(spark, sf)
+    val labels = graft.labels.LabelBuilder.labels(
+      txc, Commodities.commoditiesToScore(spark, sf),
+      FeatureBuilder.bounds(txc)._2.minusDays(30))
+    val p = plan(labels)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"expected broadcast for the commodity side:\n$p")
+  }
+
+  test("silver projection is a single codegen'd Project over the scan") {
+    val df = graft.silver.TransactionsAdj(spark, sf)
+    val qe = df.queryExecution
+    qe.executedPlan.execute().count() // finalize AQE on THIS plan instance
+    // the AQE toString includes Initial + Final sections; audit Final only
+    val p = qe.executedPlan.toString.split("== Initial Plan ==")(0)
+    // one Project per select (no withColumn chains), all fused into a
+    // single codegen stage ("*(n) Op" markers share the stage id)
+    assert(p.contains("*("), s"expected whole-stage-codegen markers:\n$p")
+    assert("\\*\\(\\d+\\) Project".r.findAllIn(p).size <= 2, s"too many Projects:\n$p")
+  }
+}
