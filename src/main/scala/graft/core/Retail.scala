@@ -61,4 +61,17 @@ object Retail {
   def households(spark: SparkSession, sfDir: String): DataFrame =
     Catalog.table(spark, sfDir, "customer")
       .select(col("c_custkey").as("household_key"))
+
+  /** (min, max) transaction day, computed from the fact file alone — the
+    * join with orders preserves every line (FK integrity), so these equal
+    * bounds over the joined silver table, but the scan reads one 1-column
+    * parquet footer-level min/max instead of running the join. This is the
+    * driver-side scalar every pipeline stage needs (EP2, SURVEY.md §3).
+    */
+  def dayBounds(spark: SparkSession, sfDir: String): (java.time.LocalDate, java.time.LocalDate) = {
+    val row = Catalog.table(spark, sfDir, "lineitem")
+      .agg(min(to_date(col("l_shipdate"))), max(to_date(col("l_shipdate"))))
+      .head()
+    (row.getDate(0).toLocalDate, row.getDate(1).toLocalDate)
+  }
 }

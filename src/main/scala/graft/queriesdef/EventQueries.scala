@@ -54,6 +54,29 @@ object EventQueries {
         |  ${Oracle.dsum("value", "session_value")}
         |FROM s GROUP BY user_id, session_seq""".stripMargin)),
 
+    // Sliding-window aggregate: 1-hour windows every 15 minutes — each
+    // event lands in 4 overlapping windows (window(ts, '1 hour', '15 min')).
+    // Oracle enumerates the same 4 epoch-aligned starts per event.
+    Entry(
+      "events_sliding",
+      (s, dir) => EventOps.events(s, dir)
+        .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+        .select(col("w.start").as("window_start"), col("event_type"),
+          col("n_events"), col("sum_value")),
+      Some(s"""WITH $evCte,
+        |expd AS (
+        |  SELECT t.*,
+        |    ((t.ep - 900 * k.k) // 3600) * 3600 + 900 * k.k AS ws
+        |  FROM (SELECT *, CAST(epoch(ts) AS BIGINT) AS ep FROM ev) t
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k) k)
+        |SELECT make_timestamp(ws * 1000000) AS window_start, event_type,
+        |  COUNT(*) AS n_events,
+        |  ${Oracle.dsum("value", "sum_value")}
+        |FROM expd GROUP BY ws, event_type""".stripMargin)),
+
     // Per-user activity summary (events-table A2/A5 family).
     Entry(
       "user_activity",

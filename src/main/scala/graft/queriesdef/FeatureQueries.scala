@@ -98,7 +98,7 @@ object FeatureQueries {
       "days_since",
       (s, dir) => {
         val tx = TransactionsAdj(s, dir)
-        val (mn, cur) = FeatureBuilder.bounds(tx)
+        val (mn, cur) = graft.core.Retail.dayBounds(s, dir)
         val curL = lit(java.sql.Date.valueOf(cur))
         val floorD = datediff(curL, lit(java.sql.Date.valueOf(mn)))
         tx.groupBy("household_key").agg(

@@ -65,7 +65,7 @@ object TrainScoreQueries {
       "labels",
       (s, dir) => {
         val txc = FeatureBuilder.txWithCommodity(s, dir)
-        val (_, cur) = FeatureBuilder.bounds(txc)
+        val (_, cur) = graft.core.Retail.dayBounds(s, dir)
         LabelBuilder.labels(txc, Commodities.commoditiesToScore(s, dir),
           cur.minusDays(LabelBuilder.horizonDays))
       },
@@ -78,7 +78,7 @@ object TrainScoreQueries {
       "pos_ratio_window",
       (s, dir) => {
         val txc = FeatureBuilder.txWithCommodity(s, dir)
-        val (_, cur) = FeatureBuilder.bounds(txc)
+        val (_, cur) = graft.core.Retail.dayBounds(s, dir)
         val labels = LabelBuilder.labels(txc, Commodities.commoditiesToScore(s, dir),
           cur.minusDays(LabelBuilder.horizonDays))
         LabelBuilder.posRatio(labels)
@@ -103,7 +103,7 @@ object TrainScoreQueries {
       (s, dir) => {
         val tx = TransactionsAdj(s, dir)
         val txc = FeatureBuilder.txWithCommodity(s, dir)
-        val (_, cur) = FeatureBuilder.bounds(txc)
+        val (_, cur) = graft.core.Retail.dayBounds(s, dir)
         val fed = cur.minusDays(LabelBuilder.horizonDays)
         val fedD = Date.valueOf(fed)
         val labels = LabelBuilder.labels(txc, Commodities.commoditiesToScore(s, dir), fed)
@@ -129,7 +129,7 @@ object TrainScoreQueries {
       "feature_upsert",
       (s, dir) => {
         val tx = TransactionsAdj(s, dir)
-        val (_, cur) = FeatureBuilder.bounds(tx)
+        val (_, cur) = graft.core.Retail.dayBounds(s, dir)
         val fedD = Date.valueOf(cur.minusDays(LabelBuilder.horizonDays))
         def snap(df: org.apache.spark.sql.DataFrame) =
           df.groupBy("household_key").agg(
