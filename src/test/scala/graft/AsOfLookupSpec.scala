@@ -1,0 +1,45 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.train.AsOfLookup
+
+class AsOfLookupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def d(s: String) = java.sql.Date.valueOf(s)
+
+  private val snapshots = Seq(
+    (1L, d("2024-01-01"), 10.0),
+    (1L, d("2024-01-15"), 20.0),
+    (2L, d("2024-02-01"), 99.0) // only a FUTURE snapshot for the early spine
+  ).toDF("household_key", "day", "m")
+
+  test("as-of picks the latest snapshot <= spine day") {
+    val spine = Seq(
+      (1L, d("2024-01-10")), // between snapshots → 01-01
+      (1L, d("2024-01-15")), // exact hit → 01-15
+      (1L, d("2024-03-01"))  // after both → 01-15
+    ).toDF("household_key", "day")
+    val out = AsOfLookup.lookupAsOf(spine, snapshots, Seq("household_key"))
+      .collect().map(r => r.getAs[java.sql.Date]("day").toString ->
+        (r.getAs[java.sql.Date]("snapshot_day").toString, r.getAs[Double]("m"))).toMap
+    assert(out("2024-01-10") == (("2024-01-01", 10.0)))
+    assert(out("2024-01-15") == (("2024-01-15", 20.0)))
+    assert(out("2024-03-01") == (("2024-01-15", 20.0)))
+  }
+
+  test("spine rows with no preceding snapshot survive with nulls") {
+    val spine = Seq((2L, d("2024-01-10"))).toDF("household_key", "day")
+    val out = AsOfLookup.lookupAsOf(spine, snapshots, Seq("household_key")).head()
+    assert(out.isNullAt(out.fieldIndex("snapshot_day")))
+    assert(out.isNullAt(out.fieldIndex("m")))
+  }
+
+  test("exactly one row per spine row (no fan-out leaks)") {
+    val spine = Seq((1L, d("2024-06-01")), (2L, d("2024-06-01")))
+      .toDF("household_key", "day")
+    assert(AsOfLookup.lookupAsOf(spine, snapshots, Seq("household_key")).count() == 2)
+  }
+}
