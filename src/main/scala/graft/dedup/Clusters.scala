@@ -1,0 +1,66 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Duplicate-cluster resolution: near-dup PAIRS (from Jaccard / LSH /
+  * SimHash) → connected components → one canonical doc per cluster
+  * (cluster_id = min doc_id in the component).
+  *
+  * Algorithm: iterative min-label propagation over the symmetrized edge
+  * set — each round every node takes the min label among itself and its
+  * neighbors; converges in ≤ component-diameter rounds (checked by an
+  * exact driver-side fixpoint test, which is one tiny count per round).
+  * Only nodes that appear in a pair participate in the loop; the
+  * (overwhelmingly larger) singleton population is unioned back at the
+  * end untouched — at 100 TB that keeps the iteration state proportional
+  * to the duplicate population, not the corpus, and each round is one
+  * shuffle on doc_id. (For graphs with giant components the standard
+  * large/small-star variant bounds round count; near-dup components are
+  * shallow in practice.)
+  */
+object Clusters {
+
+  /** pairs: (doc_a, doc_b) with doc_a < doc_b. docs: full corpus with
+    * doc_id. Returns (doc_id, cluster_id).
+    */
+  def connectedComponents(docs: DataFrame, pairs: DataFrame,
+      maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct().cache()
+    val paired = edges.select(col("src").as("doc_id")).distinct()
+    var labels = paired.select(col("doc_id"), col("doc_id").as("cluster_id")).cache()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val neighborLabels = edges
+        .join(labels, edges("dst") === labels("doc_id"))
+        .select(col("src").as("doc_id"), col("cluster_id"))
+      val next = labels.select(col("doc_id"), col("cluster_id"))
+        .unionByName(neighborLabels)
+        .groupBy("doc_id").agg(min(col("cluster_id")).as("cluster_id"))
+        .cache()
+      val changed = next.join(labels.withColumnRenamed("cluster_id", "old"),
+        Seq("doc_id")).filter(col("cluster_id") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    val singletons = docs.select(col("doc_id"))
+      .join(paired, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("doc_id").as("cluster_id"))
+    labels.unionByName(singletons)
+  }
+
+  /** End-to-end dedup resolution: Jaccard pairs → clusters → per-doc
+    * (cluster_id, is_canonical).
+    */
+  def resolve(docs: DataFrame, threshold: Double = 0.5, n: Int = 5): DataFrame = {
+    val pairs = Dedup.ngramJaccardPairs(docs, n = n, threshold = threshold)
+      .select("doc_a", "doc_b")
+    connectedComponents(docs, pairs)
+      .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
+  }
+}

@@ -27,11 +27,14 @@ object LabelBuilder {
   def labels(txc: DataFrame, commodities: DataFrame, featuresEndDay: LocalDate): DataFrame = {
     val fed = Date.valueOf(featuresEndDay)
     val horizonEnd = Date.valueOf(featuresEndDay.plusDays(horizonDays))
+    // the control table feeds both the universe and the positives filter —
+    // cache the (tiny) result so its top-k aggregation runs once
+    val cts = commodities.select("commodity_desc").cache()
     val households = txc.select("household_key").distinct()
-    val universe = households.crossJoin(broadcast(commodities.select("commodity_desc")))
+    val universe = households.crossJoin(broadcast(cts))
     val positives = txc
       .filter(col("day") > lit(fed) && col("day") <= lit(horizonEnd))
-      .join(broadcast(commodities.select("commodity_desc")), Seq("commodity_desc"), "left_semi")
+      .join(broadcast(cts), Seq("commodity_desc"), "left_semi")
       .select("household_key", "commodity_desc").distinct()
       .withColumn("purchased", lit(1))
     universe

@@ -1,0 +1,39 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Salted two-phase aggregation — the skew hook (SURVEY.md §4 "Shuffle/
+  * spill": salting for skewed keys).
+  *
+  * A plain `groupBy(key).agg(sum)` sends every row of a hot key to one
+  * reducer. Salting splits each key into `salt` sub-groups for the first
+  * (parallel) partial aggregate, then combines the per-salt partials in a
+  * second aggregate over at most `salt` rows per key. For algebraic
+  * aggregates (sum/count/min/max) the result is identical — and because
+  * the engine's money sums run in DECIMAL, identical bit-for-bit
+  * regardless of how rows were split.
+  *
+  * Spark's AQE skew-join handling covers joins; this covers aggregation
+  * skew, which AQE does not rebalance when a single group dominates.
+  */
+object SkewAgg {
+
+  final case class SumSpec(input: String, output: String)
+
+  def saltedSums(df: DataFrame, key: Seq[String], sums: Seq[SumSpec],
+      salt: Int = 16): DataFrame = {
+    val salted = df.withColumn("__salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(salt.toLong)))
+    val partial = salted
+      .groupBy((key :+ "__salt").map(col): _*)
+      .agg(
+        sums.map(s => sum(col(s.input).cast("decimal(18,4)")).as(s.output)).head,
+        sums.tail.map(s => sum(col(s.input).cast("decimal(18,4)")).as(s.output)): _*)
+    partial
+      .groupBy(key.map(col): _*)
+      .agg(
+        sums.map(s => sum(col(s.output)).cast("double").as(s.output)).head,
+        sums.tail.map(s => sum(col(s.output)).cast("double").as(s.output)): _*)
+  }
+}

@@ -36,6 +36,36 @@ object TextQueries {
     lExpr
   }
 
+  /** Word-5-gram Jaccard pair CTEs (defines relation `jpairs` with
+    * doc_a, doc_b, n_common, size_a, size_b, jaccard at threshold 0.5).
+    */
+  private val jaccardCtes: String =
+    """ws AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 5),
+      |sh0 AS (
+      |  SELECT doc_id, array_to_string(w[i:i+4], ' ') AS shingle
+      |  FROM (SELECT doc_id, w,
+      |          unnest(generate_series(1, len(w) - 4)) AS i
+      |        FROM ws) t),
+      |sh AS (SELECT DISTINCT doc_id, shingle FROM sh0),
+      |sz AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id),
+      |co AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      |  FROM sh a JOIN sh b
+      |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id),
+      |jpairs AS (
+      |  SELECT doc_a, doc_b, n_common,
+      |    sa.n_shingles AS size_a, sb.n_shingles AS size_b,
+      |    CAST(n_common AS DOUBLE)
+      |      / CAST(sa.n_shingles + sb.n_shingles - n_common AS DOUBLE) AS jaccard
+      |  FROM co
+      |  JOIN sz sa ON sa.doc_id = doc_a
+      |  JOIN sz sb ON sb.doc_id = doc_b
+      |  WHERE CAST(n_common AS DOUBLE)
+      |      / CAST(sa.n_shingles + sb.n_shingles - n_common AS DOUBLE) >= 0.5)""".stripMargin
+
   def entries: Seq[Entry] = Seq(
 
     // Token counting + quality stats (length/punct/stopword ratios).
@@ -123,30 +153,29 @@ object TextQueries {
     Entry(
       "dedup_ngram_jaccard",
       (s, dir) => Dedup.ngramJaccardPairs(docs(s, dir), n = 5, threshold = 0.5),
-      Some("""WITH ws AS (
-        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
-        |  WHERE len(string_split(text, ' ')) >= 5),
-        |sh0 AS (
-        |  SELECT doc_id, array_to_string(w[i:i+4], ' ') AS shingle
-        |  FROM (SELECT doc_id, w,
-        |          unnest(generate_series(1, len(w) - 4)) AS i
-        |        FROM ws) t),
-        |sh AS (SELECT DISTINCT doc_id, shingle FROM sh0),
-        |sz AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id),
-        |co AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-        |  FROM sh a JOIN sh b
-        |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        |  GROUP BY a.doc_id, b.doc_id)
-        |SELECT doc_a, doc_b, n_common,
-        |  sa.n_shingles AS size_a, sb.n_shingles AS size_b,
-        |  CAST(n_common AS DOUBLE)
-        |    / CAST(sa.n_shingles + sb.n_shingles - n_common AS DOUBLE) AS jaccard
-        |FROM co
-        |JOIN sz sa ON sa.doc_id = doc_a
-        |JOIN sz sb ON sb.doc_id = doc_b
-        |WHERE CAST(n_common AS DOUBLE)
-        |    / CAST(sa.n_shingles + sb.n_shingles - n_common AS DOUBLE) >= 0.5""".stripMargin)),
+      Some(s"""WITH $jaccardCtes
+        |SELECT doc_a, doc_b, n_common, size_a, size_b, jaccard
+        |FROM jpairs""".stripMargin)),
+
+    // Duplicate-cluster resolution: Jaccard pairs → connected components →
+    // canonical doc per cluster. Oracle = recursive-CTE transitive closure.
+    Entry(
+      "dedup_clusters",
+      (s, dir) => graft.dedup.Clusters.resolve(docs(s, dir), threshold = 0.5, n = 5),
+      Some(s"""WITH RECURSIVE $jaccardCtes,
+        |edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM jpairs
+        |  UNION
+        |  SELECT doc_b AS src, doc_a AS dst FROM jpairs),
+        |reach(a, b) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+        |cc AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a)
+        |SELECT d.doc_id,
+        |  COALESCE(cc.cluster_id, d.doc_id) AS cluster_id,
+        |  (COALESCE(cc.cluster_id, d.doc_id) = d.doc_id) AS is_canonical
+        |FROM documents d LEFT JOIN cc ON d.doc_id = cc.doc_id""".stripMargin)),
 
     // MinHash+LSH candidate pairs (scale path; engine-specific hash ⇒
     // rows-only check, exactness covered by DedupSpec unit tests).

@@ -1,0 +1,57 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.train.{ModelStore, PropensityTrainer}
+
+class TrainerSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // linearly separable toy: purchased=1 iff f1 > 0.5
+  private def toy(n: Int) = {
+    val rows = (0 until n).map { i =>
+      val f1 = (i % 10) / 10.0
+      (i.toLong, f1, (i % 3) / 3.0, if (f1 > 0.5) 1 else 0)
+    }
+    rows.toDF("id", "household__f1", "household__f2", "purchased")
+  }
+
+  test("lr pipeline trains, scores in [0,1], and separates the toy signal") {
+    val df = PropensityTrainer.withWeights(toy(200), posRatio = 0.4)
+    val model = PropensityTrainer.train(df,
+      Seq("household__f1", "household__f2"),
+      PropensityTrainer.Config(algo = "lr", maxIter = 10, parallelism = 2))
+    val scored = model.transform(df)
+      .select(col("household__f1"),
+        org.apache.spark.ml.functions.vector_to_array(col("probability"))
+          .getItem(1).as("p"))
+    val agg = scored.groupBy(col("household__f1") > 0.5).agg(avg(col("p"))).collect()
+      .map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    assert(agg(true) > 0.8 && agg(false) < 0.2,
+      s"model failed to separate: $agg")
+    val bounds = scored.agg(min(col("p")), max(col("p"))).head()
+    assert(bounds.getDouble(0) >= 0.0 && bounds.getDouble(1) <= 1.0)
+  }
+
+  test("model store: save, promote, load production round-trip") {
+    val store = ModelStore(Files.createTempDirectory("ms").toString)
+    val df = PropensityTrainer.withWeights(toy(100), posRatio = 0.4)
+    val model = PropensityTrainer.train(df, Seq("household__f1", "household__f2"),
+      PropensityTrainer.Config(algo = "lr", maxIter = 5, parallelism = 1))
+    val v = store.save("test_commodity", model)
+    assert(!store.hasProduction("test_commodity"))
+    store.promote("test_commodity", v)
+    assert(store.hasProduction("test_commodity"))
+    val loaded = store.loadProduction("test_commodity")
+    assert(loaded.transform(df).count() == 100)
+  }
+
+  test("seeded split is deterministic") {
+    val (a1, b1, c1) = PropensityTrainer.split(toy(100), seed = 7L)
+    val (a2, _, _) = PropensityTrainer.split(toy(100), seed = 7L)
+    assert(a1.agg(sum("id")).head().getLong(0) == a2.agg(sum("id")).head().getLong(0))
+    assert(a1.count() + b1.count() + c1.count() == 100)
+  }
+}
