@@ -144,6 +144,40 @@ object CoreQueries {
         |  COUNT(*) AS n
         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin)),
 
+    // Beyond-reference OLAP: hierarchical ROLLUP totals (brand → grand).
+    Entry(
+      "spend_rollup",
+      (s, dir) => {
+        // Dataset-API rollup after a join trips the ambiguous-self-join
+        // check on the grouping attribute; the SQL form is the clean path.
+        graft.features.FeatureBuilder.txWithCommodity(s, dir)
+          .select("commodity_desc", "amount_paid")
+          .createOrReplaceTempView("graft_rollup_in")
+        s.sql("""SELECT commodity_desc,
+                |  CAST(SUM(CAST(amount_paid AS DECIMAL(18,4))) AS DOUBLE) AS spend,
+                |  COUNT(*) AS n_lines
+                |FROM graft_rollup_in GROUP BY ROLLUP (commodity_desc)""".stripMargin)
+      },
+      Some(s"""WITH ${Oracle.txCommodity}
+        |SELECT commodity_desc,
+        |  ${Oracle.dsum("amount_paid", "spend")},
+        |  count(*) AS n_lines
+        |FROM txc GROUP BY ROLLUP (commodity_desc)""".stripMargin)),
+
+    // Beyond-reference OLAP: exact interpolated percentiles per group.
+    Entry(
+      "spend_percentiles",
+      (s, dir) => graft.features.FeatureBuilder.txWithCommodity(s, dir)
+        .groupBy("commodity_desc")
+        .agg(
+          round(expr("percentile(amount_paid, 0.5)"), 6).as("p50"),
+          round(expr("percentile(amount_paid, 0.9)"), 6).as("p90")),
+      Some(s"""WITH ${Oracle.txCommodity}
+        |SELECT commodity_desc,
+        |  round(quantile_cont(amount_paid, 0.5), 6) AS p50,
+        |  round(quantile_cont(amount_paid, 0.9), 6) AS p90
+        |FROM txc GROUP BY commodity_desc""".stripMargin)),
+
     // A3 at scale: approx_count_distinct variant of the distinct family —
     // the 100 TB escape hatch for the multi-distinct Expand (SURVEY.md §4).
     // HLL sketches are engine-specific ⇒ rows-only.
