@@ -1,0 +1,68 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.features.FeatureTable
+
+/** Incremental feature maintenance: stream → aggregate → keyed upsert.
+  *
+  * The reference refreshes features by re-running the whole batch daily
+  * (`03_Define_Workflow.py:96-99`); SURVEY.md §2.9 notes the design leaves
+  * room for a streaming path. This is that path: a `foreachBatch` sink
+  * that folds each micro-batch into the keyed FeatureTable with the same
+  * anti-join+union upsert the batch pipeline uses — so batch and
+  * streaming writers share one table format and one merge semantic.
+  *
+  * The per-batch aggregate is a partial (per-micro-batch) summary keyed by
+  * (user, day); `mergeDaily` re-aggregates the table's matching PK rows
+  * with the incoming partial before upserting, keeping the table exact
+  * under any batch slicing. At scale the micro-batch side is tiny vs the
+  * table → Spark broadcasts the anti-join probe; the table rewrite is the
+  * same cost as the reference's daily refresh but runs per-batch on only
+  * the touched partitions (day-partitioned table).
+  */
+object IncrementalFeatures {
+
+  /** Daily per-user activity partial for one micro-batch. */
+  def dailyPartial(batch: DataFrame): DataFrame =
+    batch.groupBy(col("user_id"), col("ts").cast("date").as("day"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,4)")).as("sum_value"))
+
+  /** Merge a partial into the table exactly: existing matching PK rows are
+    * re-combined (counts add, decimal sums add) instead of overwritten.
+    */
+  def mergeDaily(spark: SparkSession, table: FeatureTable, partial: DataFrame): Unit = {
+    val keys = table.keys
+    val combined =
+      if (!table.exists) partial
+      else {
+        val existing = table.read(spark)
+          .join(partial.select(keys.head, keys.tail: _*).distinct(), keys, "left_semi")
+        existing.unionByName(partial)
+          .groupBy(keys.map(col): _*)
+          .agg(
+            sum(col("n_events")).as("n_events"),
+            sum(col("sum_value")).as("sum_value"))
+      }
+    table.upsert(spark, combined)
+  }
+
+  /** Wire a streaming events frame into the table; AvailableNow drains
+    * whatever is in the source directory and stops (bounded replay).
+    */
+  def run(spark: SparkSession, events: DataFrame, table: FeatureTable,
+      checkpoint: String): StreamingQuery = {
+    val q = events.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        mergeDaily(spark, table, dailyPartial(batch))
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+}
