@@ -48,6 +48,21 @@ class TrainerSpec extends AnyFunSuite {
     assert(loaded.transform(df).count() == 100)
   }
 
+  test("gbt pipeline (the XGBoost stand-in) trains and separates") {
+    val df = PropensityTrainer.withWeights(toy(200), posRatio = 0.4)
+    val model = PropensityTrainer.train(df,
+      Seq("household__f1", "household__f2"),
+      PropensityTrainer.Config(algo = "gbt", maxDepths = Seq(2),
+        stepSizes = Seq(0.1), maxIter = 5, parallelism = 2))
+    val scored = model.transform(df)
+      .select(col("household__f1"),
+        org.apache.spark.ml.functions.vector_to_array(col("probability"))
+          .getItem(1).as("p"))
+    val agg = scored.groupBy(col("household__f1") > 0.5).agg(avg(col("p"))).collect()
+      .map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    assert(agg(true) > 0.7 && agg(false) < 0.3, s"gbt failed to separate: $agg")
+  }
+
   test("seeded split is deterministic") {
     val (a1, b1, c1) = PropensityTrainer.split(toy(100), seed = 7L)
     val (a2, _, _) = PropensityTrainer.split(toy(100), seed = 7L)
