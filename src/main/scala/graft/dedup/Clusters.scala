@@ -21,13 +21,21 @@ import org.apache.spark.sql.functions._
   */
 object Clusters {
 
+  /** Below this many pairs the component graph fits on the driver and a
+    * union-find beats iterated joins by the full per-iteration job cost;
+    * above it, the distributed loop is the only option.
+    */
+  val driverPairLimit: Long = 200000L
+
   /** pairs: (doc_a, doc_b) with doc_a < doc_b. docs: full corpus with
     * doc_id. Returns (doc_id, cluster_id).
     */
   def connectedComponents(docs: DataFrame, pairs: DataFrame,
-      maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      maxIter: Int = 20, driverLimit: Long = driverPairLimit): DataFrame = {
+    val p = pairs.select(col("doc_a"), col("doc_b")).cache()
+    if (p.count() <= driverLimit) return driverComponents(docs, p)
+    val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct().cache()
     val paired = edges.select(col("src").as("doc_id")).distinct()
     var labels = paired.select(col("doc_id"), col("doc_id").as("cluster_id")).cache()
@@ -52,6 +60,33 @@ object Clusters {
       .join(paired, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("doc_id").as("cluster_id"))
     labels.unionByName(singletons)
+  }
+
+  /** Driver union-find over a collected (small) pair set; the mapping is
+    * broadcast back as a join. Identical result to the iterative path
+    * (cluster_id = component min).
+    */
+  private def driverComponents(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val edges = pairs.as[(Long, Long)].collect()
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val mapping = parent.keys.map(d => d -> find(d)).toSeq.toDF("doc_id", "mapped")
+    docs.select(col("doc_id"))
+      .join(broadcast(mapping), Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), coalesce(col("mapped"), col("doc_id")).as("cluster_id"))
   }
 
   /** End-to-end dedup resolution: Jaccard pairs → clusters → per-doc

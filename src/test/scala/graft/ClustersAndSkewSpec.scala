@@ -20,6 +20,17 @@ class ClustersAndSkewSpec extends AnyFunSuite {
     assert(cc.size == 5)
   }
 
+  test("distributed label-propagation path agrees with union-find path") {
+    val docs = Seq(0L, 1L, 2L, 3L, 4L, 5L).toDF("doc_id")
+    val pairs = Seq((0L, 1L), (1L, 2L), (3L, 4L)).toDF("doc_a", "doc_b")
+    val viaLoop = Clusters.connectedComponents(docs, pairs, driverLimit = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaUf = Clusters.connectedComponents(docs, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaLoop == viaUf)
+    assert(viaLoop(2L) == 0L && viaLoop(5L) == 5L)
+  }
+
   test("resolve: identical docs cluster together, canonical flagged") {
     val docs = Seq(
       (0L, "a b c d e f g h"), (1L, "a b c d e f g h"),
