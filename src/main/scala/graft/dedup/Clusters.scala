@@ -32,8 +32,14 @@ object Clusters {
     */
   def connectedComponents(docs: DataFrame, pairs: DataFrame,
       maxIter: Int = 20, driverLimit: Long = driverPairLimit): DataFrame = {
-    val p = pairs.select(col("doc_a"), col("doc_b")).cache()
-    if (p.count() <= driverLimit) return driverComponents(docs, p)
+    val p = pairs.select(col("doc_a"), col("doc_b"))
+    // bounded cutover probe: reads at most driverLimit+1 rows, no caching
+    // of the (possibly huge) pair set just to learn it is huge
+    val integralIds = Set[org.apache.spark.sql.types.DataType](
+      org.apache.spark.sql.types.LongType, org.apache.spark.sql.types.IntegerType)
+    val small = integralIds.contains(p.schema("doc_a").dataType) &&
+      p.limit(math.min(driverLimit + 1, Int.MaxValue.toLong).toInt).count() <= driverLimit
+    if (small) return driverComponents(docs, p)
     val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct().cache()
@@ -56,10 +62,18 @@ object Clusters {
       converged = changed == 0
       iter += 1
     }
+    // restrict paired labels to the given corpus (stale pairs may mention
+    // docs no longer present) so both paths emit the same row set, and
+    // release the edge cache — `labels` is already materialized by the
+    // convergence counts, so nothing downstream recomputes through edges
+    // except the cheap singleton anti-join input.
+    val result = labels.join(docs.select(col("doc_id")), Seq("doc_id"), "left_semi")
     val singletons = docs.select(col("doc_id"))
       .join(paired, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("doc_id").as("cluster_id"))
-    labels.unionByName(singletons)
+    val out = result.unionByName(singletons)
+    edges.unpersist()
+    out
   }
 
   /** Driver union-find over a collected (small) pair set; the mapping is
