@@ -3,6 +3,7 @@ package graft.features
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import java.util.UUID
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.DateType
 
 /** Keyed, upsert-able parquet table — the engine's stand-in for the
   * reference's Feature Store tables (`04a:604-630`: declared primary keys,
@@ -14,24 +15,44 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * new column appearing in `incoming` evolves the schema (Delta
   * `schema.autoMerge` semantics, `04c:156`) — missing values become null.
   *
-  * Writes are atomic via write-to-staging + directory swap: readers see
-  * either the old or the new table, never a partial write. At cluster
-  * scale the same protocol is a rename on the object-store commit path (or
+  * Write protocol: stage → swap, with crash recovery. A crash can only
+  * land in one of three states: staging present (ignored and re-staged
+  * next write), data present (normal), or data mid-swap (data dir absent,
+  * previous generation parked at `.old-*`) — `recover()` rolls the parked
+  * generation back on the next access, so history is never silently lost.
+  * At cluster scale the same protocol is an object-store rename commit (or
   * a real table format); the operator shape — anti-join + union — is the
-  * scalable part: it shuffles on the PK once, and Spark plans the
-  * anti-join as broadcast when the incoming batch is small relative to the
-  * table.
+  * scalable part: one shuffle on the PK, broadcast when the incoming
+  * batch is small relative to the table.
   *
-  * Tables are partitioned by the trailing PK column when it is `day` —
-  * matching how the reference stamps and reads snapshots (`04a:639-643`) —
-  * so per-day reads prune partitions instead of scanning history.
+  * When the trailing PK column is a `day: DATE`, writes are partitioned by
+  * it, so per-day reads (`04a:639-643` pattern) prune partitions instead
+  * of scanning history.
   */
 final case class FeatureTable(root: String, keys: Seq[String]) {
   require(keys.nonEmpty, "a keyed table needs at least one key column")
 
   private def dataDir: Path = Paths.get(root, "data")
 
-  def exists: Boolean = Files.isDirectory(dataDir)
+  /** Roll back a generation parked by a crash mid-swap. */
+  private def recover(): Unit = {
+    if (Files.isDirectory(dataDir)) return
+    if (!Files.isDirectory(Paths.get(root))) return
+    val listing = Files.list(Paths.get(root))
+    val parked =
+      try {
+        import scala.jdk.CollectionConverters._
+        listing.iterator().asScala.toSeq
+          .filter(_.getFileName.toString.startsWith(".old-"))
+          .sortBy(_.getFileName.toString)
+      } finally listing.close()
+    if (parked.nonEmpty) {
+      Files.move(parked.last, dataDir, StandardCopyOption.ATOMIC_MOVE)
+      parked.init.foreach(delete)
+    }
+  }
+
+  def exists: Boolean = { recover(); Files.isDirectory(dataDir) }
 
   def read(spark: SparkSession): DataFrame = {
     require(exists, s"feature table $root does not exist")
@@ -40,7 +61,13 @@ final case class FeatureTable(root: String, keys: Seq[String]) {
 
   private def writeAtomic(df: DataFrame): Unit = {
     val staging = Paths.get(root, s".staging-${UUID.randomUUID()}")
-    df.write.mode("overwrite").parquet(staging.toString)
+    val writer = df.write.mode("overwrite")
+    val partitioned =
+      if (keys.last == "day" &&
+          df.schema.fields.exists(f => f.name == "day" && f.dataType == DateType))
+        writer.partitionBy("day")
+      else writer
+    partitioned.parquet(staging.toString)
     val old = Paths.get(root, s".old-${UUID.randomUUID()}")
     if (Files.exists(dataDir)) Files.move(dataDir, old, StandardCopyOption.ATOMIC_MOVE)
     Files.move(staging, dataDir, StandardCopyOption.ATOMIC_MOVE)
@@ -48,13 +75,16 @@ final case class FeatureTable(root: String, keys: Seq[String]) {
   }
 
   private def delete(p: Path): Unit = {
-    if (Files.isDirectory(p))
-      Files.list(p).forEach(delete)
-    Files.deleteIfExists(p)
+    // walk + reverse = children before parents; stream closed deterministically
+    val walk = Files.walk(p)
+    try {
+      import scala.jdk.CollectionConverters._
+      walk.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    } finally walk.close()
   }
 
-  /** Full refresh (S3). */
-  def overwrite(df: DataFrame): Unit = writeAtomic(df)
+  /** Full refresh (S3/S10). */
+  def overwrite(df: DataFrame): Unit = { recover(); writeAtomic(df) }
 
   /** Keyed upsert with schema evolution (S7/S8). Incoming rows replace
     * existing rows with the same PK; other rows are kept.

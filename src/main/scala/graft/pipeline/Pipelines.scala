@@ -40,10 +40,16 @@ final class PropensityPipeline(spark: SparkSession, cfg: PipelineConfig) {
 
   def tx: DataFrame = TransactionsAdj(spark, cfg.sfDir)
   def txc: DataFrame = FeatureBuilder.txWithCommodity(spark, cfg.sfDir)
-  def commodities: DataFrame =
+
+  /** Cached once per pipeline instance: the top-k scan runs a single time
+    * and every stage reuses one cache entry (a `def` would re-build and
+    * re-cache per access).
+    */
+  lazy val commodities: DataFrame =
     Commodities.commoditiesToScore(spark, cfg.sfDir, cfg.nCommodities).cache()
 
-  def currentDay: LocalDate = FeatureBuilder.bounds(tx)._2
+  /** One min/max scan per pipeline instance (EP2 scalar), not per access. */
+  lazy val currentDay: LocalDate = graft.core.Retail.dayBounds(spark, cfg.sfDir)._2
 
   /** Feature snapshot for every grain as-of `day` (history ≤ day only),
     * upserted into the keyed tables (S8).
@@ -89,45 +95,65 @@ final class PropensityPipeline(spark: SparkSession, cfg: PipelineConfig) {
     val featureCols = trainingSet.columns.toSeq.filter(c => c.contains("__"))
     val cs = commodities.select("commodity_desc", "commodity_clean")
       .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    // sanitation (F5) is lossy — two commodities must never share a clean
+    // name or their models/score columns would silently cross-wire
+    require(cs.map(_._2).distinct.size == cs.size,
+      s"commodity_clean collision in ${cs.map(_._2).mkString(",")}")
     val ratios = LabelBuilder.posRatio(labels)
       .filter(col("purchased") === 1)
       .select("commodity_desc", "class_ratio")
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
-    cs.map { case (desc, clean) =>
+    val out = cs.map { case (desc, clean) =>
       val slice = trainingSet.filter(col("commodity_desc") === desc)
       val weighted = PropensityTrainer.withWeights(slice, ratios.getOrElse(desc, 0.5))
-      val (trainDf, _, test) = PropensityTrainer.split(weighted, cfg.trainer.seed)
-      val model = PropensityTrainer.train(trainDf, featureCols, cfg.trainer)
+      val (trainDf, valDf, test) = PropensityTrainer.split(weighted, cfg.trainer.seed)
+      // TrainValidationSplit draws its own validation slice, so feed it
+      // train ∪ val — otherwise the 15% val rows would contribute nothing
+      val model = PropensityTrainer.train(
+        trainDf.unionByName(valDf), featureCols, cfg.trainer)
       val auprc = PropensityTrainer.evaluate(model, test)
       val v = models.save(clean, model)
       models.promote(clean, v)
       (desc, auprc)
     }
+    labels.unpersist(); trainingSet.unpersist()
+    out
   }
 
-  /** Daily (`04c`): score every (household, commodity) on current features,
-    * merge pivoted (S7) + append unpivoted (S6).
+  /** Daily (`04c`): refresh features if today's snapshot is missing (the
+    * exact-day PIT join would otherwise silently score on fillna zeros),
+    * score every (household, commodity), then write BOTH sinks — the
+    * pivoted table in ONE grouped merge per day (not one table rewrite per
+    * commodity) and the unpivoted append (S6).
     */
   def scoreAll(): DataFrame = {
     val cur = currentDay
     val d = java.sql.Date.valueOf(cur)
+    val hasToday = householdFeatures.exists &&
+      householdFeatures.read(spark).filter(col("day") === lit(d)).limit(1).count() > 0
+    if (!hasToday) computeFeatures(cur)
     val spine0 = tx.select("household_key").distinct()
       .crossJoin(broadcast(commodities.select("commodity_desc", "commodity_clean")))
       .withColumn("day", lit(d))
-    val spine = TrainingSetBuilder.build(
-      spine0, lookups).cache()
+    val spine = TrainingSetBuilder.build(spine0, lookups).cache()
     val cs = commodities.select("commodity_desc", "commodity_clean")
       .collect().map(r => (r.getString(0), r.getString(1))).toSeq
     val scored = cs.map { case (desc, clean) =>
       val slice = spine.filter(col("commodity_desc") === desc)
       val model = models.loadProduction(clean)
-      val s = Scorer.score(model, slice)
-      MergeWriter.mergeColumn(spark, pivoted, s, clean)
-      s
+      Scorer.score(model, slice)
+        .withColumn("commodity_clean", lit(clean))
     }
-    val unpivoted = scored.reduce(_.unionByName(_))
-    unpivoted.write.mode("append")
+    val unpivoted = scored.reduce(_.unionByName(_)).cache()
+    val pivotedBatch = MergeWriter.pivotScores(
+      unpivoted.withColumnRenamed("commodity_desc", "__cd")
+        .withColumnRenamed("commodity_clean", "commodity_desc"),
+      cs.map(_._2))
+    pivoted.upsert(spark, pivotedBatch)
+    val out = unpivoted.drop("commodity_clean")
+    out.write.mode("append")
       .parquet(s"${cfg.workRoot}/propensities_unpivoted")
-    unpivoted
+    spine.unpersist()
+    out
   }
 }

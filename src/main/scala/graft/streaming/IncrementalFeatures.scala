@@ -50,14 +50,38 @@ object IncrementalFeatures {
     table.upsert(spark, combined)
   }
 
+  /** foreachBatch is at-least-once: after a crash between sink commit and
+    * checkpoint commit, the same batchId is re-delivered. The additive
+    * merge would double-count on replay, so the table records the last
+    * applied batchId and replays are skipped. (The marker is written after
+    * the table swap; the residual crash window between the two writes is
+    * inherent to any two-file commit without a transaction log — a real
+    * table format closes it with a single atomic commit.)
+    */
+  private def lastAppliedBatch(table: FeatureTable): Long = {
+    val marker = java.nio.file.Paths.get(table.root, "_last_batch")
+    if (java.nio.file.Files.exists(marker))
+      java.nio.file.Files.readString(marker).trim.toLong
+    else -1L
+  }
+
+  private def recordBatch(table: FeatureTable, batchId: Long): Unit = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(table.root))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(table.root, "_last_batch"), batchId.toString)
+  }
+
   /** Wire a streaming events frame into the table; AvailableNow drains
     * whatever is in the source directory and stops (bounded replay).
     */
   def run(spark: SparkSession, events: DataFrame, table: FeatureTable,
       checkpoint: String): StreamingQuery = {
     val q = events.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        mergeDaily(spark, table, dailyPartial(batch))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (batchId > lastAppliedBatch(table)) {
+          mergeDaily(spark, table, dailyPartial(batch))
+          recordBatch(table, batchId)
+        }
       }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())

@@ -37,6 +37,34 @@ class FeatureTableSpec extends AnyFunSuite {
     assert(got.filter(col("k") === 2 && col("extra") === 9.9).count() == 1)
   }
 
+  test("crash mid-swap recovers the parked generation on next access") {
+    val t = FeatureTable(tmp(), Seq("k"))
+    t.upsert(spark, Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    // simulate a crash between the two moves: data parked at .old-*, no data dir
+    val root = java.nio.file.Paths.get(t.root)
+    java.nio.file.Files.move(root.resolve("data"), root.resolve(".old-crash"))
+    assert(t.exists) // recover() rolls the parked generation back
+    assert(t.read(spark).count() == 2)
+    // and a subsequent upsert sees the recovered history (no silent reset)
+    t.upsert(spark, Seq((3L, "c")).toDF("k", "v"))
+    assert(t.read(spark).count() == 3)
+  }
+
+  test("DateType trailing day PK partitions the table by day") {
+    val t = FeatureTable(tmp(), Seq("k", "day"))
+    val df = Seq((1L, java.sql.Date.valueOf("2024-01-01"), 1.0),
+      (1L, java.sql.Date.valueOf("2024-01-02"), 2.0)).toDF("k", "day", "v")
+    t.upsert(spark, df)
+    val dataDir = java.nio.file.Paths.get(t.root, "data")
+    val listing = java.nio.file.Files.list(dataDir)
+    val parts = try {
+      import scala.jdk.CollectionConverters._
+      listing.iterator().asScala.map(_.getFileName.toString).toSet
+    } finally listing.close()
+    assert(parts.exists(_.startsWith("day=2024-01-01")), s"no day partition dirs: $parts")
+    assert(t.read(spark).count() == 2) // partition column restored on read
+  }
+
   test("composite PK: same key-prefix different day coexists") {
     val t = FeatureTable(tmp(), Seq("k", "day"))
     t.upsert(spark, Seq((1L, "2024-01-01", 1.0)).toDF("k", "day", "v"))

@@ -44,6 +44,20 @@ class IncrementalFeaturesSpec extends AnyFunSuite {
     assert(got.contains((100L, "2024-01-01", 3L, 7.0))) // merged across batches
   }
 
+  test("replayed batchIds are skipped (at-least-once guard)") {
+    val dir = Files.createTempDirectory("inc-replay").toString
+    toDF(batch1).write.mode("overwrite").parquet(dir)
+    val t = FeatureTable(
+      Files.createTempDirectory("inc3").toString + "/t", Seq("user_id", "day"))
+    // pretend batch 0 was already applied: the drain must skip it
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(t.root))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(t.root, "_last_batch"), "999")
+    val cp = Files.createTempDirectory("inc-cp3").toString
+    IncrementalFeatures.run(spark, EventStreams.readEvents(spark, dir), t, cp)
+    assert(!t.exists, "replayed batch must not be re-applied")
+  }
+
   test("streaming foreachBatch path drains a directory into the table") {
     val dir = Files.createTempDirectory("inc-stream").toString
     toDF(batch1 ++ batch2).write.mode("overwrite").parquet(dir)
