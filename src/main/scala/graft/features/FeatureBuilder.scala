@@ -49,6 +49,8 @@ object FeatureBuilder {
   /** Driver-side scalar bounds (EP2 pattern): one tiny job, two literals. */
   def bounds(fact: DataFrame): (LocalDate, LocalDate) = {
     val row = fact.agg(min(col("day")), max(col("day"))).head()
+    require(!row.isNullAt(0),
+      "FeatureBuilder.bounds: fact has no rows — cannot derive feature windows")
     (row.getDate(0).toLocalDate, row.getDate(1).toLocalDate)
   }
 
@@ -59,7 +61,7 @@ object FeatureBuilder {
       approxDistinct: Boolean = false): DataFrame = {
     val (_, cur) = bounds(fact)
     val wins = WindowSpec.windows(cur)
-    val aggs = wins.flatMap(w => MetricDefs.aggsFor(w, cur))
+    val aggs = wins.flatMap(w => MetricDefs.aggsFor(w, cur, approxDistinct))
     val posts = wins.flatMap(MetricDefs.ratiosFor)
 
     // Pre-filter to the union of all windows: lets parquet skip row groups
@@ -84,13 +86,6 @@ object FeatureBuilder {
         ++ posts.map(p => p.col.as(p.name))): _*)
   }
 
-  /** DuckDB-oracle SQL for `build`, rendered from the SAME definitions.
-    * `factCte` must define a relation named `fact_rel` with the silver
-    * columns (+ commodity_desc when the grain needs it). The window-bound
-    * SQL fragments reference the `bounds` CTE as alias `b`, cross-joined
-    * into the aggregation (all references sit inside aggregate args, so no
-    * extra GROUP BY keys are needed).
-    */
   /** The output metric column names, in order (aggregates then ratios). */
   def metricNames: Seq[String] = {
     val epoch = LocalDate.ofEpochDay(0)
@@ -137,6 +132,13 @@ object FeatureBuilder {
     (frag, s"${p}final")
   }
 
+  /** DuckDB-oracle SQL for `build`, rendered from the SAME definitions.
+    * `factCte` must define a relation named `fact_rel` with the silver
+    * columns (+ commodity_desc when the grain needs it). The window-bound
+    * SQL fragments reference the `bounds` CTE as alias `b`, cross-joined
+    * into the aggregation (all references sit inside aggregate args, so no
+    * extra GROUP BY keys are needed).
+    */
   def buildSql(factCte: String, grain: Grain): String = {
     val (frag, fin) = cteChain("f_", "fact_rel", grain)
     s"WITH $factCte,\n$frag\nSELECT * FROM $fin"

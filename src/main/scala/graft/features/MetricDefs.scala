@@ -37,6 +37,10 @@ object MetricDefs {
     "amount_list", "instore_discount", "campaign_coupon_discount",
     "manuf_coupon_discount", "total_coupon_discount", "amount_paid")
 
+  /** instore_discount → instore, campaign_coupon_discount → campaign, … */
+  private def shortName(m: String): String =
+    m.stripSuffix("_discount").stripSuffix("_coupon")
+
   private def dlit(d: LocalDate): Column = lit(Date.valueOf(d))
 
   /** All aggregates for one window, computed in a single grouped pass:
@@ -44,18 +48,24 @@ object MetricDefs {
     * instead of the reference's filter-then-aggregate-then-join-4-windows
     * chain — one shuffle for all windows (scale redesign, SURVEY.md §4).
     */
-  def aggsFor(w: WindowDef, cur: LocalDate): Seq[AggDef] = {
+  def aggsFor(w: WindowDef, cur: LocalDate,
+      approxDistinct: Boolean = false): Seq[AggDef] = {
+    // the approx variant swaps exact distinct counts for HLL sketches —
+    // the 100 TB escape hatch for the multi-distinct Expand (SURVEY.md §4);
+    // not oracle-exact, so only non-oracle callers set it
+    def cdist(c: Column) =
+      if (approxDistinct) approx_count_distinct(c) else countDistinct(c)
     val inWin = col("day").between(dlit(w.start), dlit(w.end))
     val inWinSql = s"day BETWEEN ${w.startSql} AND ${w.endSql}"
     val s = w.name
 
     // A2: base multi-aggregates
     val base = Seq(
-      AggDef(s"days_$s", countDistinct(when(inWin, col("day"))),
+      AggDef(s"days_$s", cdist(when(inWin, col("day"))),
         s"COUNT(DISTINCT CASE WHEN $inWinSql THEN day END)"),
-      AggDef(s"baskets_$s", countDistinct(when(inWin, col("basket_id"))),
+      AggDef(s"baskets_$s", cdist(when(inWin, col("basket_id"))),
         s"COUNT(DISTINCT CASE WHEN $inWinSql THEN basket_id END)"),
-      AggDef(s"products_$s", countDistinct(when(inWin, col("product_id"))),
+      AggDef(s"products_$s", cdist(when(inWin, col("product_id"))),
         s"COUNT(DISTINCT CASE WHEN $inWinSql THEN product_id END)"),
       AggDef(s"line_items_$s", count(when(inWin, lit(1))),
         s"COUNT(CASE WHEN $inWinSql THEN 1 END)"),
@@ -71,18 +81,18 @@ object MetricDefs {
 
     // A3: conditional distinct counts — 3 flag metrics × 3 entities
     val condDistinct = flagMetrics.flatMap { m =>
-      val short = m.stripSuffix("_discount").stripSuffix("_coupon")
+      val short = shortName(m)
       Seq("day" -> "days", "basket_id" -> "baskets", "product_id" -> "products")
         .map { case (k, kn) =>
           AggDef(s"${kn}_with_${short}_$s",
-            countDistinct(when(inWin && col(m) > 0.0, col(k))),
+            cdist(when(inWin && col(m) > 0.0, col(k))),
             s"COUNT(DISTINCT CASE WHEN $inWinSql AND $m > 0.0 THEN $k END)")
         }
     }
 
     // A4: conditional counts
     val condCount = flagMetrics.map { m =>
-      val short = m.stripSuffix("_discount").stripSuffix("_coupon")
+      val short = shortName(m)
       AggDef(s"lines_with_${short}_$s",
         count(when(inWin && col(m) > 0.0, lit(1))),
         s"COUNT(CASE WHEN $inWinSql AND $m > 0.0 THEN 1 END)")
@@ -98,7 +108,7 @@ object MetricDefs {
         min(when(inWin, datediff(dlit(cur), col("day"))).otherwise(sinceFloor)),
         s"MIN(CASE WHEN $inWinSql THEN datediff('day', day, b.cur) ELSE $sinceFloorSql END)") +:
         flagMetrics.map { m =>
-          val short = m.stripSuffix("_discount").stripSuffix("_coupon")
+          val short = shortName(m)
           AggDef(s"days_since_${short}_$s",
             min(when(inWin && col(m) > 0.0, datediff(dlit(cur), col("day")))
               .otherwise(sinceFloor)),

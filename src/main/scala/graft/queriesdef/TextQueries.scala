@@ -20,20 +20,16 @@ object TextQueries {
   private def reCount(expr: String, pat: String): String =
     s"CAST(length(regexp_extract_all($expr, '$pat')) AS BIGINT)"
 
-  /** SQL twin of TextAnalysis.langId's argmax fold (same visit order,
-    * strict >, first-listed wins ties).
+  /** SQL twin of TextAnalysis.langId's argmax (greatest + first-match
+    * CASE — linear in #languages; first-listed wins ties, max must be >0).
     */
   private def langArgmaxSql: String = {
-    var sExpr = "CAST(0 AS BIGINT)"
-    var lExpr = "'und'"
-    TextAnalysis.langMarkers.foreach { case (l, _) =>
-      val sc = s"score_$l"
-      val newS = s"(CASE WHEN $sc > $sExpr THEN $sc ELSE $sExpr END)"
-      val newL = s"(CASE WHEN $sc > $sExpr THEN '$l' ELSE $lExpr END)"
-      sExpr = newS
-      lExpr = newL
-    }
-    lExpr
+    val scores = TextAnalysis.langMarkers.map { case (l, _) => s"score_$l" }
+    val best = s"greatest(${scores.mkString(", ")})"
+    val firstAtMax = TextAnalysis.langMarkers
+      .map { case (l, _) => s"WHEN score_$l = $best THEN '$l'" }
+      .mkString("CASE ", " ", " ELSE 'und' END")
+    s"CASE WHEN $best > 0 THEN $firstAtMax ELSE 'und' END"
   }
 
   /** Word-5-gram Jaccard pair CTEs (defines relation `jpairs` with

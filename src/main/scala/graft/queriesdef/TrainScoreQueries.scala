@@ -258,10 +258,12 @@ object TrainScoreQueries {
         |  manuf_coupon_discount, total_coupon_discount, amount_paid
         |FROM tx WHERE 1=2""".stripMargin)))
 
-  /** Fixed pivot column set (the p_brand domain is static across SFs). */
+  /** Fixed pivot column set — a sample across the fixture's static
+    * p_brand domain (Brand#1 .. Brand#25 at every SF).
+    */
   private object PivotBrands {
     val brands: Seq[String] =
-      Seq("Brand#11", "Brand#22", "Brand#33", "Brand#44", "Brand#55")
+      Seq("Brand#1", "Brand#7", "Brand#13", "Brand#19", "Brand#25")
   }
 
   /** J5 oracle: labels ⟕ three generated feature chains with prefix

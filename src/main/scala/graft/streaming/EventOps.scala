@@ -68,10 +68,11 @@ object EventOps {
     * variant of the feature A2/A5 family.
     */
   def userActivity(ev: DataFrame): DataFrame = {
-    // wall-clock date of the global max timestamp (TZ-independent: the
-    // session runs UTC and LocalDateTime carries the wall-clock fields)
-    val maxDay = ev.agg(max(col("ts"))).head()
-      .getTimestamp(0).toLocalDateTime.toLocalDate
+    // date of the global max timestamp, cast INSIDE the session (session
+    // timezone, same conversion the per-row cast below uses) — a driver-side
+    // Timestamp.toLocalDateTime would apply the JVM default zone instead
+    val maxDay = ev.agg(max(col("ts")).cast("date")).head()
+      .getDate(0).toLocalDate
     ev.groupBy("user_id").agg(
       count(lit(1)).as("n_events"),
       countDistinct(col("event_type")).as("n_types"),

@@ -82,15 +82,17 @@ object TextAnalysis {
     val scored = docs.select(
       col("doc_id") +: col("lang").as("lang_true") +:
         langMarkers.map { case (l, ws) => wordHits(t, ws).as(s"score_$l") }: _*)
-    // argmax with first-listed language winning ties; a language must score
-    // at least one marker hit to beat the "und" default
-    val best = langMarkers.map(_._1).foldLeft(lit(0L) -> lit("und")) {
-      case ((bestScore, bestLang), l) =>
-        val s = col(s"score_$l")
-        (when(s > bestScore, s).otherwise(bestScore),
-          when(s > bestScore, lit(l)).otherwise(bestLang))
+    // argmax via greatest + first-match CASE (linear in #languages; the
+    // naive running-max fold doubles the expression tree per language);
+    // first-listed language wins ties, and a language must score at least
+    // one marker hit to beat the "und" default
+    val maxScore = greatest(langMarkers.map { case (l, _) => col(s"score_$l") }: _*)
+    val firstAtMax = langMarkers.foldRight(lit("und")) {
+      case ((l, _), elseExpr) =>
+        when(col(s"score_$l") === maxScore, lit(l)).otherwise(elseExpr)
     }
-    scored.withColumn("lang_pred", best._2)
+    scored.withColumn("lang_pred",
+      when(maxScore > 0, firstAtMax).otherwise(lit("und")))
   }
 
   /** Document fingerprints: md5 content hash (exact-dup key) and a
