@@ -65,6 +65,22 @@ class FeatureSpec extends AnyFunSuite {
     assert(FeatureBuilder.metricNames.contains("products_per_day_30d_30d"))
   }
 
+  test("approxDistinct flag swaps exact distincts for HLL sketches") {
+    val exact = FeatureBuilder.build(fact, FeatureBuilder.household)
+    val approx = FeatureBuilder.build(fact, FeatureBuilder.household,
+      approxDistinct = true)
+    assert(approx.columns.toSeq == exact.columns.toSeq)
+    // tiny groups: HLL is exact there, so values agree while the plan
+    // avoids the multi-distinct Expand
+    val e = exact.collect().map(r => r.getAs[Long]("household_key") ->
+      r.getAs[Double]("baskets_60d")).toMap
+    val a = approx.collect().map(r => r.getAs[Long]("household_key") ->
+      r.getAs[Double]("baskets_60d")).toMap
+    assert(a == e)
+    val plan = approx.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Expand"), "approx path must not Expand")
+  }
+
   test("all metric columns are DOUBLE and null-free") {
     val df = FeatureBuilder.build(fact, FeatureBuilder.household)
     val metricCols = df.columns.filterNot(_ == "household_key")
