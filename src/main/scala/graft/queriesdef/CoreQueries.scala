@@ -178,6 +178,32 @@ object CoreQueries {
         |  round(quantile_cont(amount_paid, 0.9), 6) AS p90
         |FROM txc GROUP BY commodity_desc""".stripMargin)),
 
+    // Beyond-reference OLAP: top-k per group — rank a grouped aggregate
+    // inside each partition (top-3 products per commodity by paid spend).
+    Entry(
+      "topk_per_group",
+      (s, dir) => {
+        val spend = graft.features.FeatureBuilder.txWithCommodity(s, dir)
+          .groupBy("commodity_desc", "product_id")
+          .agg(sum(col("amount_paid").cast("decimal(18,4)")).cast("double").as("spend"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("commodity_desc"))
+          .orderBy(col("spend").desc, col("product_id"))
+        spend.withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 3)
+      },
+      Some(s"""WITH ${Oracle.txCommodity},
+        |spend AS (
+        |  SELECT commodity_desc, product_id,
+        |    ${Oracle.dsum("amount_paid", "spend")}
+        |  FROM txc GROUP BY commodity_desc, product_id),
+        |ranked AS (
+        |  SELECT *, ROW_NUMBER() OVER (
+        |    PARTITION BY commodity_desc ORDER BY spend DESC, product_id) AS rank
+        |  FROM spend)
+        |SELECT commodity_desc, product_id, spend, rank
+        |FROM ranked WHERE rank <= 3""".stripMargin)),
+
     // A3 at scale: approx_count_distinct variant of the distinct family —
     // the 100 TB escape hatch for the multi-distinct Expand (SURVEY.md §4).
     // HLL sketches are engine-specific ⇒ rows-only.

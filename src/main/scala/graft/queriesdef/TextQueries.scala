@@ -173,6 +173,13 @@ object TextQueries {
         |  (COALESCE(cc.cluster_id, d.doc_id) = d.doc_id) AS is_canonical
         |FROM documents d LEFT JOIN cc ON d.doc_id = cc.doc_id""".stripMargin)),
 
+    // MinHash signatures themselves (the sketch operator; engine-specific
+    // hash ⇒ rows-only, determinism covered by DedupSpec).
+    Entry(
+      "dedup_minhash_signatures",
+      (s, dir) => Dedup.minhashSignatures(docs(s, dir)),
+      None),
+
     // MinHash+LSH candidate pairs (scale path; engine-specific hash ⇒
     // rows-only check, exactness covered by DedupSpec unit tests).
     Entry(
