@@ -30,13 +30,27 @@ object Bench {
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      // Materialize the FULL result (every column, every row) by executing
+      // the physical plan and counting its rows. A plain `df.count()` plans
+      // a fresh aggregate through which Catalyst prunes all columns, so a
+      // projection-only query (regex stats, dot products) would time the
+      // scan, not the work.
+      val ok =
+        try { fn(spark, sfDir).queryExecution.toRdd.count(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
+        }
+      val sec = (System.nanoTime() - t0) / 1e9
+      (name, if (ok) sec else -1.0, ok)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // a failed query reports -1 in `queries` and its name in `errors`;
+    // only successful timings count toward the headline total
+    val errors = results.collect { case (k, _, false) => s"\"$k\"" }
+      .mkString("[", ",", "]")
+    val total = results.collect { case (_, v, true) => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
