@@ -32,14 +32,21 @@ object Clusters {
     */
   def connectedComponents(docs: DataFrame, pairs: DataFrame,
       maxIter: Int = 20, driverLimit: Long = driverPairLimit): DataFrame = {
-    val p = pairs.select(col("doc_a"), col("doc_b"))
-    // bounded cutover probe: reads at most driverLimit+1 rows, no caching
-    // of the (possibly huge) pair set just to learn it is huge
+    // The candidate pair set is usually the expensive upstream (a shingle
+    // self-join); cache it so the cutover probe and the consumer (collect
+    // or edge loop) share ONE computation. The probe's `limit` only
+    // computes (and caches) the partitions it needs, so a huge pair set is
+    // never fully materialized just to learn it is huge.
+    val p = pairs.select(col("doc_a"), col("doc_b")).cache()
     val integralIds = Set[org.apache.spark.sql.types.DataType](
       org.apache.spark.sql.types.LongType, org.apache.spark.sql.types.IntegerType)
     val small = integralIds.contains(p.schema("doc_a").dataType) &&
       p.limit(math.min(driverLimit + 1, Int.MaxValue.toLong).toInt).count() <= driverLimit
-    if (small) return driverComponents(docs, p)
+    if (small) {
+      val out = driverComponents(docs, p)
+      p.unpersist() // mapping is driver-local; out no longer depends on p
+      return out
+    }
     val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct().cache()
@@ -62,17 +69,29 @@ object Clusters {
       converged = changed == 0
       iter += 1
     }
-    // restrict paired labels to the given corpus (stale pairs may mention
-    // docs no longer present) so both paths emit the same row set, and
-    // release the edge cache — `labels` is already materialized by the
-    // convergence counts, so nothing downstream recomputes through edges
-    // except the cheap singleton anti-join input.
+    // a component with diameter > maxIter would exit here with PARTIAL
+    // labels — silently-wrong clusters; fail loudly instead (near-dup
+    // graphs are shallow; a hit here means raise maxIter or switch to a
+    // large/small-star variant)
+    require(converged,
+      s"connectedComponents did not converge in $maxIter rounds — " +
+        "component diameter exceeds maxIter; labels would be incorrect")
+    // Restrict paired labels to the given corpus (stale pairs may mention
+    // docs no longer present) so both paths emit the same row set. The
+    // singleton anti-join probes `labels` (same doc_id set as the paired
+    // population, and already materialized + cached by the convergence
+    // counts) rather than `paired`, so releasing the edge/pair caches
+    // cannot force a recompute of the pair pipeline when the caller
+    // finally materializes the result. `labels` stays pinned — it IS the
+    // returned result; its footprint is the duplicate population, not the
+    // corpus.
     val result = labels.join(docs.select(col("doc_id")), Seq("doc_id"), "left_semi")
     val singletons = docs.select(col("doc_id"))
-      .join(paired, Seq("doc_id"), "left_anti")
+      .join(labels.select(col("doc_id")), Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("doc_id").as("cluster_id"))
     val out = result.unionByName(singletons)
     edges.unpersist()
+    p.unpersist()
     out
   }
 

@@ -49,7 +49,12 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 5,
       threshold: Double = 0.5, maxShingleFreq: Option[Int] = None): DataFrame = {
-    val sh = shingles(docs, n).cache()
+    // No cache: `sh` ends in a distinct() whose Exchange is IDENTICAL in
+    // all three consumers (both self-join sides + the size agg), so Spark's
+    // exchange reuse computes the shingle shuffle once and the consumers
+    // re-read shuffle files. Caching here would pin the exploded shingle
+    // set — larger than the corpus itself — behind the caller's back.
+    val sh = shingles(docs, n)
     val filtered = maxShingleFreq match {
       case Some(maxF) =>
         val freq = sh.groupBy("shingle").agg(count(lit(1)).as("f"))
@@ -104,11 +109,15 @@ object Dedup {
       numHashes: Int = 16, bands: Int = 4): DataFrame = {
     val sig = minhashSignatures(docs, n, numHashes)
     val rowsPerBand = numHashes / bands
-    val banded = (0 until bands).map { bd =>
+    // one row per (doc, band) via explode — a union of `bands` selects
+    // would re-read (and re-aggregate) the signature input once per band
+    val bandCols = (0 until bands).map { bd =>
       val cols = (bd * rowsPerBand until (bd + 1) * rowsPerBand).map(i => col(s"h$i"))
-      sig.select(col("doc_id"), lit(bd).as("band"),
-        xxhash64(cols: _*).as("bucket"))
-    }.reduce(_.unionByName(_))
+      struct(lit(bd).as("band"), xxhash64(cols: _*).as("bucket"))
+    }
+    val banded = sig
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
     val l = banded.as("l")
     val r = banded.as("r")
     l.join(r,
@@ -145,13 +154,19 @@ object Dedup {
     * of (radius+1) chunks must match exactly).
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 12): DataFrame = {
-    val s = simhash(docs).cache()
+    // no cache: the sketch agg's Exchange is identical on both join sides
+    // (exchange reuse); the explode emits one row per (doc, chunk) from a
+    // single read instead of a 4-way self-union
+    val s = simhash(docs)
     val chunks = 4
-    val blocked = (0 until chunks).map { c =>
-      s.select(col("doc_id"), col("simhash"),
-        lit(c).as("chunk"),
+    val chunkCols = (0 until chunks).map { c =>
+      struct(lit(c).as("chunk"),
         shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL).as("block"))
-    }.reduce(_.unionByName(_))
+    }
+    val blocked = s
+      .select(col("doc_id"), col("simhash"), explode(array(chunkCols: _*)).as("cb"))
+      .select(col("doc_id"), col("simhash"),
+        col("cb.chunk").as("chunk"), col("cb.block").as("block"))
     val l = blocked.as("l"); val r = blocked.as("r")
     l.join(r,
         col("l.chunk") === col("r.chunk") && col("l.block") === col("r.block") &&

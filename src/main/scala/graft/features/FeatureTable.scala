@@ -68,7 +68,12 @@ final case class FeatureTable(root: String, keys: Seq[String]) {
         writer.partitionBy("day")
       else writer
     partitioned.parquet(staging.toString)
-    val old = Paths.get(root, s".old-${UUID.randomUUID()}")
+    // monotonic (timestamped) parking name: if multiple parked generations
+    // ever coexist (crash during old-gen delete + another mid-swap crash),
+    // recover()'s lexicographic max picks the NEWEST generation, never an
+    // arbitrary one (UUID alone sorts randomly)
+    val old = Paths.get(root,
+      f".old-${System.currentTimeMillis()}%015d-${UUID.randomUUID()}")
     if (Files.exists(dataDir)) Files.move(dataDir, old, StandardCopyOption.ATOMIC_MOVE)
     Files.move(staging, dataDir, StandardCopyOption.ATOMIC_MOVE)
     if (Files.exists(old)) delete(old)

@@ -27,9 +27,15 @@ object LabelBuilder {
   def labels(txc: DataFrame, commodities: DataFrame, featuresEndDay: LocalDate): DataFrame = {
     val fed = Date.valueOf(featuresEndDay)
     val horizonEnd = Date.valueOf(featuresEndDay.plusDays(horizonDays))
-    // the control table feeds both the universe and the positives filter —
-    // cache the (tiny) result so its top-k aggregation runs once
-    val cts = commodities.select("commodity_desc").cache()
+    // The control table feeds both the universe and the positives filter.
+    // It is ≤ k rows by construction (a top-k control table — the
+    // reference collects it too, 02:45-47), so pin it driver-side as a
+    // local relation: the top-k aggregation runs exactly once and nothing
+    // is left cached behind the caller's back.
+    val spark = txc.sparkSession
+    import spark.implicits._
+    val cts = commodities.select("commodity_desc")
+      .collect().map(_.getString(0)).toSeq.toDF("commodity_desc")
     val households = txc.select("household_key").distinct()
     val universe = households.crossJoin(broadcast(cts))
     val positives = txc

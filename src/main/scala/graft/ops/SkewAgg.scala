@@ -23,8 +23,14 @@ object SkewAgg {
 
   def saltedSums(df: DataFrame, key: Seq[String], sums: Seq[SumSpec],
       salt: Int = 16): DataFrame = {
+    // Salt from the full row CONTENT, not monotonically_increasing_id():
+    // a content hash assigns every row the same salt on task retry
+    // (deterministic lineage), while the id-based salt depends on
+    // partition/task numbering. Identical duplicate rows share a salt,
+    // which only matters if one key's rows are near-all identical — the
+    // aggregate stays correct either way.
     val salted = df.withColumn("__salt",
-      pmod(xxhash64(monotonically_increasing_id()), lit(salt.toLong)))
+      pmod(xxhash64(df.columns.map(col): _*), lit(salt.toLong)))
     val partial = salted
       .groupBy((key :+ "__salt").map(col): _*)
       .agg(

@@ -129,8 +129,14 @@ final class PropensityPipeline(spark: SparkSession, cfg: PipelineConfig) {
   def scoreAll(): DataFrame = {
     val cur = currentDay
     val d = java.sql.Date.valueOf(cur)
-    val hasToday = householdFeatures.exists &&
-      householdFeatures.read(spark).filter(col("day") === lit(d)).limit(1).count() > 0
+    // freshness gate checks ALL THREE feature tables: a computeFeatures
+    // crash between the three upserts would otherwise leave commodity /
+    // household-commodity snapshots missing and scoring would silently
+    // proceed on fillna-0.0 features
+    def hasSnapshot(t: FeatureTable): Boolean = t.exists &&
+      t.read(spark).filter(col("day") === lit(d)).limit(1).count() > 0
+    val hasToday = Seq(householdFeatures, commodityFeatures,
+      householdCommodityFeatures).forall(hasSnapshot)
     if (!hasToday) computeFeatures(cur)
     val spine0 = tx.select("household_key").distinct()
       .crossJoin(broadcast(commodities.select("commodity_desc", "commodity_clean")))

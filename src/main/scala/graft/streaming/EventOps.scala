@@ -20,10 +20,17 @@ object EventOps {
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     // The fixture stores TIMESTAMP(NANOS) which Spark's vectorized reader
     // rejects; read nanos as epoch-long and floor to seconds (≡ the
-    // date_trunc('second') the oracle applies).
+    // date_trunc('second') the oracle applies). The legacy conf must stay
+    // set for the LIFETIME of the returned (lazy) DataFrame — the parquet
+    // footer-to-Spark schema conversion re-runs per file at scan execution
+    // and consults the session conf then, so a set-and-restore here breaks
+    // the read (verified: PARQUET_TYPE_ILLEGAL at task time). The setting
+    // is additive-safe: it only changes how TIMESTAMP(NANOS) columns —
+    // which stock Spark cannot read at all — are surfaced.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", timestamp_seconds(floor(col("ts") / lit(1000000000L)).cast("long")))
+      .withColumn("ts",
+        timestamp_seconds(floor(col("ts") / lit(1000000000L)).cast("long")))
   }
 
   /** Tumbling-window aggregate (1 hour × event_type): the batch form of a
