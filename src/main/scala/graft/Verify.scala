@@ -15,6 +15,9 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // one bucketed+pinned silver fact for the whole dump (values identical;
+    // see core.SilverStore)
+    graft.core.SilverStore.enable()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

@@ -68,10 +68,11 @@ object Retail {
     * parquet footer-level min/max instead of running the join. This is the
     * driver-side scalar every pipeline stage needs (EP2, SURVEY.md §3).
     */
-  def dayBounds(spark: SparkSession, sfDir: String): (java.time.LocalDate, java.time.LocalDate) = {
-    val row = Catalog.table(spark, sfDir, "lineitem")
-      .agg(min(to_date(col("l_shipdate"))), max(to_date(col("l_shipdate"))))
-      .head()
-    (row.getDate(0).toLocalDate, row.getDate(1).toLocalDate)
-  }
+  def dayBounds(spark: SparkSession, sfDir: String): (java.time.LocalDate, java.time.LocalDate) =
+    SilverStore.dayBounds(spark, sfDir) {
+      val row = Catalog.table(spark, sfDir, "lineitem")
+        .agg(min(to_date(col("l_shipdate"))), max(to_date(col("l_shipdate"))))
+        .head()
+      (row.getDate(0).toLocalDate, row.getDate(1).toLocalDate)
+    }
 }

@@ -1,0 +1,72 @@
+package graft.core
+
+import java.time.LocalDate
+import scala.collection.concurrent.TrieMap
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.storage.StorageLevel
+
+/** Session-scoped materialization of the silver fact table.
+  *
+  * In the reference, `transactions_adj` is a PHYSICAL table — built once
+  * by the ingest CTAS (`01_Data_Prep.py:121-166`) and scanned by every
+  * downstream notebook. Re-deriving it per query (the lineitem⋈orders
+  * shuffle join in `Retail.transactions`) repeats the single most
+  * expensive exchange of the whole suite once per query — harmless at
+  * sf0.001, dominant at 100 TB.
+  *
+  * When enabled (the harness mains `Bench`/`Verify` do; library users opt
+  * in per session), the first request for a fixture dir materializes the
+  * silver projection once as a table BUCKETED BY `household_key` — the
+  * join/group key of every feature, label and training-set stage — and
+  * pins the bucketed scan in memory. Consequences:
+  *
+  *   - the lineitem⋈orders join runs exactly once per (session, fixture);
+  *   - `groupBy(household_key…)` / joins on household_key over silver
+  *     need NO Exchange (the bucketed scan already delivers
+  *     HashPartitioning(household_key, buckets), which the in-memory
+  *     relation preserves — pinned by PlanSpec);
+  *   - at cluster scale the same call becomes "write the silver table
+  *     bucketed/partitioned at ingest"; the API stays the same.
+  *
+  * Values are identical either way (a parquet round-trip of
+  * DATE/INT/LONG/DOUBLE/STRING is exact), so oracle hashes are unaffected.
+  */
+object SilverStore {
+
+  @volatile private var enabledFlag = false
+  def enable(): Unit = enabledFlag = true
+  def isEnabled: Boolean = enabledFlag
+
+  val buckets: Int = 32
+
+  private val silverCache = TrieMap.empty[String, DataFrame]
+  private val boundsCache = TrieMap.empty[String, (LocalDate, LocalDate)]
+
+  private def key(spark: SparkSession, sfDir: String): String =
+    spark.sessionUUID + "|" + sfDir
+
+  private def tableName(sfDir: String): String =
+    "graft_silver_" + sfDir.replaceAll("[^A-Za-z0-9]", "_")
+
+  /** The silver fact for `sfDir`: `build` verbatim when disabled; the
+    * once-materialized bucketed+pinned table when enabled.
+    */
+  def silver(spark: SparkSession, sfDir: String)(build: => DataFrame): DataFrame =
+    if (!enabledFlag) build
+    else silverCache.getOrElseUpdate(key(spark, sfDir), {
+      val name = tableName(sfDir)
+      BucketedTable.write(build, name, "household_key", buckets)
+      val df = BucketedTable.read(spark, name)
+      df.persist(StorageLevel.MEMORY_AND_DISK)
+      df.count() // warm the cache eagerly so the first query isn't charged
+      df
+    })
+
+  /** Memoized (min, max) day bounds — the per-query driver-side scalar
+    * (EP2 pattern) computed once per (session, fixture) when enabled.
+    */
+  def dayBounds(spark: SparkSession, sfDir: String)(
+      compute: => (LocalDate, LocalDate)): (LocalDate, LocalDate) =
+    if (!enabledFlag) compute
+    else boundsCache.getOrElseUpdate(key(spark, sfDir), compute)
+}

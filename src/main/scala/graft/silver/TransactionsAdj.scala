@@ -50,8 +50,17 @@ object TransactionsAdj {
   def keyColumns: Seq[String] =
     Seq("household_key", "basket_id", "day", "product_id", "store_id")
 
-  /** The silver table: keys + units + week_no + the derived money columns. */
-  def apply(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The silver table: keys + units + week_no + the derived money columns.
+    * Routed through SilverStore: when the harness (or a library user)
+    * enables it, this is ONE materialized bucketed table per session —
+    * the reference's physical `transactions_adj` — instead of a
+    * re-derived join per query.
+    */
+  def apply(spark: SparkSession, sfDir: String): DataFrame =
+    graft.core.SilverStore.silver(spark, sfDir)(derive(spark, sfDir))
+
+  /** The underlying silver projection (always re-derived). */
+  def derive(spark: SparkSession, sfDir: String): DataFrame = {
     val base = Retail.transactions(spark, sfDir)
     val cols =
       keyColumns.map(col) ++
