@@ -31,8 +31,13 @@ object Bench {
     // pinned), mirroring the reference where transactions_adj is a
     // physical CTAS table built by ingest, not re-derived per query.
     graft.core.SilverStore.enable()
+    // A failed materialization is NOT cached, so every timed query would
+    // silently re-attempt the bucketed write inside its timed region —
+    // log it loudly instead of swallowing it.
     try graft.silver.TransactionsAdj(spark, sfDir)
-    catch { case _: Throwable => () }
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] silver warm-up failed: ${e.getMessage}")
+    }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

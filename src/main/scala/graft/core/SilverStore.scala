@@ -42,11 +42,25 @@ object SilverStore {
   private val silverCache = TrieMap.empty[String, DataFrame]
   private val boundsCache = TrieMap.empty[String, (LocalDate, LocalDate)]
 
-  private def key(spark: SparkSession, sfDir: String): String =
-    spark.sessionUUID + "|" + sfDir
+  /** Stable identity of a session within this JVM. `SparkSession` in the
+    * shipped jars exposes no sessionUUID, so we combine the application id
+    * (stable across sessions of one SparkContext) with the session object's
+    * identity hash (distinct per session).
+    */
+  private def sessionId(spark: SparkSession): String =
+    spark.sparkContext.applicationId + "-" +
+      java.lang.Integer.toHexString(System.identityHashCode(spark))
 
-  private def tableName(sfDir: String): String =
-    "graft_silver_" + sfDir.replaceAll("[^A-Za-z0-9]", "_")
+  private def key(spark: SparkSession, sfDir: String): String =
+    sessionId(spark) + "|" + sfDir
+
+  /** Physical name carries the session discriminator: a second session
+    * enabling SilverStore must NOT drop/overwrite the table whose files
+    * back the first session's pinned DataFrame.
+    */
+  private def tableName(spark: SparkSession, sfDir: String): String =
+    ("graft_silver_" + sessionId(spark) + "_" + sfDir)
+      .replaceAll("[^A-Za-z0-9]", "_")
 
   /** The silver fact for `sfDir`: `build` verbatim when disabled; the
     * once-materialized bucketed+pinned table when enabled.
@@ -54,13 +68,39 @@ object SilverStore {
   def silver(spark: SparkSession, sfDir: String)(build: => DataFrame): DataFrame =
     if (!enabledFlag) build
     else silverCache.getOrElseUpdate(key(spark, sfDir), {
-      val name = tableName(sfDir)
+      registerCleanup(spark)
+      val name = tableName(spark, sfDir)
       BucketedTable.write(build, name, "household_key", buckets)
       val df = BucketedTable.read(spark, name)
       df.persist(StorageLevel.MEMORY_AND_DISK)
       df.count() // warm the cache eagerly so the first query isn't charged
       df
     })
+
+  private val cleanupRegistered = TrieMap.empty[String, Boolean]
+
+  /** Drop this session's cache entries (and unpersist its pinned frames)
+    * when the application ends, so the maps don't pin sessions for the JVM
+    * lifetime in long-running embedding processes.
+    */
+  private def registerCleanup(spark: SparkSession): Unit = {
+    val sid = sessionId(spark)
+    cleanupRegistered.getOrElseUpdate(sid, {
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+          val prefix = sid + "|"
+          silverCache.keys.filter(_.startsWith(prefix)).foreach { k =>
+            silverCache.remove(k).foreach(df => scala.util.Try(df.unpersist(false)))
+          }
+          boundsCache.keys.filter(_.startsWith(prefix)).foreach(boundsCache.remove)
+          cleanupRegistered.remove(sid)
+        }
+      })
+      true
+    })
+    ()
+  }
 
   /** Memoized (min, max) day bounds — the per-query driver-side scalar
     * (EP2 pattern) computed once per (session, fixture) when enabled.

@@ -23,14 +23,21 @@ object SkewAgg {
 
   def saltedSums(df: DataFrame, key: Seq[String], sums: Seq[SumSpec],
       salt: Int = 16): DataFrame = {
-    // Salt from the full row CONTENT, not monotonically_increasing_id():
-    // a content hash assigns every row the same salt on task retry
-    // (deterministic lineage), while the id-based salt depends on
-    // partition/task numbering. Identical duplicate rows share a salt,
-    // which only matters if one key's rows are near-all identical — the
-    // aggregate stays correct either way.
+    // Salt from row CONTENT, not monotonically_increasing_id(): a content
+    // hash assigns every row the same salt on task retry (deterministic
+    // lineage), while the id-based salt depends on partition/task
+    // numbering. MapType columns are excluded — Spark disallows hashing
+    // maps (unordered) and would throw AnalysisException. Limitation:
+    // identical duplicate rows share a salt, so a hot key whose rows are
+    // near-all IDENTICAL still lands on few reducers; the aggregate stays
+    // correct, only the rebalance degrades, and such inputs should be
+    // pre-counted (dedup + weight) rather than salted.
+    val hashable = df.schema.fields.collect {
+      case f if !f.dataType.isInstanceOf[org.apache.spark.sql.types.MapType] =>
+        col(f.name)
+    }.toSeq
     val salted = df.withColumn("__salt",
-      pmod(xxhash64(df.columns.map(col): _*), lit(salt.toLong)))
+      pmod(xxhash64(hashable: _*), lit(salt.toLong)))
     val partial = salted
       .groupBy((key :+ "__salt").map(col): _*)
       .agg(
