@@ -1,35 +1,46 @@
 package graft.features
 
 import java.time.LocalDate
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Retail
 import graft.silver.TransactionsAdj
+import MetricDefs.AggKind
 
 /** Re-expression of the reference's `get_features` (`04a:116-561`) as a
-  * single-pass, declarative feature builder.
+  * declarative, shuffle-minimal feature builder.
   *
   * Reference shape: per window → filter → groupBy → ~100 `withColumn`s →
   * suffix-rename → 4-way left-join chain onto a spine → fillna.
-  * Engine shape: ONE `groupBy(keys)` whose aggregate list carries the
+  * Engine shape: grouped aggregates whose aggregate list carries the
   * window condition inside every aggregate (all 4 windows at once), then
   * one cleanup projection (cast DOUBLE + fill 0.0, `04a:556-558`/`04a:595`
   * semantics) and one ratio projection.
   *
-  * Scale rationale: the reference's plan shuffles the fact 4× (once per
-  * window) and then joins 4 aggregates back together (3 more shuffles on
-  * the spine). This plan shuffles ONCE on the grain key; at 100 TB the
-  * window conditions ride along as cheap codegen'd predicates inside the
-  * partial aggregates, and parquet row-group skipping on `day >= min(all
-  * window starts)` still applies via the pre-filter below. The cost is a
-  * wider aggregation state (~136 columns), which is map-side partial
-  * aggregation state — memory, not network.
+  * Exact distinct counts (the ~48 `COUNT(DISTINCT CASE WHEN …)` aggregates)
+  * are NOT computed in that same pass: Catalyst's
+  * `RewriteDistinctAggregates` would Expand the input once per distinct
+  * group (~13×) through the shuffle — the SURVEY §4 hotspot, and a
+  * scale-killer at 100 TB. Instead the builder splits them per distinct
+  * ENTITY (day / basket_id / product_id): for each entity it
+  * pre-aggregates boolean "seen under condition" indicators on
+  * `(grain keys, entity)` — a plain, map-side-combinable aggregation over
+  * pruned columns — then sums the indicators per grain key and joins the
+  * three small per-key results back onto the plain aggregates. Row
+  * expansion: none. Shuffle volume: one pruned pass per entity with
+  * map-side dedup, instead of a 13×-expanded full pass.
   *
-  * The multi-distinct aggregates (A3) still expand via Catalyst's
-  * `RewriteDistinctAggregates` (documented hotspot, SURVEY.md §4); the
-  * approximate variant (`approx_count_distinct`) is the 100 TB escape
-  * hatch, kept behind a flag (`approxDistinct`) because it is not
-  * oracle-exact.
+  * On the bucketed silver table (SilverStore: 32 buckets on
+  * `household_key`) every one of these aggregations and joins for the
+  * household and household×commodity grains satisfies its clustering from
+  * the bucket partitioning (`Hash(household_key)` ⊆ every grouping set),
+  * so the whole feature build runs with ZERO exchanges — pinned by
+  * PlanSpec.
+  *
+  * Grain keys are assumed non-null, as in the reference: its own
+  * summary/days-since join-back onto the anchor spine (`04a:548-552`)
+  * matches on the grouping keys with plain equality, so null keys never
+  * survive there either.
   */
 object FeatureBuilder {
 
@@ -55,34 +66,72 @@ object FeatureBuilder {
   }
 
   /** The full feature table for a grain: keys + (aggregates, ratios) × 4
-    * windows, all DOUBLE, null-free.
+    * windows, all DOUBLE, null-free. Pass `knownBounds` when the caller
+    * already ran [[bounds]] on this fact (training_set builds three
+    * grains over two facts — one bounds job each, not one per grain).
     */
   def build(fact: DataFrame, grain: Grain,
-      approxDistinct: Boolean = false): DataFrame = {
-    val (_, cur) = bounds(fact)
+      approxDistinct: Boolean = false,
+      knownBounds: Option[(LocalDate, LocalDate)] = None): DataFrame = {
+    val (_, cur) = knownBounds.getOrElse(bounds(fact))
     val wins = WindowSpec.windows(cur)
     val aggs = wins.flatMap(w => MetricDefs.aggsFor(w, cur, approxDistinct))
     val posts = wins.flatMap(MetricDefs.ratiosFor)
 
     // Pre-filter to the union of all windows: lets parquet skip row groups
-    // outside [oldest window start, cur] before the shuffle.
+    // outside [oldest window start, cur] before any aggregation.
     val oldest = wins.map(_.start).min(Ordering.by((d: LocalDate) => d.toEpochDay))
     val prefiltered = fact.filter(
       col("day").between(lit(java.sql.Date.valueOf(oldest)), lit(java.sql.Date.valueOf(cur))))
+    val keyCols = grain.keys.map(col)
 
-    val aggCols = aggs.map(a => a.col.as(a.name))
-    val agged = prefiltered
-      .groupBy(grain.keys.map(col): _*)
-      .agg(aggCols.head, aggCols.tail: _*)
+    val agged =
+      if (approxDistinct) {
+        // HLL sketches are ordinary algebraic aggregates — one pass, no
+        // Expand, nothing to split.
+        val aggCols = aggs.map(a => a.col.as(a.name))
+        prefiltered.groupBy(keyCols: _*).agg(aggCols.head, aggCols.tail: _*)
+      } else {
+        val plain = aggs.filter(_.kind == AggKind.Plain)
+        val dist = aggs.flatMap(a => a.kind match {
+          case d: AggKind.DistinctOf => Some((a, d))
+          case AggKind.Plain => None
+        })
+        val plainCols = plain.map(a => a.col.as(a.name))
+        val plainDf = prefiltered.groupBy(keyCols: _*)
+          .agg(plainCols.head, plainCols.tail: _*)
+
+        val entities = dist.map(_._2.entity).distinct
+        val entityCounts = entities.map { e =>
+          val forE = dist.filter(_._2.entity == e)
+          // stage 1: per (keys, entity) — has any row satisfied each
+          // window/flag condition? Null entities are excluded, matching
+          // COUNT(DISTINCT CASE …)'s null-skipping.
+          val indicators = forE.map { case (a, d) =>
+            max(when(d.cond && col(e).isNotNull, lit(1))).as(s"seen__${a.name}")
+          }
+          val pre = prefiltered.groupBy((keyCols :+ col(e)): _*)
+            .agg(indicators.head, indicators.tail: _*)
+          // stage 2: per keys — count the entities seen under each
+          // condition (sum of 0/1 indicators ≡ exact distinct count).
+          val counts = forE.map { case (a, _) =>
+            sum(col(s"seen__${a.name}")).as(a.name)
+          }
+          pre.groupBy(keyCols: _*).agg(counts.head, counts.tail: _*)
+        }
+        // Same fact, same grouping → identical key sets on every side;
+        // the using-join resolves by name, so self-lineage is fine.
+        entityCounts.foldLeft(plainDf)((acc, df) => acc.join(df, grain.keys, "inner"))
+      }
 
     // `04a:556-558` (all features → DOUBLE) + `04a:595` (fillna 0.0) in one
-    // projection.
+    // projection; also restores the canonical metric order after the joins.
     val cleaned = agged.select(
-      grain.keys.map(col) ++
+      keyCols ++
         aggs.map(a => coalesce(col(a.name).cast("double"), lit(0.0)).as(a.name)): _*)
 
     cleaned.select(
-      (grain.keys.map(col) ++ aggs.map(a => col(a.name))
+      (keyCols ++ aggs.map(a => col(a.name))
         ++ posts.map(p => p.col.as(p.name))): _*)
   }
 

@@ -17,56 +17,84 @@ import org.apache.spark.sql.functions._
   * Aggregate conventions (see queriesdef.Oracle): money sums go through
   * DECIMAL(18,4); conditional distinct counts are
   * `countDistinct(when(cond, k))` (SURVEY.md A3); recency is
-  * `min(datediff)` floored at the window start (A5, `04a:534-544`).
+  * `min(datediff)` anchored at the WINDOW'S OWN end day and floored at
+  * `days_in_window - 1` (A5, `04a:527-546`: both the anchor `max_day` and
+  * the floor `min_day` are the window-adjusted bounds, so the 1yr recency
+  * is measured against the 1yr slice's end, not the dataset's newest day).
+  *
+  * Exact distinct counts carry an [[AggKind.DistinctOf]] tag so the
+  * builder can restructure them as per-entity pre-aggregates instead of
+  * letting Catalyst's `RewriteDistinctAggregates` Expand the input ~13×
+  * (SURVEY.md §4 mitigation #1); the SQL rendering stays the plain
+  * `COUNT(DISTINCT CASE WHEN …)` either way.
   */
 object MetricDefs {
 
+  /** How an aggregate is computed at scale. */
+  sealed trait AggKind
+  object AggKind {
+    /** Algebraic aggregate (sum/count/min) — map-side combinable as-is. */
+    case object Plain extends AggKind
+    /** Exact `COUNT(DISTINCT entity)` over rows matching `cond`; the
+      * builder turns these into indicator pre-aggregates per entity.
+      */
+    final case class DistinctOf(entity: String, cond: Column) extends AggKind
+  }
+
   /** One aggregate output: Spark expression + DuckDB SQL over the fact. */
-  final case class AggDef(name: String, col: Column, sql: String)
+  final case class AggDef(name: String, col: Column, sql: String,
+      kind: AggKind = AggKind.Plain)
 
   /** One post-aggregation (ratio) output over the cleaned agg columns. */
   final case class PostDef(name: String, col: Column, sql: String)
 
   /** Discount buckets decomposed by the silver layer; each acts as a
-    * "flag metric" for the conditional aggregates (`04a:201-255`).
+    * "flag metric" for the conditional aggregates — the reference
+    * conditions on all FOUR including the derived total
+    * (`04a:201-255`, `04a:531-545`).
     */
-  val flagMetrics: Seq[String] =
-    Seq("instore_discount", "campaign_coupon_discount", "manuf_coupon_discount")
+  val flagMetrics: Seq[String] = Seq(
+    "instore_discount", "campaign_coupon_discount",
+    "manuf_coupon_discount", "total_coupon_discount")
 
   val moneyMetrics: Seq[String] = Seq(
     "amount_list", "instore_discount", "campaign_coupon_discount",
     "manuf_coupon_discount", "total_coupon_discount", "amount_paid")
 
-  /** instore_discount → instore, campaign_coupon_discount → campaign, … */
-  private def shortName(m: String): String =
-    m.stripSuffix("_discount").stripSuffix("_coupon")
-
   private def dlit(d: LocalDate): Column = lit(Date.valueOf(d))
 
-  /** All aggregates for one window, computed in a single grouped pass:
+  /** All aggregates for one window, computed over a shared grouped pass:
     * the window filter is folded into every aggregate (`when(inWin, …)`)
     * instead of the reference's filter-then-aggregate-then-join-4-windows
-    * chain — one shuffle for all windows (scale redesign, SURVEY.md §4).
+    * chain — one logical aggregation for all windows (scale redesign,
+    * SURVEY.md §4).
     */
   def aggsFor(w: WindowDef, cur: LocalDate,
       approxDistinct: Boolean = false): Seq[AggDef] = {
     // the approx variant swaps exact distinct counts for HLL sketches —
-    // the 100 TB escape hatch for the multi-distinct Expand (SURVEY.md §4);
-    // not oracle-exact, so only non-oracle callers set it
+    // the 100 TB escape hatch that keeps everything in ONE pass with no
+    // Expand and no per-entity restructuring; not oracle-exact, so only
+    // non-oracle callers set it
     def cdist(c: Column) =
       if (approxDistinct) approx_count_distinct(c) else countDistinct(c)
     val inWin = col("day").between(dlit(w.start), dlit(w.end))
     val inWinSql = s"day BETWEEN ${w.startSql} AND ${w.endSql}"
     val s = w.name
+    def distinctOf(entity: String, extra: Option[String]): AggKind.DistinctOf =
+      AggKind.DistinctOf(entity,
+        extra.fold(inWin)(m => inWin && col(m) > 0.0))
 
-    // A2: base multi-aggregates
+    // A2: base multi-aggregates (`04a:183-199`)
     val base = Seq(
       AggDef(s"days_$s", cdist(when(inWin, col("day"))),
-        s"COUNT(DISTINCT CASE WHEN $inWinSql THEN day END)"),
+        s"COUNT(DISTINCT CASE WHEN $inWinSql THEN day END)",
+        distinctOf("day", None)),
       AggDef(s"baskets_$s", cdist(when(inWin, col("basket_id"))),
-        s"COUNT(DISTINCT CASE WHEN $inWinSql THEN basket_id END)"),
+        s"COUNT(DISTINCT CASE WHEN $inWinSql THEN basket_id END)",
+        distinctOf("basket_id", None)),
       AggDef(s"products_$s", cdist(when(inWin, col("product_id"))),
-        s"COUNT(DISTINCT CASE WHEN $inWinSql THEN product_id END)"),
+        s"COUNT(DISTINCT CASE WHEN $inWinSql THEN product_id END)",
+        distinctOf("product_id", None)),
       AggDef(s"line_items_$s", count(when(inWin, lit(1))),
         s"COUNT(CASE WHEN $inWinSql THEN 1 END)"),
       AggDef(s"units_$s", sum(when(inWin, col("units"))),
@@ -79,67 +107,129 @@ object MetricDefs {
         s"CAST(SUM(CAST(CASE WHEN $inWinSql THEN $m END AS DECIMAL(18,4))) AS DOUBLE)")
     }
 
-    // A3: conditional distinct counts — 3 flag metrics × 3 entities
+    // A3: conditional distinct counts — 4 flag metrics × 3 entities,
+    // reference-exact names (`04a:201-241`: `days_with_<metric>`, …)
     val condDistinct = flagMetrics.flatMap { m =>
-      val short = shortName(m)
       Seq("day" -> "days", "basket_id" -> "baskets", "product_id" -> "products")
         .map { case (k, kn) =>
-          AggDef(s"${kn}_with_${short}_$s",
+          AggDef(s"${kn}_with_${m}_$s",
             cdist(when(inWin && col(m) > 0.0, col(k))),
-            s"COUNT(DISTINCT CASE WHEN $inWinSql AND $m > 0.0 THEN $k END)")
+            s"COUNT(DISTINCT CASE WHEN $inWinSql AND $m > 0.0 THEN $k END)",
+            distinctOf(k, Some(m)))
         }
     }
 
-    // A4: conditional counts
+    // A4: conditional counts (`04a:243-255`: `line_items_with_<metric>`)
     val condCount = flagMetrics.map { m =>
-      val short = shortName(m)
-      AggDef(s"lines_with_${short}_$s",
+      AggDef(s"line_items_with_${m}_$s",
         count(when(inWin && col(m) > 0.0, lit(1))),
         s"COUNT(CASE WHEN $inWinSql AND $m > 0.0 THEN 1 END)")
     }
 
-    // A5: recency (days since last event), floored at window start —
-    // the reference's string−date coercion (`04a:534-544`) made explicit
-    // with datediff on both sides.
-    val sinceFloor = datediff(dlit(cur), dlit(w.start))
-    val sinceFloorSql = s"datediff('day', ${w.startSql}, b.cur)"
+    // A5: recency (days since last event) anchored at the window's OWN
+    // end (`04a:534-544` uses the adjusted `max_day`/`min_day`), floored
+    // at `days_in_window - 1`. Rows outside the window hit the floor via
+    // `otherwise`; rows older than the window start would yield values
+    // above the floor in the reference's unbounded `day <= max_day` scan,
+    // so `min` ignores them there too — the bounded form is equivalent.
+    // (`days_since_<window>` without a flag is an engine extra.)
+    val sinceFloor = datediff(dlit(w.end), dlit(w.start))
+    val sinceFloorSql = s"datediff('day', ${w.startSql}, ${w.endSql})"
     val daysSince =
       AggDef(s"days_since_$s",
-        min(when(inWin, datediff(dlit(cur), col("day"))).otherwise(sinceFloor)),
-        s"MIN(CASE WHEN $inWinSql THEN datediff('day', day, b.cur) ELSE $sinceFloorSql END)") +:
+        min(when(inWin, datediff(dlit(w.end), col("day"))).otherwise(sinceFloor)),
+        s"MIN(CASE WHEN $inWinSql THEN datediff('day', day, ${w.endSql}) ELSE $sinceFloorSql END)") +:
         flagMetrics.map { m =>
-          val short = shortName(m)
-          AggDef(s"days_since_${short}_$s",
-            min(when(inWin && col(m) > 0.0, datediff(dlit(cur), col("day")))
+          AggDef(s"days_since_${m}_$s",
+            min(when(inWin && col(m) > 0.0, datediff(dlit(w.end), col("day")))
               .otherwise(sinceFloor)),
-            s"MIN(CASE WHEN $inWinSql AND $m > 0.0 THEN datediff('day', day, b.cur) ELSE $sinceFloorSql END)")
+            s"MIN(CASE WHEN $inWinSql AND $m > 0.0 THEN datediff('day', day, ${w.endSql}) ELSE $sinceFloorSql END)")
         }
 
     base ++ money ++ condDistinct ++ condCount ++ daysSince
   }
 
-  /** Null-safe ratio shared by both renderers. */
+  /** Null-safe ratio shared by both renderers. The reference's plain
+    * divisions null out on 0 denominators and are fillna'd to 0.0
+    * downstream (`04a:595`); folding the guard in here gives the same
+    * value in one step.
+    */
   private def ratio(name: String, num: String, den: String): PostDef =
     PostDef(name,
       when(col(den) =!= 0.0, col(num) / col(den)).otherwise(0.0),
       s"CASE WHEN $den <> 0.0 THEN $num / $den ELSE 0.0 END")
 
-  /** P3: derived ratio features over one window's cleaned aggregates.
-    * `products_per_day_${s}_$s` reproduces the reference's double-window-
-    * suffix quirk (`04a:263-266` suffixes inline, the rename loop at
-    * `04a:555-559` suffixes again) — kept for parity, flagged here.
+  /** Ratio against the constant `days_in_window` (`04a:313-367`) — the
+    * denominator is a positive literal, no guard needed.
+    */
+  private def perSet(w: WindowDef, name: String, num: String): PostDef =
+    PostDef(name, col(num) / lit(w.days.toDouble), s"$num / ${w.days}.0")
+
+  /** P3: derived ratio features over one window's cleaned aggregates —
+    * the reference's six ratio families at full width (`04a:258-525`),
+    * reference-exact names. `products_per_day_${s}_$s` reproduces the
+    * double-window-suffix quirk (`04a:263-266` suffixes inline, the
+    * rename loop at `04a:555-559` suffixes again) — kept for parity.
+    * `units_per_basket_$s` is an engine extra (the silver carries units).
     */
   def ratiosFor(w: WindowDef): Seq[PostDef] = {
     val s = w.name
-    Seq(
-      ratio(s"paid_per_basket_$s", s"amount_paid_$s", s"baskets_$s"),
-      ratio(s"paid_per_day_$s", s"amount_paid_$s", s"days_$s"),
-      ratio(s"paid_per_line_$s", s"amount_paid_$s", s"line_items_$s"),
-      ratio(s"units_per_basket_$s", s"units_$s", s"baskets_$s"),
-      ratio(s"lines_per_basket_$s", s"line_items_$s", s"baskets_$s"),
-      ratio(s"products_per_day_${s}_$s", s"products_$s", s"days_$s"),
-      ratio(s"discount_rate_$s", s"total_coupon_discount_$s", s"amount_list_$s"),
-      ratio(s"instore_rate_$s", s"instore_discount_$s", s"amount_list_$s"),
-      ratio(s"paid_share_$s", s"amount_paid_$s", s"amount_list_$s"))
+
+    // per-day ratios (`04a:259-306`)
+    val perDay =
+      Seq(
+        ratio(s"baskets_per_day_$s", s"baskets_$s", s"days_$s"),
+        ratio(s"products_per_day_${s}_$s", s"products_$s", s"days_$s"),
+        ratio(s"line_items_per_day_$s", s"line_items_$s", s"days_$s")) ++
+      moneyMetrics.map(m => ratio(s"${m}_per_day_$s", s"${m}_$s", s"days_$s")) ++
+      flagMetrics.map(m =>
+        ratio(s"days_with_${m}_per_days_$s", s"days_with_${m}_$s", s"days_$s"))
+
+    // per-day-in-set ratios (`04a:308-368`)
+    val perDaysInSet =
+      Seq(
+        perSet(w, s"days_to_days_in_set_$s", s"days_$s"),
+        perSet(w, s"baskets_per_days_in_set_$s", s"baskets_$s"),
+        perSet(w, s"products_to_days_in_set_$s", s"products_$s"),
+        perSet(w, s"line_items_per_days_in_set_$s", s"line_items_$s")) ++
+      moneyMetrics.map(m => perSet(w, s"${m}_per_days_in_set_$s", s"${m}_$s")) ++
+      flagMetrics.map(m =>
+        perSet(w, s"days_with_${m}_per_days_in_set_$s", s"days_with_${m}_$s"))
+
+    // per-basket ratios (`04a:370-419`)
+    val perBasket =
+      Seq(
+        ratio(s"products_per_basket_$s", s"products_$s", s"baskets_$s"),
+        ratio(s"line_items_per_basket_$s", s"line_items_$s", s"baskets_$s"),
+        ratio(s"units_per_basket_$s", s"units_$s", s"baskets_$s")) ++
+      moneyMetrics.map(m => ratio(s"${m}_per_basket_$s", s"${m}_$s", s"baskets_$s")) ++
+      flagMetrics.map(m =>
+        ratio(s"baskets_with_${m}_per_baskets_$s", s"baskets_with_${m}_$s", s"baskets_$s"))
+
+    // per-product ratios (`04a:421-465`)
+    val perProduct =
+      Seq(ratio(s"line_items_per_product_$s", s"line_items_$s", s"products_$s")) ++
+      moneyMetrics.map(m => ratio(s"${m}_per_product_$s", s"${m}_$s", s"products_$s")) ++
+      flagMetrics.map(m =>
+        ratio(s"products_with_${m}_per_product_$s", s"products_with_${m}_$s", s"products_$s"))
+
+    // per-line_item ratios (`04a:467-506`)
+    val perLineItem =
+      moneyMetrics.map(m => ratio(s"${m}_per_line_item_$s", s"${m}_$s", s"line_items_$s")) ++
+      flagMetrics.map(m =>
+        ratio(s"products_with_${m}_per_line_item_$s", s"products_with_${m}_$s", s"line_items_$s"))
+
+    // amount_list ratios (`04a:508-525`)
+    val toAmountList = Seq(
+      ratio(s"campaign_coupon_discount_to_amount_list_$s",
+        s"campaign_coupon_discount_$s", s"amount_list_$s"),
+      ratio(s"manuf_coupon_discount_to_amount_list_$s",
+        s"manuf_coupon_discount_$s", s"amount_list_$s"),
+      ratio(s"total_coupon_discount_to_amount_list_$s",
+        s"total_coupon_discount_$s", s"amount_list_$s"),
+      ratio(s"amount_paid_to_amount_list_$s",
+        s"amount_paid_$s", s"amount_list_$s"))
+
+    perDay ++ perDaysInSet ++ perBasket ++ perProduct ++ perLineItem ++ toAmountList
   }
 }

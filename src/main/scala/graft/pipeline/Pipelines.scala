@@ -58,13 +58,19 @@ final class PropensityPipeline(spark: SparkSession, cfg: PipelineConfig) {
     val d = java.sql.Date.valueOf(day)
     val txAsOf = tx.filter(col("day") <= lit(d))
     val txcAsOf = txc.filter(col("day") <= lit(d))
+    // one bounds job per distinct fact, shared across grains
+    val hb = FeatureBuilder.bounds(txAsOf)
+    val cb = FeatureBuilder.bounds(txcAsOf)
     def stamped(df: DataFrame) = df.withColumn("day", lit(d))
     householdFeatures.upsert(spark,
-      stamped(FeatureBuilder.build(txAsOf, FeatureBuilder.household)))
+      stamped(FeatureBuilder.build(txAsOf, FeatureBuilder.household,
+        knownBounds = Some(hb))))
     commodityFeatures.upsert(spark,
-      stamped(FeatureBuilder.build(txcAsOf, FeatureBuilder.commodity)))
+      stamped(FeatureBuilder.build(txcAsOf, FeatureBuilder.commodity,
+        knownBounds = Some(cb))))
     householdCommodityFeatures.upsert(spark,
-      stamped(FeatureBuilder.build(txcAsOf, FeatureBuilder.householdCommodity)))
+      stamped(FeatureBuilder.build(txcAsOf, FeatureBuilder.householdCommodity,
+        knownBounds = Some(cb))))
   }
 
   /** Init (`02_Initialize_Solution.py:78-88`): backfill features at the
@@ -87,7 +93,7 @@ final class PropensityPipeline(spark: SparkSession, cfg: PipelineConfig) {
   /** Weekly (`04b`): labels at cur−30, PIT-join features, one model per
     * commodity, promoted to Production.
     */
-  def trainAll(): Seq[(String, Double)] = {
+  def trainAll(): Seq[(String, PropensityTrainer.Metrics)] = {
     val cur = currentDay
     val fed = cur.minusDays(LabelBuilder.horizonDays)
     val labels = LabelBuilder.labels(txc, commodities, fed).cache()
@@ -111,10 +117,13 @@ final class PropensityPipeline(spark: SparkSession, cfg: PipelineConfig) {
       // train ∪ val — otherwise the 15% val rows would contribute nothing
       val model = PropensityTrainer.train(
         trainDf.unionByName(valDf), featureCols, cfg.trainer)
-      val auprc = PropensityTrainer.evaluate(model, test)
+      val metrics = PropensityTrainer.evaluate(model, test)
+      // the reference logs all three per-commodity metrics to its tracking
+      // service (04b:258-264); here they go to the job log
+      println(s"[trainAll] $desc: $metrics")
       val v = models.save(clean, model)
       models.promote(clean, v)
-      (desc, auprc)
+      (desc, metrics)
     }
     labels.unpersist(); trainingSet.unpersist()
     out

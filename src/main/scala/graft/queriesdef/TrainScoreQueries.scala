@@ -109,15 +109,21 @@ object TrainScoreQueries {
         val labels = LabelBuilder.labels(txc, Commodities.commoditiesToScore(s, dir), fed)
         val txAsOf = tx.filter(col("day") <= lit(fedD))
         val txcAsOf = txc.filter(col("day") <= lit(fedD))
+        // one bounds job per distinct fact, shared across grains
+        val hb = FeatureBuilder.bounds(txAsOf)
+        val cb = FeatureBuilder.bounds(txcAsOf)
         TrainingSetBuilder.build(labels, Seq(
           TrainingSetBuilder.Lookup(
-            FeatureBuilder.build(txAsOf, FeatureBuilder.household),
+            FeatureBuilder.build(txAsOf, FeatureBuilder.household,
+              knownBounds = Some(hb)),
             Seq("household_key"), "household__"),
           TrainingSetBuilder.Lookup(
-            FeatureBuilder.build(txcAsOf, FeatureBuilder.commodity),
+            FeatureBuilder.build(txcAsOf, FeatureBuilder.commodity,
+              knownBounds = Some(cb)),
             Seq("commodity_desc"), "commodity__"),
           TrainingSetBuilder.Lookup(
-            FeatureBuilder.build(txcAsOf, FeatureBuilder.householdCommodity),
+            FeatureBuilder.build(txcAsOf, FeatureBuilder.householdCommodity,
+              knownBounds = Some(cb)),
             Seq("household_key", "commodity_desc"), "household_commodity__")),
           joinDay = false)
       },

@@ -58,28 +58,67 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
-  /** IVF-style ANN: coarse-quantize the corpus against `centroids` (the
-    * first `nCells` vectors, a deterministic stand-in for k-means), search
-    * only the query's cell. Approximate (recall < 1 near cell borders) —
-    * the scale path, verified by unit test against brute force recall.
+  /** Seeded k-means coarse centroids for IVF cells — (cell_id, centroid,
+    * ncent). Fit runs on a deterministic sample capped at `sampleCap`
+    * rows: centroid QUALITY needs a representative sample, not the full
+    * corpus, so at 100 TB the fit stays a bounded driver-coordinated job
+    * while assignment (the data-sized pass) remains a broadcast map.
     */
-  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int, nCells: Int): DataFrame = {
+  def kmeansCentroids(corpus: DataFrame, nCells: Int, seed: Long = 42L,
+      sampleCap: Long = 100000L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val n = corpus.count()
+    val sampled =
+      if (n <= sampleCap) corpus
+      else corpus.sample(withReplacement = false, sampleCap.toDouble / n, seed)
+    val feats = sampled
+      .select(array_to_vector(col("embedding").cast("array<double>")).as("features"))
+      .cache()
+    try {
+      val k = math.max(1, math.min(nCells.toLong, feats.count()).toInt)
+      val model = new KMeans().setK(k).setSeed(seed).setMaxIter(10).fit(feats)
+      model.clusterCenters.toSeq.zipWithIndex
+        .map { case (v, i) => (i.toLong, v.toArray) }
+        .toDF("cell_id", "centroid")
+        .withColumn("ncent", norm(col("centroid")))
+    } finally { feats.unpersist(); () }
+  }
+
+  /** Nearest-`probes` cell assignment against broadcast centroids. */
+  private def assign(df: DataFrame, idCol: String, vecCol: String,
+      nCol: String, centroids: DataFrame, probes: Int): DataFrame = {
+    val scored = df.crossJoin(broadcast(centroids))
+      .select(col(idCol), col(vecCol), col(nCol), col("cell_id"),
+        pairCos(vecCol, "centroid", nCol, "ncent").as("ccos"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("ccos").desc, col("cell_id"))
+    scored.withColumn("r", row_number().over(w)).filter(col("r") <= probes)
+      .drop("r", "ccos")
+  }
+
+  /** IVF-style ANN: coarse-quantize the corpus against seeded k-means
+    * centroids (or, with `kmeansCells = false`, the first `nCells`
+    * vectors — the cheap stand-in kept for comparison), search only the
+    * query's cell. Approximate (recall < 1 near cell borders) — the scale
+    * path, verified by unit test against brute force recall.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int, nCells: Int,
+      kmeansCells: Boolean = true, probes: Int = 1): DataFrame = {
     ArrayOps.register(queries.sparkSession)
-    val centroids = corpus.orderBy(col("vec_id")).limit(nCells)
-      .select(col("vec_id").as("cell_id"), col("embedding").as("centroid"),
-        norm(col("embedding")).as("ncent"))
-    def assign(df: DataFrame, idCol: String, vecCol: String, nCol: String): DataFrame = {
-      val scored = df.crossJoin(broadcast(centroids))
-        .select(col(idCol), col(vecCol), col(nCol), col("cell_id"),
-          pairCos(vecCol, "centroid", nCol, "ncent").as("ccos"))
-      val w = Window.partitionBy(col(idCol)).orderBy(col("ccos").desc, col("cell_id"))
-      scored.withColumn("r", row_number().over(w)).filter(col("r") === 1)
-        .drop("r", "ccos")
-    }
+    val centroids =
+      if (kmeansCells) kmeansCentroids(corpus, nCells)
+      else corpus.orderBy(col("vec_id")).limit(nCells)
+        .select(col("vec_id").as("cell_id"), col("embedding").as("centroid"),
+          norm(col("embedding")).as("ncent"))
+    // standard IVF: every corpus vector lives in exactly one cell; the
+    // QUERY probes its `probes` nearest cells (recall is monotone in
+    // `probes` — the candidate set only grows)
     val corpusCells = assign(side(corpus, "neighbor_id", "cv", "nc"),
-      "neighbor_id", "cv", "nc")
+      "neighbor_id", "cv", "nc", centroids, probes = 1)
     val queryCells = assign(side(queries, "query_id", "qv", "nq"),
-      "query_id", "qv", "nq")
+      "query_id", "qv", "nq", centroids, probes = probes)
     val scored = queryCells.join(corpusCells, Seq("cell_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
@@ -90,16 +129,39 @@ object Similarity {
   }
 
   /** Embedding-cosine near-duplicate pairs (dedup by semantic identity):
-    * all pairs with cosine ≥ threshold. Exact; the LSH/IVF candidates
-    * above are the scale path for the same predicate.
+    * all pairs with cosine ≥ threshold.
+    *
+    * Auto-selects the physical strategy by corpus size: at or below
+    * `exactLimit` vectors the exact all-pairs join runs (quadratic but
+    * cheap, and oracle-exact); above it, candidates come from probe-2
+    * IVF cells (√n seeded k-means centroids, each vector lands in its 2
+    * nearest cells, pairs must share a cell) and only candidates get the
+    * exact cosine verify — pair work drops from n² to ~4·n²/cells with
+    * NO unconditioned cross join in the plan. Near-duplicates sit far
+    * inside cell interiors relative to the cell diameter, so probe-2
+    * recall is high (pinned by SimilaritySpec against brute force).
     */
-  def cosineNearDupPairs(vectors: DataFrame, threshold: Double): DataFrame = {
+  def cosineNearDupPairs(vectors: DataFrame, threshold: Double,
+      exactLimit: Long = 20000L): DataFrame = {
     ArrayOps.register(vectors.sparkSession)
     val a = side(vectors, "vec_a", "va", "na")
     val b = side(vectors, "vec_b", "vb", "nb")
-    a.crossJoin(b).filter(col("vec_a") < col("vec_b"))
-      .select(col("vec_a"), col("vec_b"),
-        pairCos("va", "vb", "na", "nb").as("cos"))
-      .filter(col("cos") >= threshold)
+    val n = vectors.count()
+    if (n <= exactLimit) {
+      a.crossJoin(b).filter(col("vec_a") < col("vec_b"))
+        .select(col("vec_a"), col("vec_b"),
+          pairCos("va", "vb", "na", "nb").as("cos"))
+        .filter(col("cos") >= threshold)
+    } else {
+      val nCells = math.max(16, math.sqrt(n.toDouble).toInt)
+      val cents = kmeansCentroids(vectors, nCells)
+      val av = assign(a, "vec_a", "va", "na", cents, probes = 2)
+      val bv = assign(b, "vec_b", "vb", "nb", cents, probes = 2)
+      av.join(bv, Seq("cell_id")).filter(col("vec_a") < col("vec_b"))
+        .select(col("vec_a"), col("vec_b"),
+          pairCos("va", "vb", "na", "nb").as("cos"))
+        .filter(col("cos") >= threshold)
+        .distinct() // a pair sharing both probed cells appears twice
+    }
   }
 }

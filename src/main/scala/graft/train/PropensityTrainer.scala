@@ -28,12 +28,22 @@ import org.apache.spark.sql.functions._
   */
 object PropensityTrainer {
 
+  /** Defaults mirror the reference's tuning budget in grid form
+    * (`04b:378-395`): hyperopt explores `max_depth` ∈ [5, 20] and
+    * `learning_rate` ∈ [0.01, 0.40] with ≥50 TPE evals; the grid samples
+    * the same ranges at 4×3 = 12 points, and trials run as parallel
+    * Spark jobs (`parallelism` = local cores, like `SparkTrials`).
+    * XGBoost→GBT delta: MLlib's GBT has no `scale_pos_weight` /
+    * `min_child_weight` / histogram tricks — imbalance is handled by the
+    * `weightCol` instead (`withWeights`), and depth beyond ~12 is
+    * disproportionately slow on GBT, so the depth samples stop there.
+    */
   final case class Config(
       algo: String = "gbt", // "gbt" | "lr"
-      maxDepths: Seq[Int] = Seq(3, 5),
-      stepSizes: Seq[Double] = Seq(0.1),
+      maxDepths: Seq[Int] = Seq(3, 5, 8, 12),
+      stepSizes: Seq[Double] = Seq(0.05, 0.1, 0.3),
       maxIter: Int = 20,
-      parallelism: Int = 4,
+      parallelism: Int = Runtime.getRuntime.availableProcessors(),
       seed: Long = 42L)
 
   /** Train/validate/test split mirroring `04b:366-367`. */
@@ -82,9 +92,55 @@ object PropensityTrainer {
     pipe.fit(labeled)
   }
 
-  /** areaUnderPR on a held-out frame (model-quality tracking, `04b:297-309`). */
-  def evaluate(model: PipelineModel, test: DataFrame): Double = {
-    val scored = model.transform(test.withColumn("label", col("purchased").cast("double")))
-    new BinaryClassificationEvaluator().setMetricName("areaUnderPR").evaluate(scored)
+  /** The reference's three tracked model-quality metrics (`04b:254-256`,
+    * `04b:297-309`): average precision, balanced accuracy, Matthews
+    * correlation coefficient.
+    */
+  final case class Metrics(
+      avgPrecision: Double, balancedAccuracy: Double, mcc: Double) {
+    override def toString: String =
+      f"avg_precision=$avgPrecision%.4f balanced_accuracy=$balancedAccuracy%.4f mcc=$mcc%.4f"
+  }
+
+  /** Balanced accuracy + MCC from confusion counts, computed in ONE
+    * distributed aggregate over the scored frame (the reference computes
+    * them driver-side via sklearn on a pandas matrix, `04b:254-256`).
+    * Conventions: MCC is 0.0 when any confusion margin is empty
+    * (sklearn's zero-division behavior); an absent class contributes a
+    * 0.0 recall term to balanced accuracy.
+    */
+  def confusionMetrics(scored: DataFrame,
+      labelCol: String = "label", predCol: String = "prediction"): (Double, Double) = {
+    val l = col(labelCol)
+    val p = col(predCol)
+    def cnt(c: org.apache.spark.sql.Column) =
+      sum(when(c, 1L).otherwise(0L))
+    val row = scored.agg(
+      cnt(l === 1.0 && p === 1.0).as("tp"),
+      cnt(l === 0.0 && p === 1.0).as("fp"),
+      cnt(l === 0.0 && p === 0.0).as("tn"),
+      cnt(l === 1.0 && p === 0.0).as("fn")).head()
+    val (tp, fp, tn, fn) =
+      (row.getLong(0).toDouble, row.getLong(1).toDouble,
+        row.getLong(2).toDouble, row.getLong(3).toDouble)
+    def rate(num: Double, den: Double) = if (den == 0.0) 0.0 else num / den
+    val ba = (rate(tp, tp + fn) + rate(tn, tn + fp)) / 2.0
+    val den = math.sqrt((tp + fp) * (tp + fn) * (tn + fp) * (tn + fn))
+    val mcc = if (den == 0.0) 0.0 else (tp * tn - fp * fn) / den
+    (ba, mcc)
+  }
+
+  /** All three tracked metrics on a held-out frame (`04b:297-309`). */
+  def evaluate(model: PipelineModel, test: DataFrame): Metrics = {
+    val scored = model
+      .transform(test.withColumn("label", col("purchased").cast("double")))
+      .select("label", "prediction", "rawPrediction")
+      .cache() // score once, read twice (AP + confusion)
+    try {
+      val ap = new BinaryClassificationEvaluator()
+        .setMetricName("areaUnderPR").evaluate(scored)
+      val (ba, mcc) = confusionMetrics(scored)
+      Metrics(ap, ba, mcc)
+    } finally { scored.unpersist(); () }
   }
 }

@@ -21,11 +21,13 @@ class FeatureSpec extends AnyFunSuite {
     "amount_list", "instore_discount", "campaign_coupon_discount",
     "manuf_coupon_discount", "total_coupon_discount", "amount_paid")
 
-  test("window bounds: 30/60/90 trailing, 1yr = same-season slice") {
+  test("window bounds: 30/60/90 trailing, 1yr = same-season slice (04a:164-167)") {
     val w = WindowSpec.windows(cur)
     assert(w.map(_.name) == Seq("30d", "60d", "90d", "1yr"))
     assert(w(0).start == cur.minusDays(29) && w(0).end == cur)
-    assert(w(3).start == cur.minusDays(394) && w(3).end == cur.minusDays(365))
+    // min_day = max_day - 364; max_day = min_day + 29
+    assert(w(3).start == cur.minusDays(364) && w(3).end == cur.minusDays(335))
+    assert(w.map(_.days) == Seq(30L, 60L, 90L, 30L))
   }
 
   test("single-pass windows: 30d excludes, 60d includes the older basket") {
@@ -41,28 +43,56 @@ class FeatureSpec extends AnyFunSuite {
     assert(h2.getAs[Double]("baskets_60d") == 1.0)
   }
 
-  test("days-since floors at window start when no qualifying event") {
+  test("days-since anchors at the window end, floors at days-1") {
     val out = FeatureBuilder.build(fact, FeatureBuilder.household)
       .collect().map(r => r.getAs[Long]("household_key") -> r).toMap
     // h1 bought with instore discount on cur → 0 days since, in every window
-    assert(out(1L).getAs[Double]("days_since_instore_30d") == 0.0)
-    // h2 never had instore discount → floor = days from window start to cur
-    assert(out(2L).getAs[Double]("days_since_instore_30d") == 29.0)
-    assert(out(2L).getAs[Double]("days_since_instore_90d") == 89.0)
+    assert(out(1L).getAs[Double]("days_since_instore_discount_30d") == 0.0)
+    // h2 never had instore discount → floor = days_in_window - 1
+    assert(out(2L).getAs[Double]("days_since_instore_discount_30d") == 29.0)
+    assert(out(2L).getAs[Double]("days_since_instore_discount_90d") == 89.0)
     // h2's only purchase is 40 days back → days_since_60d = 40
     assert(out(2L).getAs[Double]("days_since_60d") == 40.0)
+    // 1yr window is empty here → recency floors at its own 30-day span
+    assert(out(1L).getAs[Double]("days_since_1yr") == 29.0)
   }
 
   test("ratio guard: zero denominator yields 0.0, not null/error") {
     val out = FeatureBuilder.build(fact, FeatureBuilder.household)
       .collect().map(r => r.getAs[Long]("household_key") -> r).toMap
-    // h2 has no baskets in 30d → paid_per_basket_30d = 0.0
-    assert(out(2L).getAs[Double]("paid_per_basket_30d") == 0.0)
-    assert(out(1L).getAs[Double]("paid_per_basket_30d") == 45.0)
+    // h2 has no baskets in 30d → amount_paid_per_basket_30d = 0.0
+    assert(out(2L).getAs[Double]("amount_paid_per_basket_30d") == 0.0)
+    assert(out(1L).getAs[Double]("amount_paid_per_basket_30d") == 45.0)
   }
 
-  test("double-suffix quirk replicated: products_per_day_30d_30d exists") {
-    assert(FeatureBuilder.metricNames.contains("products_per_day_30d_30d"))
+  test("reference-width catalog: 4 flag families, days_in_set ratios, quirk name") {
+    val names = FeatureBuilder.metricNames
+    // double-suffix quirk replicated (04a:263-266 + 04a:555-559)
+    assert(names.contains("products_per_day_30d_30d"))
+    // 4th flag metric present across families (04a:201-255)
+    assert(names.contains("baskets_with_total_coupon_discount_60d"))
+    assert(names.contains("line_items_with_total_coupon_discount_90d"))
+    assert(names.contains("days_since_total_coupon_discount_1yr"))
+    // constant-denominator family (04a:308-368)
+    assert(names.contains("days_to_days_in_set_30d"))
+    assert(names.contains("baskets_per_days_in_set_1yr"))
+    // six ratio families at reference width
+    assert(names.contains("amount_paid_to_amount_list_30d"))
+    assert(names.contains("products_with_manuf_coupon_discount_per_line_item_60d"))
+  }
+
+  test("per-days-in-set uses the window's constant day count") {
+    val out = FeatureBuilder.build(fact, FeatureBuilder.household)
+      .collect().map(r => r.getAs[Long]("household_key") -> r).toMap
+    // h1: 2 distinct days in 60d → days_to_days_in_set_60d = 2/60
+    assert(math.abs(out(1L).getAs[Double]("days_to_days_in_set_60d") - 2.0 / 60.0) < 1e-12)
+  }
+
+  test("exact path computes distinct counts without an Expand") {
+    val df = FeatureBuilder.build(fact, FeatureBuilder.household)
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Expand"),
+      s"split-distinct build must not trigger RewriteDistinctAggregates:\n$plan")
   }
 
   test("approxDistinct flag swaps exact distincts for HLL sketches") {
@@ -71,7 +101,7 @@ class FeatureSpec extends AnyFunSuite {
       approxDistinct = true)
     assert(approx.columns.toSeq == exact.columns.toSeq)
     // tiny groups: HLL is exact there, so values agree while the plan
-    // avoids the multi-distinct Expand
+    // stays single-pass with no Expand
     val e = exact.collect().map(r => r.getAs[Long]("household_key") ->
       r.getAs[Double]("baskets_60d")).toMap
     val a = approx.collect().map(r => r.getAs[Long]("household_key") ->

@@ -40,8 +40,44 @@ class SimilaritySpec extends AnyFunSuite {
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
     val recall = (bf & ivf).size.toDouble / bf.size
     assert(recall >= 0.2, s"IVF recall unreasonably low: $recall")
-    assert(ivf.subsetOf(ivf)) // sanity
+    // recall is monotone in probes: probe-2 candidates ⊇ probe-1
+    val ivf2 = Similarity.ivfTopK(q, emb, k = 5, nCells = 4, probes = 2).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall2 = (bf & ivf2).size.toDouble / bf.size
+    assert(recall2 >= recall, s"probe-2 recall $recall2 < probe-1 recall $recall")
     // every IVF hit must be a real vector pair (query != neighbor)
     assert(ivf.forall { case (a, b) => a != b })
+  }
+
+  test("near-dup scale path: high recall vs exact, no unconditioned cross join") {
+    // synthetic near-dup corpus (the operator's actual use case): 60
+    // bases × 5 jittered copies in 16 dims — copies are ≥0.95-cosine to
+    // their base, bases are well separated. Deterministic seed.
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 60).flatMap { b =>
+      val base = Array.fill(16)(rnd.nextGaussian().toFloat)
+      (0 until 5).map { j =>
+        val v = base.map(x => x + 0.02f * rnd.nextGaussian().toFloat)
+        ((b * 5 + j).toLong, v)
+      }
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val threshold = 0.95
+    val exact = Similarity.cosineNearDupPairs(emb, threshold)
+      .collect().map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
+    assert(exact.nonEmpty, "synthetic corpus should contain near-dup pairs")
+    // force the candidate path by setting the exact limit below the corpus
+    val approxDf = Similarity.cosineNearDupPairs(emb, threshold, exactLimit = 0L)
+    // physical plan: the only cross join allowed is the bounded
+    // broadcast against the centroid table, never an n×n CartesianProduct
+    val plan = approxDf.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"scale path must not plan an unconditioned n×n cross join:\n$plan")
+    val approx = approxDf
+      .collect().map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
+    // no false positives: the verify step computes exact cosine
+    assert(approx.subsetOf(exact), s"false positives: ${approx -- exact}")
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.9, s"near-dup candidate recall too low: $recall")
   }
 }

@@ -63,6 +63,33 @@ class TrainerSpec extends AnyFunSuite {
     assert(agg(true) > 0.7 && agg(false) < 0.3, s"gbt failed to separate: $agg")
   }
 
+  test("confusion metrics match hand-computed MCC and balanced accuracy") {
+    // tp=2 fp=1 tn=3 fn=1 → tpr=2/3, tnr=3/4, ba=17/24;
+    // mcc = (2*3 - 1*1) / sqrt(3*3*4*4) = 5/12
+    val scored = Seq(
+      (1.0, 1.0), (1.0, 1.0), (0.0, 1.0),
+      (0.0, 0.0), (0.0, 0.0), (0.0, 0.0), (1.0, 0.0)
+    ).toDF("label", "prediction")
+    val (ba, mcc) = PropensityTrainer.confusionMetrics(scored)
+    assert(math.abs(ba - 17.0 / 24.0) < 1e-12, s"ba=$ba")
+    assert(math.abs(mcc - 5.0 / 12.0) < 1e-12, s"mcc=$mcc")
+    // degenerate: all predictions one class → mcc 0 by convention
+    val onesided = Seq((1.0, 0.0), (0.0, 0.0)).toDF("label", "prediction")
+    val (ba1, mcc1) = PropensityTrainer.confusionMetrics(onesided)
+    assert(mcc1 == 0.0 && ba1 == 0.5)
+  }
+
+  test("evaluate reports all three reference metrics on a separable toy") {
+    val df = PropensityTrainer.withWeights(toy(200), posRatio = 0.4)
+    val model = PropensityTrainer.train(df,
+      Seq("household__f1", "household__f2"),
+      PropensityTrainer.Config(algo = "lr", maxIter = 10, parallelism = 2))
+    val m = PropensityTrainer.evaluate(model, toy(200))
+    assert(m.avgPrecision > 0.95, s"ap=${m.avgPrecision}")
+    assert(m.balancedAccuracy > 0.95, s"ba=${m.balancedAccuracy}")
+    assert(m.mcc > 0.9, s"mcc=${m.mcc}")
+  }
+
   test("seeded split is deterministic") {
     val (a1, b1, c1) = PropensityTrainer.split(toy(100), seed = 7L)
     val (a2, _, _) = PropensityTrainer.split(toy(100), seed = 7L)
