@@ -35,12 +35,17 @@ object SilverStore {
 
   @volatile private var enabledFlag = false
   def enable(): Unit = enabledFlag = true
+  /** Re-disable (tests / embedding teardown); cached entries are simply
+    * bypassed, and dropped by the application-end listener.
+    */
+  def disable(): Unit = enabledFlag = false
   def isEnabled: Boolean = enabledFlag
 
   val buckets: Int = 32
 
   private val silverCache = TrieMap.empty[String, DataFrame]
   private val boundsCache = TrieMap.empty[String, (LocalDate, LocalDate)]
+  private val controlCache = TrieMap.empty[String, DataFrame]
 
   /** Stable identity of a session within this JVM. `SparkSession` in the
     * shipped jars exposes no sessionUUID, so we combine the application id
@@ -94,6 +99,7 @@ object SilverStore {
             silverCache.remove(k).foreach(df => scala.util.Try(df.unpersist(false)))
           }
           boundsCache.keys.filter(_.startsWith(prefix)).foreach(boundsCache.remove)
+          controlCache.keys.filter(_.startsWith(prefix)).foreach(controlCache.remove)
           cleanupRegistered.remove(sid)
         }
       })
@@ -109,4 +115,23 @@ object SilverStore {
       compute: => (LocalDate, LocalDate)): (LocalDate, LocalDate) =
     if (!enabledFlag) compute
     else boundsCache.getOrElseUpdate(key(spark, sfDir), compute)
+
+  /** Session-scoped materialization of a small CONTROL table (≤ a few
+    * rows by construction). The reference persists these physically at
+    * init and reads the table everywhere downstream — e.g.
+    * `commodities_to_score` (`02_Initialize_Solution.py:57-71`); deriving
+    * one per query would repeat its driving aggregation once per query.
+    * The result is collected into a LOCAL relation, so downstream
+    * broadcasts / cross joins / semi-join filters carry no lineage back
+    * to the aggregation that produced it.
+    */
+  def control(spark: SparkSession, sfDir: String, tag: String)(
+      build: => DataFrame): DataFrame =
+    if (!enabledFlag) build
+    else controlCache.getOrElseUpdate(key(spark, sfDir) + "|" + tag, {
+      registerCleanup(spark)
+      val df = build
+      val rows = java.util.Arrays.asList(df.collect(): _*)
+      spark.createDataFrame(rows, df.schema)
+    })
 }

@@ -84,7 +84,13 @@ object MetricDefs {
       AggKind.DistinctOf(entity,
         extra.fold(inWin)(m => inWin && col(m) > 0.0))
 
-    // A2: base multi-aggregates (`04a:183-199`)
+    // A2: base multi-aggregates (`04a:183-199`). Deliberate departure:
+    // the reference's `products` is a plain `fn.count('product_id')`
+    // (`04a:194`) — numerically identical to `line_items` whenever
+    // product_id is non-null, which makes its per-product ratio family
+    // duplicate the per-line_item one. Here `products` is the DISTINCT
+    // product count, which is what the downstream ratios
+    // (products_per_basket, …_per_product) clearly intend.
     val base = Seq(
       AggDef(s"days_$s", cdist(when(inWin, col("day"))),
         s"COUNT(DISTINCT CASE WHEN $inWinSql THEN day END)",

@@ -41,4 +41,26 @@ object CsvIngest {
 
   def ingest(spark: SparkSession, path: String): DataFrame =
     convertDayColumns(readCsv(spark, path))
+
+  /** The reference's eight bronze tables (`01_Data_Prep.py:93-100`):
+    * managed table name → source CSV file name.
+    */
+  val bronzeTables: Seq[(String, String)] = Seq(
+    "transactions" -> "transaction_data.csv",
+    "products" -> "product.csv",
+    "households" -> "hh_demographic.csv",
+    "coupons" -> "coupon.csv",
+    "campaigns" -> "campaign_desc.csv",
+    "coupon_redemptions" -> "coupon_redempt.csv",
+    "campaigns_households" -> "campaign_table.csv",
+    "causal_data" -> "causal_data.csv")
+
+  /** Full bronze load (`create_table` parity, `01:51-100`): every table
+    * read with header + inference and the `*day` codec applied — which
+    * converts `transactions.day`, `coupon_redemptions.day` and
+    * `campaigns.start_day`/`end_day` (`01:66-72`) and leaves non-day
+    * integers (week_no, ids) untouched.
+    */
+  def ingestBronze(spark: SparkSession, dir: String): Map[String, DataFrame] =
+    bronzeTables.map { case (t, f) => t -> ingest(spark, s"$dir/$f") }.toMap
 }

@@ -29,11 +29,18 @@ object Commodities {
       .limit(k)
   }
 
+  /** The to-score control table. When SilverStore is enabled this is
+    * materialized once per (session, fixture) as a local relation —
+    * mirroring the reference, which persists `commodities_to_score`
+    * physically at init (`02:57-71`) and never re-aggregates it.
+    */
   def commoditiesToScore(spark: SparkSession, sfDir: String, k: Int = 10): DataFrame =
-    topCommodities(spark, sfDir, k)
-      .select(
-        col("commodity_desc"),
-        regexp_replace(
-          regexp_replace(col("commodity_desc"), """[-\|\\/:;,."']""", "_"),
-          " ", "_").as("commodity_clean"))
+    graft.core.SilverStore.control(spark, sfDir, s"commodities_to_score_$k") {
+      topCommodities(spark, sfDir, k)
+        .select(
+          col("commodity_desc"),
+          regexp_replace(
+            regexp_replace(col("commodity_desc"), """[-\|\\/:;,."']""", "_"),
+            " ", "_").as("commodity_clean"))
+    }
 }

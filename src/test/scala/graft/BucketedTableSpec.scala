@@ -25,6 +25,23 @@ class BucketedTableSpec extends AnyFunSuite {
     assert(smj.count() == n)
   }
 
+  test("household feature build over bucketed silver plans with ZERO exchanges") {
+    // Hash(household_key) from the 32 silver buckets satisfies every
+    // clustering the split-distinct builder needs — groupBy(hk),
+    // groupBy(hk, entity), the per-entity second stages, and the joins
+    // back on hk — so the whole feature table derives without ONE shuffle.
+    graft.core.SilverStore.enable()
+    try {
+      val tx = graft.silver.TransactionsAdj(spark, "/root/testdata/sf0.001")
+      val df = graft.features.FeatureBuilder.build(
+        tx, graft.features.FeatureBuilder.household)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed household feature build must not shuffle:\n${plan.take(4000)}")
+      assert(df.count() > 0)
+    } finally graft.core.SilverStore.disable()
+  }
+
   test("bucketed vs plain: plain join does shuffle (control)") {
     val n = 5000
     val a = (1 to n).map(i => (i.toLong, i * 1.0)).toDF("k", "va")

@@ -49,4 +49,25 @@ class SilverSpec extends AnyFunSuite {
         > 1e-9).count()
     assert(bad == 0)
   }
+
+  test("control memo: same values as direct build, pinned as local relation") {
+    val sf = "/root/testdata/sf0.001"
+    def asPairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getString(1))).sortBy(_._1).toSeq
+    // un-memoized reference values first (flag off)
+    assert(!graft.core.SilverStore.isEnabled)
+    val plain = asPairs(graft.ops.Commodities.commoditiesToScore(spark, sf))
+    graft.core.SilverStore.enable()
+    try {
+      val c1 = graft.ops.Commodities.commoditiesToScore(spark, sf)
+      // the memoized control table is a collected local relation — no
+      // lineage back to the top-k aggregation
+      assert(c1.queryExecution.optimizedPlan.toString.contains("LocalRelation"),
+        c1.queryExecution.optimizedPlan.toString)
+      assert(asPairs(c1) == plain)
+      // second request returns the SAME pinned frame (no re-aggregation)
+      val c2 = graft.ops.Commodities.commoditiesToScore(spark, sf)
+      assert(c1 eq c2)
+    } finally graft.core.SilverStore.disable()
+  }
 }
