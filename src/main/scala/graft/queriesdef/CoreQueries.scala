@@ -204,6 +204,22 @@ object CoreQueries {
         |SELECT commodity_desc, product_id, spend, rank
         |FROM ranked WHERE rank <= 3""".stripMargin)),
 
+    // Skew hook (SURVEY.md §4): salted two-phase sums are value-identical
+    // to plain sums — DECIMAL accumulation makes the result independent
+    // of how the salt split the rows, so a plain DuckDB SUM is an exact
+    // oracle for the salted plan.
+    Entry(
+      "skew_salted_sums",
+      (s, dir) => graft.ops.SkewAgg.saltedSums(
+        TransactionsAdj(s, dir), Seq("household_key"),
+        Seq(graft.ops.SkewAgg.SumSpec("amount_paid", "sum_paid"),
+          graft.ops.SkewAgg.SumSpec("amount_list", "sum_list"))),
+      Some(s"""WITH ${Oracle.txAdjFull}
+        |SELECT household_key,
+        |  ${Oracle.dsum("amount_paid", "sum_paid")},
+        |  ${Oracle.dsum("amount_list", "sum_list")}
+        |FROM tx GROUP BY household_key""".stripMargin)),
+
     // A3 at scale: approx_count_distinct variant of the distinct family —
     // the 100 TB escape hatch for the multi-distinct Expand (SURVEY.md §4).
     // HLL sketches are engine-specific ⇒ rows-only.

@@ -14,6 +14,15 @@ import graft.core.Retail
   * (`l_discount` → in-store, `l_tax` → coupon) play the reference's
   * retail/coupon discount columns.
   *
+  * Fixture-bounded departure: the reference decomposes from THREE raw
+  * discount columns (`retail_disc`, `coupon_disc`, `coupon_match_disc`,
+  * `01:144-163`), where a non-zero match discount reclassifies the
+  * coupon as manufacturer-matched. The fixture exposes only two rate
+  * columns, so the match bucket has no source signal here; rather than
+  * fake one, the campaign/manufacturer split is driven by the coupon
+  * rate alone and `total_coupon_discount` remains the exact sum of the
+  * two coupon buckets, preserving every downstream invariant.
+  *
   * Everything is ONE `select` — not a chain of `withColumn`s — so the plan
   * has a single Project node and one whole-stage-codegen span regardless of
   * how many derived columns are added (SURVEY.md §4 "100-line projection

@@ -87,15 +87,45 @@ object Similarity {
     } finally { feats.unpersist(); () }
   }
 
-  /** Nearest-`probes` cell assignment against broadcast centroids. */
+  /** Nearest-`probes` cell assignment against broadcast centroids.
+    *
+    * Per-id ranking is a partial-aggregable `max(struct(ccos, …))`, NOT a
+    * `row_number` window: the window would shuffle all n×cells scored
+    * rows to rank them, while the aggregate combines map-side down to one
+    * row per id before any exchange — the difference between an n×cells
+    * and an n shuffle on the data-sized pass of every IVF operator. Ties
+    * break to the smaller cell_id (struct orders ccos DESC via max, then
+    * -cell_id), matching the previous window semantics. Extra probes run
+    * one exclusion pass each: re-score against the broadcast centroids,
+    * keep the best cell not already assigned — O(probes·n) shuffle rows.
+    */
   private def assign(df: DataFrame, idCol: String, vecCol: String,
       nCol: String, centroids: DataFrame, probes: Int): DataFrame = {
-    val scored = df.crossJoin(broadcast(centroids))
-      .select(col(idCol), col(vecCol), col(nCol), col("cell_id"),
-        pairCos(vecCol, "centroid", nCol, "ncent").as("ccos"))
-    val w = Window.partitionBy(col(idCol)).orderBy(col("ccos").desc, col("cell_id"))
-    scored.withColumn("r", row_number().over(w)).filter(col("r") <= probes)
-      .drop("r", "ccos")
+    def bestPass(base: DataFrame): DataFrame =
+      base.crossJoin(broadcast(centroids))
+        .filter(!array_contains(col("__excluded"), col("cell_id")))
+        .select(col(idCol), col(vecCol), col(nCol), col("__excluded"),
+          col("cell_id"), pairCos(vecCol, "centroid", nCol, "ncent").as("ccos"))
+        .groupBy(col(idCol))
+        .agg(
+          first(col(vecCol)).as(vecCol),
+          first(col(nCol)).as(nCol),
+          first(col("__excluded")).as("__excluded"),
+          max(struct(col("ccos"), (-col("cell_id")).as("nc"),
+            col("cell_id").as("cell"))).as("__best"))
+        .withColumn("cell_id", col("__best").getField("cell"))
+        .drop("__best")
+
+    var base = df.withColumn("__excluded", array().cast("array<bigint>"))
+    val out = Seq.newBuilder[DataFrame]
+    for (_ <- 1 to probes) {
+      val b = bestPass(base)
+      out += b.select(col(idCol), col(vecCol), col(nCol), col("cell_id"))
+      base = b
+        .withColumn("__excluded", array_union(col("__excluded"), array(col("cell_id"))))
+        .drop("cell_id")
+    }
+    out.result().reduce(_ unionByName _)
   }
 
   /** IVF-style ANN: coarse-quantize the corpus against seeded k-means

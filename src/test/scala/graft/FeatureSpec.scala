@@ -95,6 +95,56 @@ class FeatureSpec extends AnyFunSuite {
       s"split-distinct build must not trigger RewriteDistinctAggregates:\n$plan")
   }
 
+  test("split-distinct path is value-identical to the naive single-pass") {
+    // randomized facts (seeded): days spread across all four windows
+    // (incl. the 1yr same-season slice), flags randomly zero/positive,
+    // null product_ids to exercise COUNT(DISTINCT)'s null-skipping
+    for (seed <- Seq(11, 42, 99)) {
+      val rnd = new scala.util.Random(seed)
+      val dayPool = (0 to 95).map(cur.minusDays(_)) ++ (330 to 400).map(cur.minusDays(_))
+      val rows = (0 until 60).map { i =>
+        def m() = if (rnd.nextBoolean()) 0.0 else math.rint(rnd.nextDouble() * 500) / 100.0
+        val (in, ca, mf) = (m(), m(), m())
+        (rnd.nextInt(4).toLong + 1, rnd.nextInt(8).toLong, // hk, basket
+          java.sql.Date.valueOf(dayPool(rnd.nextInt(dayPool.size))),
+          if (rnd.nextInt(10) == 0) null else java.lang.Long.valueOf(rnd.nextInt(6).toLong),
+          1L, 1 + rnd.nextInt(3), // store, units
+          math.rint(rnd.nextDouble() * 10000) / 100.0, in, ca, mf, ca + mf,
+          math.rint(rnd.nextDouble() * 9000) / 100.0)
+      }
+      val f = rows.toDF("household_key", "basket_id", "day", "product_id",
+        "store_id", "units", "amount_list", "instore_discount",
+        "campaign_coupon_discount", "manuf_coupon_discount",
+        "total_coupon_discount", "amount_paid")
+      // pin cur so both sides derive identical windows regardless of the
+      // random max day
+      val split = FeatureBuilder.build(f, FeatureBuilder.household,
+        knownBounds = Some((cur.minusDays(400), cur)))
+      // naive: ONE groupBy carrying the exact countDistinct aggregates
+      // (Catalyst's Expand path), then the same clean + ratio projections
+      val wins = WindowSpec.windows(cur)
+      val aggs = wins.flatMap(w => MetricDefs.aggsFor(w, cur))
+      val posts = wins.flatMap(MetricDefs.ratiosFor)
+      // same union-of-windows prefilter the builder applies
+      val fPref = f.filter(col("day").between(
+        lit(java.sql.Date.valueOf(cur.minusDays(364))), lit(java.sql.Date.valueOf(cur))))
+      val naiveAgged = fPref.groupBy(col("household_key"))
+        .agg(aggs.head.col.as(aggs.head.name),
+          aggs.tail.map(a => a.col.as(a.name)): _*)
+      val naiveClean = naiveAgged.select(
+        col("household_key") +:
+          aggs.map(a => coalesce(col(a.name).cast("double"), lit(0.0)).as(a.name)): _*)
+      val naive = naiveClean.select(
+        (col("household_key") +: aggs.map(a => col(a.name))) ++
+          posts.map(p => p.col.as(p.name)): _*)
+      assert(split.columns.toSeq == naive.columns.toSeq)
+      def dump(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => r.getAs[Long]("household_key") ->
+          (1 until r.length).map(r.getDouble)).toMap
+      assert(dump(split) == dump(naive), s"seed $seed diverged")
+    }
+  }
+
   test("approxDistinct flag swaps exact distincts for HLL sketches") {
     val exact = FeatureBuilder.build(fact, FeatureBuilder.household)
     val approx = FeatureBuilder.build(fact, FeatureBuilder.household,
