@@ -193,6 +193,17 @@ object TextQueries {
       (s, dir) => Dedup.simhashPairs(docs(s, dir)),
       None),
 
+    // Reproducible content-hash train/val/test assignment — split
+    // membership is a pure function of the key, verified engine-exact
+    // (the md5-bucket arithmetic renders to both engines).
+    Entry(
+      "hash_split",
+      (s, dir) => graft.ops.HashSplit.split(
+        docs(s, dir).select("doc_id"), "doc_id"),
+      Some(s"""SELECT doc_id, bucket, ${graft.ops.HashSplit.splitSql()} AS split
+        |FROM (SELECT doc_id, ${graft.ops.HashSplit.bucketSql("doc_id", 1000)} AS bucket
+        |      FROM documents) t""".stripMargin)),
+
     // Multimodal plumbing: batched stub feature extraction (rows-only).
     Entry(
       "multimodal_features",
