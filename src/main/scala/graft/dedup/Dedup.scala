@@ -22,6 +22,20 @@ object Dedup {
       .agg(min(col("doc_id")).as("canonical_doc_id"),
         count(lit(1)).as("n_copies"))
 
+  /** Streaming twin of [[exact]] for ingestion pipelines: first-seen doc
+    * per content hash survives, later duplicates are dropped as they
+    * arrive. `dropDuplicatesWithinWatermark` bounds the dedup state to
+    * the watermark horizon — the standard streaming-ingestion trade
+    * (bounded state vs. dedup-forever; re-ingested corpora beyond the
+    * horizon fall back to the batch [[exact]] pass). Keyed on the 16-byte
+    * md5, so state stores a hash per distinct doc, never the text.
+    */
+  def exactStream(docs: DataFrame, tsCol: String = "ts",
+      watermark: String = "1 hour"): DataFrame =
+    docs.withColumn("content_md5", md5(col("text").cast("binary")))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("content_md5")
+
   /** Word n-gram shingle set, exploded to (doc_id, shingle) rows — pure
     * column algebra (split + transform + slice, all codegen-friendly).
     * Word shingles carry ~wordLen× fewer rows than character shingles for

@@ -193,6 +193,25 @@ object TextQueries {
       (s, dir) => Dedup.simhashPairs(docs(s, dir)),
       None),
 
+    // Intra-document repetition ratio (boilerplate/spam signal): share of
+    // word bigrams taken by the most frequent bigram.
+    Entry(
+      "text_repetition",
+      (s, dir) => TextAnalysis.repetition(docs(s, dir)),
+      Some("""WITH ws AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |idx AS (
+        |  SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i
+        |  FROM ws WHERE len(w) >= 2),
+        |grams AS (
+        |  SELECT doc_id, (w[i] || ' ' || w[i + 1]) AS gram FROM idx),
+        |counts AS (
+        |  SELECT doc_id, gram, COUNT(*) AS c FROM grams GROUP BY doc_id, gram)
+        |SELECT doc_id,
+        |  CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS repetition_ratio,
+        |  CAST(SUM(c) AS BIGINT) AS n_grams
+        |FROM counts GROUP BY doc_id""".stripMargin)),
+
     // Reproducible content-hash train/val/test assignment — split
     // membership is a pure function of the key, verified engine-exact
     // (the md5-bucket arithmetic renders to both engines).

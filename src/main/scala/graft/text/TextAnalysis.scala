@@ -95,6 +95,34 @@ object TextAnalysis {
       when(maxScore > 0, firstAtMax).otherwise(lit("und")))
   }
 
+  /** Intra-document n-gram repetition ratio — share of the document's
+    * word n-grams taken by its single most frequent n-gram (duplicates
+    * kept, unlike the dedup shingle SET). High values flag boilerplate /
+    * template spam — a standard pre-training quality signal alongside
+    * [[stats]]. Documents with fewer than `n` words have no n-grams and
+    * are excluded, as in the oracle.
+    *
+    * Scale shape: explode → groupBy(doc_id, gram) with map-side combine →
+    * groupBy(doc_id); both aggregations cluster by doc_id so the second
+    * needs no extra exchange beyond the first.
+    */
+  def repetition(docs: DataFrame, n: Int = 2): DataFrame = {
+    val words = split(col("text"), " ")
+    val grams = docs
+      .select(col("doc_id"), words.as("w"), size(words).as("nw"))
+      .filter(col("nw") >= n)
+      .select(col("doc_id"),
+        explode(transform(
+          sequence(lit(0), col("nw") - n),
+          i => concat_ws(" ", slice(col("w"), i + 1, lit(n))))).as("gram"))
+    grams.groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(
+        (max(col("c")).cast("double") / sum(col("c")).cast("double"))
+          .as("repetition_ratio"),
+        sum(col("c")).cast("long").as("n_grams"))
+  }
+
   /** Document fingerprints: md5 content hash (exact-dup key) and a
     * simhash-style 16-bit sketch derived from md5 nibbles of each token —
     * fully deterministic and oracle-expressible (no engine-specific hash).

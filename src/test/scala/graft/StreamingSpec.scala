@@ -49,6 +49,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.exists { case (_, t, n) => t == "click" && n == 3 })
   }
 
+  test("streaming exact dedup keeps one doc per content, agrees with batch") {
+    val docRows = Seq(
+      (1L, "alpha beta", ts("2024-01-01 10:00:00")),
+      (2L, "gamma delta", ts("2024-01-01 10:01:00")),
+      (3L, "alpha beta", ts("2024-01-01 10:02:00")), // dup of 1 within watermark
+      (4L, "gamma delta", ts("2024-01-01 10:03:00")), // dup of 2
+      (5L, "epsilon", ts("2024-01-01 10:04:00"))
+    )
+    val d = Files.createTempDirectory("docs-stream").toString
+    docRows.toDF("doc_id", "text", "ts").write.mode("overwrite").parquet(d)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(d).schema).parquet(d)
+    EventStreams.runToMemory(
+      graft.dedup.Dedup.exactStream(stream), "dedup_stream")
+    val survivors = spark.table("dedup_stream")
+      .select("content_md5").as[String].collect().toSeq
+    // one survivor per distinct content — same count the batch op reports
+    val batch = graft.dedup.Dedup.exact(docRows.toDF("doc_id", "text", "ts"))
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(survivors.sorted == batch.keys.toSeq.sorted)
+    assert(survivors.size == 3 && batch.values.sum == 5L)
+  }
+
   test("stateful sessionizer closes sessions on gap, matches batch islands") {
     val stream = EventStreams.readEvents(spark, dir)
     val sessions = EventStreams.sessionizeStream(spark, stream)

@@ -41,6 +41,21 @@ class TextSpec extends AnyFunSuite {
     assert(out(2L) == "und") // no markers at all
   }
 
+  test("repetition: most-frequent-bigram share, short docs excluded") {
+    import spark.implicits._
+    val d = Seq(
+      (10L, "a b a b a"),   // bigrams: "a b","b a","a b","b a" → max 2 of 4
+      (11L, "w x y z"),     // all distinct → 1/3
+      (12L, "solo")         // < 2 words → excluded
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repetition(d).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Double]("repetition_ratio"), r.getAs[Long]("n_grams"))).toMap
+    assert(out(10L) == ((0.5, 4L)))
+    assert(out(11L) == ((1.0 / 3.0, 3L)))
+    assert(!out.contains(12L))
+  }
+
   test("fingerprints: md5 is content-determined") {
     val fp = TextAnalysis.fingerprints(docs).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("content_md5")).toMap
