@@ -37,10 +37,10 @@ import MetricDefs.AggKind
   * so the whole feature build runs with ZERO exchanges — pinned by
   * PlanSpec.
   *
-  * Grain keys are assumed non-null, as in the reference: its own
-  * summary/days-since join-back onto the anchor spine (`04a:548-552`)
-  * matches on the grouping keys with plain equality, so null keys never
-  * survive there either.
+  * Rows with null grain keys are excluded by the pre-filter (engine and
+  * oracle alike) — the grains are defined over non-null keys, matching
+  * the reference, whose spine join-back on the grouping keys
+  * (`04a:548-552`) never matches null keys either.
   */
 object FeatureBuilder {
 
@@ -79,11 +79,18 @@ object FeatureBuilder {
     val posts = wins.flatMap(MetricDefs.ratiosFor)
 
     // Pre-filter to the union of all windows: lets parquet skip row groups
-    // outside [oldest window start, cur] before any aggregation.
+    // outside [oldest window start, cur] before any aggregation. Null
+    // grain keys are excluded EXPLICITLY (and identically in the oracle's
+    // pref CTE): the grains are defined over non-null keys — reference
+    // behavior, since its spine join-back on the grouping keys
+    // (`04a:548-552`) never matches null keys either — and making it a
+    // filter keeps the exact split-distinct path (whose joins use
+    // null-rejecting equality) consistent with the approx single-pass.
     val oldest = wins.map(_.start).min(Ordering.by((d: LocalDate) => d.toEpochDay))
-    val prefiltered = fact.filter(
-      col("day").between(lit(java.sql.Date.valueOf(oldest)), lit(java.sql.Date.valueOf(cur))))
     val keyCols = grain.keys.map(col)
+    val prefiltered = fact.filter(
+      col("day").between(lit(java.sql.Date.valueOf(oldest)), lit(java.sql.Date.valueOf(cur))) &&
+        grain.keys.map(col(_).isNotNull).reduce(_ && _))
 
     val agged =
       if (approxDistinct) {
@@ -164,7 +171,8 @@ object FeatureBuilder {
       s"""${p}bounds AS (SELECT min(day) AS mn, max(day) AS cur FROM $factRel),
          |${p}pref AS (
          |  SELECT f.* FROM $factRel f CROSS JOIN ${p}bounds b
-         |  WHERE f.day BETWEEN (b.cur - $maxOffset) AND b.cur),
+         |  WHERE f.day BETWEEN (b.cur - $maxOffset) AND b.cur
+         |    AND ${grain.keys.map(k => s"f.$k IS NOT NULL").mkString(" AND ")}),
          |${p}agged AS (
          |  SELECT $keys,
          |$aggSelect

@@ -132,24 +132,35 @@ object MetricDefs {
         s"COUNT(CASE WHEN $inWinSql AND $m > 0.0 THEN 1 END)")
     }
 
-    // A5: recency (days since last event) anchored at the window's OWN
-    // end (`04a:534-544` uses the adjusted `max_day`/`min_day`), floored
-    // at `days_in_window - 1`. Rows outside the window hit the floor via
-    // `otherwise`; rows older than the window start would yield values
-    // above the floor in the reference's unbounded `day <= max_day` scan,
-    // so `min` ignores them there too — the bounded form is equivalent.
-    // (`days_since_<window>` without a flag is an engine extra.)
+    // A5: recency (days since last event), the reference's exact form
+    // (`04a:527-546`): over rows with `day <= max_day` (the window's own
+    // end), flagged rows contribute their true staleness
+    // `max_day - day`, un-flagged rows contribute the constant
+    // `max_day - min_day` (= days_in_window - 1) — so the result is the
+    // true flag recency, floored by the mere existence of ANY activity,
+    // and a key with no rows at or before the window end yields NULL →
+    // 0.0 after the fillna stage, exactly like the reference's missing
+    // spine rows. ONE deliberate bound: the engine scans the 364-day
+    // pre-filter horizon, not all history, so activity older than that
+    // can neither supply the floor nor the staleness value (the
+    // reference's unbounded `df.filter(day <= max_day)` rescans full
+    // history per window — the bounded scan is the scale design).
+    // (`days_since_<window>` without a flag is an engine extra: true
+    // staleness of ANY activity, unfloored.)
+    val inScan = col("day") <= dlit(w.end)
+    val inScanSql = s"day <= ${w.endSql}"
+    val dd = datediff(dlit(w.end), col("day"))
+    val ddSql = s"datediff('day', day, ${w.endSql})"
     val sinceFloor = datediff(dlit(w.end), dlit(w.start))
     val sinceFloorSql = s"datediff('day', ${w.startSql}, ${w.endSql})"
     val daysSince =
       AggDef(s"days_since_$s",
-        min(when(inWin, datediff(dlit(w.end), col("day"))).otherwise(sinceFloor)),
-        s"MIN(CASE WHEN $inWinSql THEN datediff('day', day, ${w.endSql}) ELSE $sinceFloorSql END)") +:
+        min(when(inScan, dd)),
+        s"MIN(CASE WHEN $inScanSql THEN $ddSql END)") +:
         flagMetrics.map { m =>
           AggDef(s"days_since_${m}_$s",
-            min(when(inWin && col(m) > 0.0, datediff(dlit(w.end), col("day")))
-              .otherwise(sinceFloor)),
-            s"MIN(CASE WHEN $inWinSql AND $m > 0.0 THEN datediff('day', day, ${w.endSql}) ELSE $sinceFloorSql END)")
+            min(when(inScan, when(col(m) > 0.0, dd).otherwise(sinceFloor))),
+            s"MIN(CASE WHEN $inScanSql THEN (CASE WHEN $m > 0.0 THEN $ddSql ELSE $sinceFloorSql END) END)")
         }
 
     base ++ money ++ condDistinct ++ condCount ++ daysSince

@@ -24,6 +24,12 @@ object LabelBuilder {
   /** (universeSpine, labels) for one cutoff. `txc` = silver fact with
     * commodity_desc; `commodities` = the to-score control table.
     */
+  /* Note: the household universe derives from `txc` (fact ⋈ products),
+   * while the reference's derives from the raw fact (`04b:141`) — these
+   * agree whenever every transacted product exists in the dim (true of
+   * the fixture, and of any referentially-intact catalog); a household
+   * whose ONLY purchases reference unknown products would be absent here.
+   */
   def labels(txc: DataFrame, commodities: DataFrame, featuresEndDay: LocalDate): DataFrame = {
     val fed = Date.valueOf(featuresEndDay)
     val horizonEnd = Date.valueOf(featuresEndDay.plusDays(horizonDays))

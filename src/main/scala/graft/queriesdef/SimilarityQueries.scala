@@ -56,11 +56,16 @@ object SimilarityQueries {
         |SELECT query_id, neighbor_id, cos, rank
         |FROM ranked WHERE rank <= 5""".stripMargin)),
 
-    // Embedding-cosine near-dup pairs (exact; threshold 0.4).
+    // Embedding-cosine near-dup pairs (exact; threshold 0.4). The exact
+    // mode is PINNED (exactLimit = MaxValue) because this entry carries
+    // the exact all-pairs oracle — the library default's corpus-size
+    // auto-switch to IVF candidates would silently break the contract at
+    // larger SFs.
     Entry(
       "embedding_near_dup",
       (s, dir) => Similarity.cosineNearDupPairs(
-        Catalog.table(s, dir, "embeddings"), threshold = 0.4),
+        Catalog.table(s, dir, "embeddings"), threshold = 0.4,
+        exactLimit = Long.MaxValue),
       Some(s"""WITH p AS (
         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
         |    ${cosSql("a", "b")} AS cos

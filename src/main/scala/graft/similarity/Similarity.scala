@@ -65,12 +65,12 @@ object Similarity {
     * while assignment (the data-sized pass) remains a broadcast map.
     */
   def kmeansCentroids(corpus: DataFrame, nCells: Int, seed: Long = 42L,
-      sampleCap: Long = 100000L): DataFrame = {
+      sampleCap: Long = 100000L, knownCount: Option[Long] = None): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val spark = corpus.sparkSession
     import spark.implicits._
-    val n = corpus.count()
+    val n = knownCount.getOrElse(corpus.count())
     val sampled =
       if (n <= sampleCap) corpus
       else corpus.sample(withReplacement = false, sampleCap.toDouble / n, seed)
@@ -78,11 +78,16 @@ object Similarity {
       .select(array_to_vector(col("embedding").cast("array<double>")).as("features"))
       .cache()
     try {
-      val k = math.max(1, math.min(nCells.toLong, feats.count()).toInt)
-      val model = new KMeans().setK(k).setSeed(seed).setMaxIter(10).fit(feats)
-      model.clusterCenters.toSeq.zipWithIndex
-        .map { case (v, i) => (i.toLong, v.toArray) }
-        .toDF("cell_id", "centroid")
+      val sampleN = feats.count()
+      val centers =
+        if (sampleN == 0) Seq.empty[(Long, Array[Double])] // empty corpus → no cells
+        else {
+          val k = math.max(1, math.min(nCells.toLong, sampleN).toInt)
+          new KMeans().setK(k).setSeed(seed).setMaxIter(10).fit(feats)
+            .clusterCenters.toSeq.zipWithIndex
+            .map { case (v, i) => (i.toLong, v.toArray) }
+        }
+      centers.toDF("cell_id", "centroid")
         .withColumn("ncent", norm(col("centroid")))
     } finally { feats.unpersist(); () }
   }
@@ -184,9 +189,13 @@ object Similarity {
         .filter(col("cos") >= threshold)
     } else {
       val nCells = math.max(16, math.sqrt(n.toDouble).toInt)
-      val cents = kmeansCentroids(vectors, nCells)
+      val cents = kmeansCentroids(vectors, nCells, knownCount = Some(n))
+      // assign ONCE; the b side is the same assignment under renamed
+      // columns (the scoring pass is the data-sized cost — don't run it
+      // twice for a self-join)
       val av = assign(a, "vec_a", "va", "na", cents, probes = 2)
-      val bv = assign(b, "vec_b", "vb", "nb", cents, probes = 2)
+      val bv = av.select(col("vec_a").as("vec_b"), col("va").as("vb"),
+        col("na").as("nb"), col("cell_id"))
       av.join(bv, Seq("cell_id")).filter(col("vec_a") < col("vec_b"))
         .select(col("vec_a"), col("vec_b"),
           pairCos("va", "vb", "na", "nb").as("cos"))

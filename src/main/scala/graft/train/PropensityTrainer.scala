@@ -113,8 +113,9 @@ object PropensityTrainer {
       labelCol: String = "label", predCol: String = "prediction"): (Double, Double) = {
     val l = col(labelCol)
     val p = col(predCol)
-    def cnt(c: org.apache.spark.sql.Column) =
-      sum(when(c, 1L).otherwise(0L))
+    // count(when(...)) is 0 (never null) on an empty frame — sum() would
+    // return null and NPE the unboxing below
+    def cnt(c: org.apache.spark.sql.Column) = count(when(c, 1))
     val row = scored.agg(
       cnt(l === 1.0 && p === 1.0).as("tp"),
       cnt(l === 0.0 && p === 1.0).as("fp"),

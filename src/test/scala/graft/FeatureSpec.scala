@@ -43,18 +43,35 @@ class FeatureSpec extends AnyFunSuite {
     assert(h2.getAs[Double]("baskets_60d") == 1.0)
   }
 
-  test("days-since anchors at the window end, floors at days-1") {
+  test("days-since: reference semantics (anchor = window end, activity floor)") {
     val out = FeatureBuilder.build(fact, FeatureBuilder.household)
       .collect().map(r => r.getAs[Long]("household_key") -> r).toMap
     // h1 bought with instore discount on cur → 0 days since, in every window
     assert(out(1L).getAs[Double]("days_since_instore_discount_30d") == 0.0)
-    // h2 never had instore discount → floor = days_in_window - 1
+    // h2 never had instore discount but HAS activity ≤ cur → the
+    // activity floor = days_in_window - 1 (04a:534-544 else-branch)
     assert(out(2L).getAs[Double]("days_since_instore_discount_30d") == 29.0)
     assert(out(2L).getAs[Double]("days_since_instore_discount_90d") == 89.0)
     // h2's only purchase is 40 days back → days_since_60d = 40
     assert(out(2L).getAs[Double]("days_since_60d") == 40.0)
-    // 1yr window is empty here → recency floors at its own 30-day span
-    assert(out(1L).getAs[Double]("days_since_1yr") == 29.0)
+    // nobody has rows at or before the 1yr window's end (cur-335) → the
+    // reference's day <= max_day scan is empty → fillna 0.0, not a floor
+    assert(out(1L).getAs[Double]("days_since_1yr") == 0.0)
+    assert(out(1L).getAs[Double]("days_since_instore_discount_1yr") == 0.0)
+  }
+
+  test("days-since: flagged-only staleness beyond the window is NOT floored") {
+    // household 9 has a single instore-flagged purchase 45 days back and
+    // nothing else: the reference reports true staleness 45, not the
+    // 30d floor 29 — there is no un-flagged activity to supply the floor
+    val extra = fact.union(Seq(
+      (9L, 90L, d("2024-11-16"), 900L, 1L, 1, 10.0, 1.0, 0.0, 0.0, 1.0, 9.0)
+    ).toDF(fact.columns: _*))
+    val out = FeatureBuilder.build(extra, FeatureBuilder.household)
+      .collect().map(r => r.getAs[Long]("household_key") -> r).toMap
+    assert(out(9L).getAs[Double]("days_since_instore_discount_30d") == 45.0)
+    // but a flag the household never triggered still floors on activity
+    assert(out(9L).getAs[Double]("days_since_campaign_coupon_discount_30d") == 29.0)
   }
 
   test("ratio guard: zero denominator yields 0.0, not null/error") {
