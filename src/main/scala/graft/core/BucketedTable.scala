@@ -28,8 +28,10 @@ object BucketedTable {
     val loc = java.nio.file.Paths.get(warehouse, name.toLowerCase)
     if (java.nio.file.Files.exists(loc)) {
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
+      val walk = java.nio.file.Files.walk(loc)
+      try walk.iterator().asScala.toSeq.reverse
         .foreach(java.nio.file.Files.deleteIfExists(_))
+      finally walk.close()
     }
     df.write.mode("overwrite")
       .bucketBy(buckets, bucketCol)

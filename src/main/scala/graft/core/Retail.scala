@@ -73,6 +73,8 @@ object Retail {
       val row = Catalog.table(spark, sfDir, "lineitem")
         .agg(min(to_date(col("l_shipdate"))), max(to_date(col("l_shipdate"))))
         .head()
+      require(!row.isNullAt(0),
+        s"Retail.dayBounds: lineitem at $sfDir has no rows — cannot derive day bounds")
       (row.getDate(0).toLocalDate, row.getDate(1).toLocalDate)
     }
 }

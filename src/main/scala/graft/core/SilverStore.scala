@@ -61,11 +61,18 @@ object SilverStore {
 
   /** Physical name carries the session discriminator: a second session
     * enabling SilverStore must NOT drop/overwrite the table whose files
-    * back the first session's pinned DataFrame.
+    * back the first session's pinned DataFrame. The raw-path md5 suffix
+    * keeps DISTINCT sfDirs distinct even when sanitization collides
+    * (e.g. "sf-1" vs "sf_1" both sanitize to "sf_1") — a collision would
+    * let the second fixture's build drop the files backing the first's
+    * pinned frame.
     */
-  private def tableName(spark: SparkSession, sfDir: String): String =
+  private def tableName(spark: SparkSession, sfDir: String): String = {
+    val pathHash = java.security.MessageDigest.getInstance("MD5")
+      .digest(sfDir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
     ("graft_silver_" + sessionId(spark) + "_" + sfDir)
-      .replaceAll("[^A-Za-z0-9]", "_")
+      .replaceAll("[^A-Za-z0-9]", "_") + "_" + pathHash
+  }
 
   /** The silver fact for `sfDir`: `build` verbatim when disabled; the
     * once-materialized bucketed+pinned table when enabled.

@@ -42,7 +42,10 @@ object Dedup {
     * the same coverage, which directly shrinks the inverted-index join.
     */
   def shingles(docs: DataFrame, n: Int): DataFrame = {
-    val words = split(col("text"), " ")
+    // empty tokens from repeated/leading/trailing spaces are dropped so
+    // that visually identical texts shingle identically (simhash's
+    // tokenizer already does this — the operators must agree)
+    val words = filter(split(col("text"), " "), w => length(w) > 0)
     docs
       .select(col("doc_id"), words.as("w"), size(words).as("nw"))
       .filter(col("nw") >= n)
@@ -76,7 +79,10 @@ object Dedup {
         sh.join(freq, Seq("shingle"), "left_semi")
       case None => sh
     }
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    // sizes MUST come from the same (filtered) set the intersection is
+    // counted over — sizing from the unfiltered set would deflate the
+    // Jaccard whenever stop-shingles are dropped
+    val sizes = filtered.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
     val a = filtered.as("a")
     val b = filtered.as("b")
     val common = a.join(b,
@@ -121,6 +127,9 @@ object Dedup {
     */
   def minhashLshCandidates(docs: DataFrame, n: Int = 3,
       numHashes: Int = 16, bands: Int = 4): DataFrame = {
+    require(bands >= 1 && bands <= numHashes && numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes): a remainder would" +
+        " silently drop trailing hash functions from every band")
     val sig = minhashSignatures(docs, n, numHashes)
     val rowsPerBand = numHashes / bands
     // one row per (doc, band) via explode — a union of `bands` selects

@@ -75,7 +75,7 @@ object FeatureBuilder {
       knownBounds: Option[(LocalDate, LocalDate)] = None): DataFrame = {
     val (_, cur) = knownBounds.getOrElse(bounds(fact))
     val wins = WindowSpec.windows(cur)
-    val aggs = wins.flatMap(w => MetricDefs.aggsFor(w, cur, approxDistinct))
+    val aggs = wins.flatMap(w => MetricDefs.aggsFor(w, approxDistinct))
     val posts = wins.flatMap(MetricDefs.ratiosFor)
 
     // Pre-filter to the union of all windows: lets parquet skip row groups
@@ -146,7 +146,7 @@ object FeatureBuilder {
   def metricNames: Seq[String] = {
     val epoch = LocalDate.ofEpochDay(0)
     val wins = WindowSpec.windows(epoch)
-    wins.flatMap(w => MetricDefs.aggsFor(w, epoch)).map(_.name) ++
+    wins.flatMap(w => MetricDefs.aggsFor(w)).map(_.name) ++
       wins.flatMap(MetricDefs.ratiosFor).map(_.name)
   }
 
@@ -160,7 +160,7 @@ object FeatureBuilder {
     val wins = WindowSpec.windows(epoch)
     val maxOffset =
       wins.map(w => java.time.temporal.ChronoUnit.DAYS.between(w.start, epoch)).max
-    val aggs = wins.flatMap(w => MetricDefs.aggsFor(w, epoch))
+    val aggs = wins.flatMap(w => MetricDefs.aggsFor(w))
     val posts = wins.flatMap(MetricDefs.ratiosFor)
     val aggSelect = aggs.map(a => s"    ${a.sql} AS ${a.name}").mkString(",\n")
     val cleanSelect = aggs

@@ -34,18 +34,26 @@ final case class FeatureTable(root: String, keys: Seq[String]) {
 
   private def dataDir: Path = Paths.get(root, "data")
 
-  /** Roll back a generation parked by a crash mid-swap. */
+  /** Roll back a generation parked by a crash mid-swap, and sweep staging
+    * dirs orphaned by crashed writes (each would otherwise leak a full
+    * table copy per crash). Like the swap protocol itself, the sweep
+    * assumes single-writer discipline — it would delete a concurrent
+    * writer's live staging dir.
+    */
   private def recover(): Unit = {
-    if (Files.isDirectory(dataDir)) return
     if (!Files.isDirectory(Paths.get(root))) return
-    val listing = Files.list(Paths.get(root))
-    val parked =
+    def list(prefix: String): Seq[Path] = {
+      val listing = Files.list(Paths.get(root))
       try {
         import scala.jdk.CollectionConverters._
         listing.iterator().asScala.toSeq
-          .filter(_.getFileName.toString.startsWith(".old-"))
+          .filter(_.getFileName.toString.startsWith(prefix))
           .sortBy(_.getFileName.toString)
       } finally listing.close()
+    }
+    list(".staging-").foreach(delete)
+    if (Files.isDirectory(dataDir)) return
+    val parked = list(".old-")
     if (parked.nonEmpty) {
       Files.move(parked.last, dataDir, StandardCopyOption.ATOMIC_MOVE)
       parked.init.foreach(delete)

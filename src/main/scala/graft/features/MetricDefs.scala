@@ -69,8 +69,7 @@ object MetricDefs {
     * chain — one logical aggregation for all windows (scale redesign,
     * SURVEY.md §4).
     */
-  def aggsFor(w: WindowDef, cur: LocalDate,
-      approxDistinct: Boolean = false): Seq[AggDef] = {
+  def aggsFor(w: WindowDef, approxDistinct: Boolean = false): Seq[AggDef] = {
     // the approx variant swaps exact distinct counts for HLL sketches —
     // the 100 TB escape hatch that keeps everything in ONE pass with no
     // Expand and no per-entity restructuring; not oracle-exact, so only

@@ -19,7 +19,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   *
   * Summation is the same left-to-right fold over double-cast elements as
   * the HOF version and the DuckDB oracle's ORDER BY i sum, so results are
-  * bit-identical across all three.
+  * bit-identical across all three FOR the embedding contract this engine
+  * uses: fixed-length arrays with no null elements. Outside that contract
+  * the edge semantics are defined (not an error) but differ from the HOF
+  * form, which returns NULL: null elements read as 0.0, and
+  * mismatched-length inputs dot over the common prefix (min length).
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -51,8 +55,15 @@ case class DotProduct(left: Expression, right: Expression)
     var acc = 0.0
     var i = 0
     while (i < n) {
-      val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
-      val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+      // null slots read as 0.0 — matches the codegen path, where
+      // UnsafeArrayData yields 0 for null primitive slots (a
+      // GenericArrayData getFloat would NPE on the boxed null instead)
+      val xv =
+        if (x.isNullAt(i)) 0.0
+        else if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv =
+        if (y.isNullAt(i)) 0.0
+        else if (rf) y.getFloat(i).toDouble else y.getDouble(i)
       acc += xv * yv
       i += 1
     }

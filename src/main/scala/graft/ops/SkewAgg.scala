@@ -32,9 +32,17 @@ object SkewAgg {
     // near-all IDENTICAL still lands on few reducers; the aggregate stays
     // correct, only the rebalance degrades, and such inputs should be
     // pre-counted (dedup + weight) rather than salted.
+    // maps are rejected by xxhash64 at ANY nesting depth (struct/array
+    // elements included), not just as top-level column types
+    def containsMap(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case _: org.apache.spark.sql.types.MapType => true
+      case s: org.apache.spark.sql.types.StructType =>
+        s.fields.exists(f => containsMap(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => containsMap(a.elementType)
+      case _ => false
+    }
     val hashable = df.schema.fields.collect {
-      case f if !f.dataType.isInstanceOf[org.apache.spark.sql.types.MapType] =>
-        col(f.name)
+      case f if !containsMap(f.dataType) => col(f.name)
     }.toSeq
     val salted = df.withColumn("__salt",
       pmod(xxhash64(hashable: _*), lit(salt.toLong)))

@@ -98,6 +98,7 @@ final class PropensityPipeline(spark: SparkSession, cfg: PipelineConfig) {
     val fed = cur.minusDays(LabelBuilder.horizonDays)
     val labels = LabelBuilder.labels(txc, commodities, fed).cache()
     val trainingSet = TrainingSetBuilder.build(labels, lookups).cache()
+    try {
     val featureCols = trainingSet.columns.toSeq.filter(c => c.contains("__"))
     val cs = commodities.select("commodity_desc", "commodity_clean")
       .collect().map(r => (r.getString(0), r.getString(1))).toSeq
@@ -125,8 +126,12 @@ final class PropensityPipeline(spark: SparkSession, cfg: PipelineConfig) {
       models.promote(clean, v)
       (desc, metrics)
     }
-    labels.unpersist(); trainingSet.unpersist()
     out
+    } finally {
+      // a mid-loop train/save failure must not leave the two cached
+      // frames pinned for the application lifetime
+      labels.unpersist(); trainingSet.unpersist(); ()
+    }
   }
 
   /** Daily (`04c`): refresh features if today's snapshot is missing (the
@@ -151,24 +156,47 @@ final class PropensityPipeline(spark: SparkSession, cfg: PipelineConfig) {
       .crossJoin(broadcast(commodities.select("commodity_desc", "commodity_clean")))
       .withColumn("day", lit(d))
     val spine = TrainingSetBuilder.build(spine0, lookups).cache()
-    val cs = commodities.select("commodity_desc", "commodity_clean")
-      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
-    val scored = cs.map { case (desc, clean) =>
-      val slice = spine.filter(col("commodity_desc") === desc)
-      val model = models.loadProduction(clean)
-      Scorer.score(model, slice)
-        .withColumn("commodity_clean", lit(clean))
+    var unpivoted: DataFrame = null
+    try {
+      val all = commodities.select("commodity_desc", "commodity_clean")
+        .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+      // same collision guard as trainAll: two descs sanitizing to one
+      // clean name would score both against one model
+      require(all.map(_._2).distinct.size == all.size,
+        s"commodity_clean collision in ${all.map(_._2).mkString(",")}")
+      // the top-k control set drifts daily; a commodity that entered
+      // since the last weekly train has no Production model yet — skip
+      // it loudly instead of failing the whole daily job
+      val (cs, missing) = all.partition { case (_, clean) => models.hasProduction(clean) }
+      missing.foreach { case (desc, clean) =>
+        System.err.println(s"[scoreAll] skipping '$desc': no Production model '$clean'")
+      }
+      require(cs.nonEmpty, "scoreAll: no commodity has a Production model — run trainAll first")
+      val scored = cs.map { case (desc, clean) =>
+        val slice = spine.filter(col("commodity_desc") === desc)
+        val model = models.loadProduction(clean)
+        Scorer.score(model, slice)
+          .withColumn("commodity_clean", lit(clean))
+      }
+      unpivoted = scored.reduce(_.unionByName(_)).cache()
+      val pivotedBatch = MergeWriter.pivotScores(
+        unpivoted.withColumnRenamed("commodity_desc", "__cd")
+          .withColumnRenamed("commodity_clean", "commodity_desc"),
+        cs.map(_._2))
+      pivoted.upsert(spark, pivotedBatch)
+      val out = unpivoted.drop("commodity_clean")
+      // day-partitioned DYNAMIC overwrite: a re-run of the same day (or a
+      // retry after a crash between the two sinks) replaces that day's
+      // partition instead of blindly appending duplicate score rows; new
+      // days still accumulate (S6 semantics, made idempotent)
+      out.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("day")
+        .parquet(s"${cfg.workRoot}/propensities_unpivoted")
+      out
+    } finally {
+      spine.unpersist()
+      if (unpivoted != null) { unpivoted.unpersist(); () }
     }
-    val unpivoted = scored.reduce(_.unionByName(_)).cache()
-    val pivotedBatch = MergeWriter.pivotScores(
-      unpivoted.withColumnRenamed("commodity_desc", "__cd")
-        .withColumnRenamed("commodity_clean", "commodity_desc"),
-      cs.map(_._2))
-    pivoted.upsert(spark, pivotedBatch)
-    val out = unpivoted.drop("commodity_clean")
-    out.write.mode("append")
-      .parquet(s"${cfg.workRoot}/propensities_unpivoted")
-    spine.unpersist()
-    out
   }
 }

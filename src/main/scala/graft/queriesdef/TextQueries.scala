@@ -37,8 +37,11 @@ object TextQueries {
     */
   private val jaccardCtes: String =
     """ws AS (
-      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
-      |  WHERE len(string_split(text, ' ')) >= 5),
+      |  SELECT doc_id, w FROM (
+      |    SELECT doc_id,
+      |      list_filter(string_split(text, ' '), x -> x <> '') AS w
+      |    FROM documents) t
+      |  WHERE len(w) >= 5),
       |sh0 AS (
       |  SELECT doc_id, array_to_string(w[i:i+4], ' ') AS shingle
       |  FROM (SELECT doc_id, w,
@@ -199,7 +202,9 @@ object TextQueries {
       "text_repetition",
       (s, dir) => TextAnalysis.repetition(docs(s, dir)),
       Some("""WITH ws AS (
-        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS w
+        |  FROM documents),
         |idx AS (
         |  SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i
         |  FROM ws WHERE len(w) >= 2),

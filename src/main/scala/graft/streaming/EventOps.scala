@@ -28,9 +28,13 @@ object EventOps {
     // is additive-safe: it only changes how TIMESTAMP(NANOS) columns —
     // which stock Spark cannot read at all — are surfaced.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // `div` = exact long division. `floor(ts / 1e9)` would divide as
+    // DOUBLE: epoch nanos (~1.8e18) exceed 2^53, so a timestamp within
+    // the double grid spacing (~256ns) below a second boundary could
+    // round up and truncate to the WRONG second — a silent divergence
+    // from the oracle's exact date_trunc.
     spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts",
-        timestamp_seconds(floor(col("ts") / lit(1000000000L)).cast("long")))
+      .withColumn("ts", timestamp_seconds(expr("ts div 1000000000")))
   }
 
   /** Tumbling-window aggregate (1 hour × event_type): the batch form of a
@@ -77,9 +81,13 @@ object EventOps {
   def userActivity(ev: DataFrame): DataFrame = {
     // date of the global max timestamp, cast INSIDE the session (session
     // timezone, same conversion the per-row cast below uses) — a driver-side
-    // Timestamp.toLocalDateTime would apply the JVM default zone instead
-    val maxDay = ev.agg(max(col("ts")).cast("date")).head()
-      .getDate(0).toLocalDate
+    // Timestamp.toLocalDateTime would apply the JVM default zone instead.
+    // Empty input → any anchor works: the grouped result below has zero
+    // rows regardless, and the null row would otherwise NPE here.
+    val maxRow = ev.agg(max(col("ts")).cast("date")).head()
+    val maxDay =
+      if (maxRow.isNullAt(0)) java.time.LocalDate.ofEpochDay(0)
+      else maxRow.getDate(0).toLocalDate
     ev.groupBy("user_id").agg(
       count(lit(1)).as("n_events"),
       countDistinct(col("event_type")).as("n_types"),

@@ -43,7 +43,9 @@ object EventStreams {
       .agg(
         count(lit(1)).as("n_events"),
         approx_count_distinct(col("user_id")).as("n_users_approx"),
-        sum(col("value")).as("sum_value"))
+        // decimal accumulation like the batch twin (EventOps.hourlyByType):
+        // a raw double sum would depend on micro-batch slicing order
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
       .select(col("w.start").as("hour_start"), col("event_type"),
         col("n_events"), col("n_users_approx"), col("sum_value"))
 

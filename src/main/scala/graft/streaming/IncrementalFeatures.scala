@@ -58,17 +58,27 @@ object IncrementalFeatures {
     * inherent to any two-file commit without a transaction log — a real
     * table format closes it with a single atomic commit.)
     */
-  private def lastAppliedBatch(table: FeatureTable): Long = {
+  /** Marker format: `<checkpoint>\n<batchId>`. batchIds are only
+    * monotonic WITHIN one checkpoint lineage — a fresh checkpoint
+    * restarts at 0, so a marker keyed on batchId alone would silently
+    * drop the new stream's first batches. A marker from a different
+    * checkpoint is therefore ignored (treated as "nothing applied").
+    */
+  private def lastAppliedBatch(table: FeatureTable, checkpoint: String): Long = {
     val marker = java.nio.file.Paths.get(table.root, "_last_batch")
-    if (java.nio.file.Files.exists(marker))
-      java.nio.file.Files.readString(marker).trim.toLong
-    else -1L
+    if (!java.nio.file.Files.exists(marker)) -1L
+    else java.nio.file.Files.readString(marker).split("\n", 2) match {
+      case Array(ck, id) if ck == checkpoint => id.trim.toLong
+      case _ => -1L // legacy single-field marker or different checkpoint
+    }
   }
 
-  private def recordBatch(table: FeatureTable, batchId: Long): Unit = {
+  private def recordBatch(table: FeatureTable, checkpoint: String,
+      batchId: Long): Unit = {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(table.root))
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(table.root, "_last_batch"), batchId.toString)
+      java.nio.file.Paths.get(table.root, "_last_batch"),
+      checkpoint + "\n" + batchId)
   }
 
   /** Wire a streaming events frame into the table; AvailableNow drains
@@ -78,9 +88,9 @@ object IncrementalFeatures {
       checkpoint: String): StreamingQuery = {
     val q = events.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (batchId > lastAppliedBatch(table)) {
+        if (batchId > lastAppliedBatch(table, checkpoint)) {
           mergeDaily(spark, table, dailyPartial(batch))
-          recordBatch(table, batchId)
+          recordBatch(table, checkpoint, batchId)
         }
       }
       .option("checkpointLocation", checkpoint)

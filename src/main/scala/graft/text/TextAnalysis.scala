@@ -107,7 +107,8 @@ object TextAnalysis {
     * needs no extra exchange beyond the first.
     */
   def repetition(docs: DataFrame, n: Int = 2): DataFrame = {
-    val words = split(col("text"), " ")
+    // empty tokens dropped — same tokenization as the dedup shinglers
+    val words = filter(split(col("text"), " "), w => length(w) > 0)
     val grams = docs
       .select(col("doc_id"), words.as("w"), size(words).as("nw"))
       .filter(col("nw") >= n)

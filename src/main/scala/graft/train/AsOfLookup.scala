@@ -37,18 +37,23 @@ object AsOfLookup {
       .filterNot(_ == "day")
     val f = snapshots.select(
       grainKeys.map(col) ++ (col("day").as(snapshotDayAs) +: metricCols.map(col)): _*)
-    val sp = spine.alias("sp")
+    // Rank-1 must be taken PER SPINE ROW, not per (grainKeys, day):
+    // duplicate spine rows (same keys+day, different payload) would
+    // otherwise collapse into one survivor. A unique per-row id makes
+    // the window partition the spine row itself — matching ASOF JOIN
+    // semantics, where every left row is matched independently.
+    val sp = spine.withColumn("__spine_id", monotonically_increasing_id()).alias("sp")
     val ff = f.alias("ff")
     // temporal predicate INSIDE the join condition so a spine row whose
     // snapshots are all in the future still survives (with nulls)
     val cond = grainKeys.map(k => col(s"sp.$k") === col(s"ff.$k")).reduce(_ && _) &&
       col(s"ff.$snapshotDayAs") <= col("sp.day")
     val joined = sp.join(ff, cond, "left_outer").select(
-      spine.columns.toSeq.map(c => col(s"sp.$c")) ++
-        (col(s"ff.$snapshotDayAs") +: metricCols.map(c => col(s"ff.$c"))): _*)
-    val w = Window.partitionBy((grainKeys :+ "day").map(col): _*)
+      col("sp.__spine_id") +: (spine.columns.toSeq.map(c => col(s"sp.$c")) ++
+        (col(s"ff.$snapshotDayAs") +: metricCols.map(c => col(s"ff.$c")))): _*)
+    val w = Window.partitionBy(col("__spine_id"))
       .orderBy(col(snapshotDayAs).desc_nulls_last)
     joined.withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") === 1).drop("__rk")
+      .filter(col("__rk") === 1).drop("__rk", "__spine_id")
   }
 }

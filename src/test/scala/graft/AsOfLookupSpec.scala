@@ -42,4 +42,19 @@ class AsOfLookupSpec extends AnyFunSuite {
       .toDF("household_key", "day")
     assert(AsOfLookup.lookupAsOf(spine, snapshots, Seq("household_key")).count() == 2)
   }
+
+  test("duplicate spine rows each survive independently (ASOF semantics)") {
+    // two spine rows with the SAME (key, day) but distinct payloads —
+    // each must get its own as-of match, not collapse to one survivor
+    val spine = Seq(
+      (1L, d("2024-01-10"), "A"),
+      (1L, d("2024-01-10"), "B"),
+      (1L, d("2024-02-01"), "C")
+    ).toDF("household_key", "day", "tag")
+    val out = AsOfLookup.lookupAsOf(spine, snapshots, Seq("household_key"))
+    assert(out.count() == 3)
+    val byTag = out.collect().map(r => r.getAs[String]("tag") ->
+      r.getAs[Double]("m")).toMap
+    assert(byTag("A") == 10.0 && byTag("B") == 10.0 && byTag("C") == 20.0)
+  }
 }

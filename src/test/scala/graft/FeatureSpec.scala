@@ -140,7 +140,7 @@ class FeatureSpec extends AnyFunSuite {
       // naive: ONE groupBy carrying the exact countDistinct aggregates
       // (Catalyst's Expand path), then the same clean + ratio projections
       val wins = WindowSpec.windows(cur)
-      val aggs = wins.flatMap(w => MetricDefs.aggsFor(w, cur))
+      val aggs = wins.flatMap(w => MetricDefs.aggsFor(w))
       val posts = wins.flatMap(MetricDefs.ratiosFor)
       // same union-of-windows prefilter the builder applies
       val fPref = f.filter(col("day").between(

@@ -49,13 +49,30 @@ class IncrementalFeaturesSpec extends AnyFunSuite {
     toDF(batch1).write.mode("overwrite").parquet(dir)
     val t = FeatureTable(
       Files.createTempDirectory("inc3").toString + "/t", Seq("user_id", "day"))
-    // pretend batch 0 was already applied: the drain must skip it
+    val cp = Files.createTempDirectory("inc-cp3").toString
+    // pretend batch 0 of THIS checkpoint was already applied: the drain
+    // must skip it (markers are scoped to a checkpoint lineage)
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(t.root))
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(t.root, "_last_batch"), "999")
-    val cp = Files.createTempDirectory("inc-cp3").toString
+      java.nio.file.Paths.get(t.root, "_last_batch"), cp + "\n999")
     IncrementalFeatures.run(spark, EventStreams.readEvents(spark, dir), t, cp)
     assert(!t.exists, "replayed batch must not be re-applied")
+  }
+
+  test("a marker from a DIFFERENT checkpoint does not suppress fresh data") {
+    // batchIds restart at 0 with a new checkpoint: a marker keyed on the
+    // old lineage must be ignored, or the new stream's data is lost
+    val dir = Files.createTempDirectory("inc-replay2").toString
+    toDF(batch1).write.mode("overwrite").parquet(dir)
+    val t = FeatureTable(
+      Files.createTempDirectory("inc4").toString + "/t", Seq("user_id", "day"))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(t.root))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(t.root, "_last_batch"), "/some/old/checkpoint\n999")
+    val cp = Files.createTempDirectory("inc-cp4").toString
+    IncrementalFeatures.run(spark, EventStreams.readEvents(spark, dir), t, cp)
+    assert(t.exists, "new checkpoint lineage must apply its batches")
+    assert(t.read(spark).count() > 0)
   }
 
   test("streaming foreachBatch path drains a directory into the table") {
