@@ -2,7 +2,6 @@ package graft.train
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 /** True point-in-time (as-of) feature lookup.
   *
@@ -13,16 +12,22 @@ import org.apache.spark.sql.expressions.Window
   * `snapshot.day <= spine.day` — as a composition Spark handles well:
   *
   *   equi-join on the grain keys (hash join, one shuffle)
-  *     → filter snapshot.day <= spine.day
-  *     → row_number over (spine keys, spine day) ordered by snapshot day desc
-  *     → keep rank 1
+  *     → temporal predicate inside the join condition
+  *     → per-spine-row `max(struct(snapshot_day, metrics…))`
   *
-  * Scale: the join fans out spine × snapshots-per-key, which is bounded by
-  * the snapshot retention (e.g. 30 daily snapshots), NOT by table size —
-  * so the blow-up factor is a small constant and the window dedup runs on
-  * already co-partitioned data (same keys as the join ⇒ no extra
-  * shuffle). This is exactly the plan a native as-of merge join would
-  * produce, minus a sort — and it needs no custom SparkStrategy.
+  * The per-row argmax is a partial-aggregable `max(struct)` keyed by a
+  * unique spine-row id, NOT a `row_number` window: the aggregate combines
+  * map-side before any exchange (no sort, no full-fan-out shuffle), and
+  * keying by spine ROW — rather than by (grain keys, day) — means
+  * duplicate spine rows each survive with their own match, exactly like
+  * a native ASOF JOIN's left rows. Struct ordering breaks nothing:
+  * snapshots are PK-unique per (keys, day), so the leading
+  * `snapshot_day` field alone decides, and the all-null struct from an
+  * unmatched left-outer row loses to any real match (null orders first).
+  *
+  * Scale: the join fans out spine × snapshots-per-key, which is bounded
+  * by the snapshot retention (e.g. 30 daily snapshots), NOT by table
+  * size — a small constant blow-up reduced right back map-side.
   * DuckDB's native ASOF JOIN is the oracle.
   */
 object AsOfLookup {
@@ -37,23 +42,25 @@ object AsOfLookup {
       .filterNot(_ == "day")
     val f = snapshots.select(
       grainKeys.map(col) ++ (col("day").as(snapshotDayAs) +: metricCols.map(col)): _*)
-    // Rank-1 must be taken PER SPINE ROW, not per (grainKeys, day):
-    // duplicate spine rows (same keys+day, different payload) would
-    // otherwise collapse into one survivor. A unique per-row id makes
-    // the window partition the spine row itself — matching ASOF JOIN
-    // semantics, where every left row is matched independently.
     val sp = spine.withColumn("__spine_id", monotonically_increasing_id()).alias("sp")
     val ff = f.alias("ff")
     // temporal predicate INSIDE the join condition so a spine row whose
     // snapshots are all in the future still survives (with nulls)
     val cond = grainKeys.map(k => col(s"sp.$k") === col(s"ff.$k")).reduce(_ && _) &&
       col(s"ff.$snapshotDayAs") <= col("sp.day")
-    val joined = sp.join(ff, cond, "left_outer").select(
-      col("sp.__spine_id") +: (spine.columns.toSeq.map(c => col(s"sp.$c")) ++
-        (col(s"ff.$snapshotDayAs") +: metricCols.map(c => col(s"ff.$c")))): _*)
-    val w = Window.partitionBy(col("__spine_id"))
-      .orderBy(col(snapshotDayAs).desc_nulls_last)
-    joined.withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") === 1).drop("__rk", "__spine_id")
+    val payload = struct(
+      col(s"ff.$snapshotDayAs").as(snapshotDayAs) +:
+        metricCols.map(c => col(s"ff.$c").as(c)): _*)
+    val spineCols = spine.columns.toSeq
+    sp.join(ff, cond, "left_outer")
+      .groupBy(col("sp.__spine_id"))
+      .agg(
+        first(col(s"sp.${spineCols.head}")).as(spineCols.head),
+        spineCols.tail.map(c => first(col(s"sp.$c")).as(c)) :+
+          max(payload).as("__best"): _*)
+      .select(
+        spineCols.map(col) ++
+          (col(s"__best.$snapshotDayAs").as(snapshotDayAs) +:
+            metricCols.map(c => col(s"__best.$c").as(c))): _*)
   }
 }
