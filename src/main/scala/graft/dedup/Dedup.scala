@@ -41,20 +41,8 @@ object Dedup {
     * Word shingles carry ~wordLen× fewer rows than character shingles for
     * the same coverage, which directly shrinks the inverted-index join.
     */
-  def shingles(docs: DataFrame, n: Int): DataFrame = {
-    // empty tokens from repeated/leading/trailing spaces are dropped so
-    // that visually identical texts shingle identically (simhash's
-    // tokenizer already does this — the operators must agree)
-    val words = filter(split(col("text"), " "), w => length(w) > 0)
-    docs
-      .select(col("doc_id"), words.as("w"), size(words).as("nw"))
-      .filter(col("nw") >= n)
-      .select(col("doc_id"),
-        explode(transform(
-          sequence(lit(0), col("nw") - n),
-          i => concat_ws(" ", slice(col("w"), i + 1, lit(n))))).as("shingle"))
-      .distinct()
-  }
+  def shingles(docs: DataFrame, n: Int): DataFrame =
+    graft.text.TextAnalysis.wordNgrams(docs, n, gramAs = "shingle").distinct()
 
   /** Exact word-n-gram Jaccard near-dup pairs via a shingle inverted index:
     * explode → self-join on shingle → count common → Jaccard =

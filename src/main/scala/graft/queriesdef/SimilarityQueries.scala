@@ -18,8 +18,11 @@ object SimilarityQueries {
     s"""(SELECT SUM(CAST($a.embedding[i] AS DOUBLE) * CAST($b.embedding[i] AS DOUBLE) ORDER BY i)
        | FROM generate_series(1, 64) t(i))""".stripMargin.replace("\n", " ")
 
-  private def cosSql(a: String, b: String): String =
-    s"round(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})), 9)"
+  /** Same zero-vector convention as Similarity.cosine: cos(0, ·) = 0.0. */
+  private def cosSql(a: String, b: String): String = {
+    val den = s"(sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+    s"round(CASE WHEN $den <> 0.0 THEN ${dotSql(a, b)} / $den ELSE 0.0 END, 9)"
+  }
 
   def entries: Seq[Entry] = Seq(
 

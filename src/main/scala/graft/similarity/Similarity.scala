@@ -31,15 +31,27 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine with the zero-vector convention cos(0, ·) = 0.0: under this
+    * environment's default ANSI mode a bare 0/0 would ABORT the query
+    * (SparkArithmeticException), and NaN comparison semantics differ
+    * between engines — a fixed 0.0 is deterministic and renders
+    * identically in the oracle SQL.
+    */
+  def cosine(a: Column, b: Column): Column = {
+    val den = norm(a) * norm(b)
+    when(den =!= 0.0, dot(a, b) / den).otherwise(0.0)
+  }
 
   /** Side projection: id, vector, precomputed norm. */
   private def side(df: DataFrame, idAs: String, vecAs: String, normAs: String) =
     df.select(col("vec_id").as(idAs), col("embedding").as(vecAs),
       norm(col("embedding")).as(normAs))
 
-  private def pairCos(va: String, vb: String, na: String, nb: String): Column =
-    round(dot(col(va), col(vb)) / (col(na) * col(nb)), 9)
+  /** Zero-norm guard as in [[cosine]] (ANSI div-0 would abort). */
+  private def pairCos(va: String, vb: String, na: String, nb: String): Column = {
+    val den = col(na) * col(nb)
+    round(when(den =!= 0.0, dot(col(va), col(vb)) / den).otherwise(0.0), 9)
+  }
 
   /** Exact top-k cosine neighbors for each query vector (self excluded).
     * Ranking key is (rounded cosine DESC, vec_id) — fully deterministic.
@@ -138,6 +150,11 @@ object Similarity {
     * vectors — the cheap stand-in kept for comparison), search only the
     * query's cell. Approximate (recall < 1 near cell borders) — the scale
     * path, verified by unit test against brute force recall.
+    *
+    * NOTE: with `kmeansCells = true`, CONSTRUCTION is eager — fitting the
+    * coarse quantizer runs Spark jobs (count + sampled k-means) before
+    * the returned DataFrame exists. Callers that only need a plan should
+    * pass `kmeansCells = false`.
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int, nCells: Int,
       kmeansCells: Boolean = true, probes: Int = 1): DataFrame = {
@@ -181,8 +198,11 @@ object Similarity {
     ArrayOps.register(vectors.sparkSession)
     val a = side(vectors, "vec_a", "va", "na")
     val b = side(vectors, "vec_b", "vb", "nb")
-    val n = vectors.count()
-    if (n <= exactLimit) {
+    // a pinned exact mode (exactLimit = MaxValue, e.g. the oracle-carrying
+    // query entry) must not pay an eager count job for a predetermined
+    // branch — the builder stays lazy in that case
+    lazy val n = vectors.count()
+    if (exactLimit == Long.MaxValue || n <= exactLimit) {
       a.crossJoin(b).filter(col("vec_a") < col("vec_b"))
         .select(col("vec_a"), col("vec_b"),
           pairCos("va", "vb", "na", "nb").as("cos"))

@@ -106,16 +106,24 @@ object TextAnalysis {
     * groupBy(doc_id); both aggregations cluster by doc_id so the second
     * needs no extra exchange beyond the first.
     */
-  def repetition(docs: DataFrame, n: Int = 2): DataFrame = {
-    // empty tokens dropped — same tokenization as the dedup shinglers
+  /** (doc_id, gram) rows: every word n-gram of every document, duplicates
+    * kept, empty tokens dropped. THE tokenization shared by this module
+    * and the dedup shinglers (`Dedup.shingles` = this + distinct) — one
+    * definition, so the operators can never disagree on what a token is.
+    */
+  def wordNgrams(docs: DataFrame, n: Int, gramAs: String = "gram"): DataFrame = {
     val words = filter(split(col("text"), " "), w => length(w) > 0)
-    val grams = docs
+    docs
       .select(col("doc_id"), words.as("w"), size(words).as("nw"))
       .filter(col("nw") >= n)
       .select(col("doc_id"),
         explode(transform(
           sequence(lit(0), col("nw") - n),
-          i => concat_ws(" ", slice(col("w"), i + 1, lit(n))))).as("gram"))
+          i => concat_ws(" ", slice(col("w"), i + 1, lit(n))))).as(gramAs))
+  }
+
+  def repetition(docs: DataFrame, n: Int = 2): DataFrame = {
+    val grams = wordNgrams(docs, n)
     grams.groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
       .groupBy("doc_id")
       .agg(

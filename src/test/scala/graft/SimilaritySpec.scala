@@ -24,6 +24,17 @@ class SimilaritySpec extends AnyFunSuite {
     assert(math.abs(pairs((0L, 2L)) - math.sqrt(2) / 2) < 1e-8)
   }
 
+  test("zero-norm vectors: cosine is 0.0 by convention, no ANSI div-0 abort") {
+    val withZero = vecs.union(Seq((9L, Array(0.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding"))
+    val pairs = Similarity.cosineNearDupPairs(withZero, threshold = -2.0)
+      .collect().map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b")) ->
+        r.getAs[Double]("cos")).toMap
+    assert(pairs((0L, 9L)) == 0.0) // zero vector against a real one
+    // non-zero pairs unaffected
+    assert(pairs((0L, 3L)) == -1.0)
+  }
+
   test("brute-force top-k: correct neighbor order, self excluded") {
     val out = Similarity.bruteForceTopK(vecs.filter(col("vec_id") === 0), vecs, k = 3)
       .orderBy("rank").collect()
