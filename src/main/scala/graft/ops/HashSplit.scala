@@ -59,4 +59,27 @@ object HashSplit {
   def downsample(df: DataFrame, keyCol: String, keepPerMille: Int,
       buckets: Int = 1000): DataFrame =
     df.filter(bucket(col(keyCol), buckets) < keepPerMille)
+
+  /** Deterministic per-class (stratified) downsample: within each class,
+    * keep keys whose bucket falls below that class's per-mille keep rate
+    * — the class-rebalancing primitive (cap the majority class, keep the
+    * tail) with the same reproducibility contract as [[split]]: a pure
+    * per-row function, no shuffle, no seeded-RNG drift. Classes absent
+    * from `keepPerMille` keep `defaultPerMille`.
+    */
+  def stratified(df: DataFrame, keyCol: String, classCol: String,
+      keepPerMille: Map[String, Int], defaultPerMille: Int = 1000,
+      buckets: Int = 1000): DataFrame = {
+    val rate = keepPerMille.toSeq.sortBy(_._1).foldLeft(lit(defaultPerMille)) {
+      case (acc, (cls, r)) => when(col(classCol) === cls, lit(r)).otherwise(acc)
+    }
+    df.filter(bucket(col(keyCol), buckets) < rate)
+  }
+
+  /** The matching SQL keep-rate CASE for the oracle. */
+  def stratifiedRateSql(classExpr: String, keepPerMille: Map[String, Int],
+      defaultPerMille: Int = 1000): String =
+    keepPerMille.toSeq.sortBy(_._1)
+      .map { case (cls, r) => s"WHEN $classExpr = '$cls' THEN $r" }
+      .mkString("CASE ", " ", s" ELSE $defaultPerMille END")
 }

@@ -228,6 +228,21 @@ object TextQueries {
         |FROM (SELECT doc_id, ${graft.ops.HashSplit.bucketSql("doc_id", 1000)} AS bucket
         |      FROM documents) t""".stripMargin)),
 
+    // Deterministic class-rebalancing: cap the majority language at 300
+    // per-mille, keep the rest — reproducible stratified sampling as a
+    // pure function of (doc_id, lang).
+    Entry(
+      "stratified_sample",
+      (s, dir) => graft.ops.HashSplit.stratified(
+        docs(s, dir).select("doc_id", "lang"), "doc_id", "lang",
+        Map("en" -> 300)),
+      Some(s"""SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang,
+        |    ${graft.ops.HashSplit.bucketSql("doc_id", 1000)} AS bucket,
+        |    ${graft.ops.HashSplit.stratifiedRateSql("lang", Map("en" -> 300))} AS rate
+        |  FROM documents) t
+        |WHERE bucket < rate""".stripMargin)),
+
     // Multimodal plumbing: batched stub feature extraction (rows-only).
     Entry(
       "multimodal_features",

@@ -38,6 +38,24 @@ class HashSplitSpec extends AnyFunSuite {
     assert(bad == 0)
   }
 
+  test("stratified: per-class keep rates, absent classes keep default") {
+    val df = (1L to 1000L).map(i => (i, if (i <= 800) "big" else "small"))
+      .toDF("doc_id", "cls")
+    val kept = HashSplit.stratified(df, "doc_id", "cls", Map("big" -> 250))
+    val byCls = kept.groupBy("cls").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // majority capped to ~25%, minority untouched
+    assert(byCls("small") == 200L, byCls)
+    assert(byCls("big") > 140 && byCls("big") < 260, byCls)
+    // membership is the bucket rule exactly
+    val expectBig = df.filter(col("cls") === "big")
+      .select(col("doc_id"), HashSplit.bucket(col("doc_id"), 1000).as("b"))
+      .collect().filter(_.getLong(1) < 250).map(_.getLong(0)).toSet
+    val gotBig = kept.filter(col("cls") === "big")
+      .collect().map(_.getLong(0)).toSet
+    assert(gotBig == expectBig)
+  }
+
   test("downsample keeps exactly the below-threshold buckets, stably") {
     val df = (1L to 1000L).toDF("doc_id")
     val kept = HashSplit.downsample(df, "doc_id", keepPerMille = 100)
