@@ -39,6 +39,16 @@ class BucketedTableSpec extends AnyFunSuite {
       assert(!plan.contains("Exchange hashpartitioning"),
         s"bucketed household feature build must not shuffle:\n${plan.take(4000)}")
       assert(df.count() > 0)
+      // the household×commodity grain rides the same buckets: with
+      // subset-key co-partitioning enabled (TestSpark conf), its joins on
+      // (household_key, commodity_desc) reuse Hash(household_key) too
+      val txc = graft.features.FeatureBuilder.txWithCommodity(
+        spark, "/root/testdata/sf0.001")
+      val hc = graft.features.FeatureBuilder.build(
+        txc, graft.features.FeatureBuilder.householdCommodity)
+      val hcPlan = hc.queryExecution.executedPlan.toString
+      assert(!hcPlan.contains("Exchange hashpartitioning"),
+        s"bucketed hh-commodity feature build must not shuffle:\n${hcPlan.take(4000)}")
     } finally graft.core.SilverStore.disable()
   }
 
