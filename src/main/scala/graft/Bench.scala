@@ -1,6 +1,5 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
 
 /** Benchmark main (driver contract): runs every registered query against
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line with per-query seconds.
@@ -13,19 +12,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      // subset-key co-partitioning: joins whose inputs are both
-      // Hash(household_key)-partitioned (the 32-bucket silver lineage) may
-      // reuse that partitioning even when joining on (household_key,
-      // commodity_desc) — the conservative default would re-shuffle both
-      // sides on the full key set. Safe here: the subset key is the
-      // well-distributed bucket key.
-      .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
+    val spark = graft.core.GraftSession.builder(s"local[$cpus]", cpus.toInt)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -43,7 +30,7 @@ object Bench {
     // log it loudly instead of swallowing it.
     try graft.silver.TransactionsAdj(spark, sfDir)
     catch { case e: Throwable =>
-      System.err.println(s"[bench] silver warm-up failed: ${e.getMessage}")
+      System.err.println(s"[bench] silver warm-up failed: $e")
     }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -56,7 +43,7 @@ object Bench {
       val ok =
         try { fn(spark, sfDir).queryExecution.toRdd.count(); true }
         catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
+          System.err.println(s"[bench] $name failed: $e"); false
         }
       val sec = (System.nanoTime() - t0) / 1e9
       (name, if (ok) sec else -1.0, ok)

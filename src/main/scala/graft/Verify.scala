@@ -1,24 +1,13 @@
 package graft
-import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
+    require(args.length == 2, "usage: Verify <sfDir> <outDir>")
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      // subset-key co-partitioning: joins whose inputs are both
-      // Hash(household_key)-partitioned (the 32-bucket silver lineage) may
-      // reuse that partitioning even when joining on (household_key,
-      // commodity_desc) — the conservative default would re-shuffle both
-      // sides on the full key set. Safe here: the subset key is the
-      // well-distributed bucket key.
-      .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
+    val spark = graft.core.GraftSession.builder(s"local[$cpus]", cpus.toInt)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
@@ -26,10 +15,22 @@ object Verify {
     // see core.SilverStore)
     graft.core.SilverStore.enable()
     SparkEntry.queries.foreach { case (name, fn) =>
+      // Remove any previous run's result FIRST: a query that now fails
+      // must not leave its old (stale) parquet behind, or the compare
+      // would silently report a false PASS for a broken query.
+      val target = Paths.get(outDir, name)
+      if (Files.exists(target)) {
+        val walk = Files.walk(target)
+        try {
+          import scala.jdk.CollectionConverters._
+          walk.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+        } finally walk.close()
+      }
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // e.toString keeps the exception class (getMessage is null for NPEs)
+        System.err.println(s"[verify] $name failed: $e")
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -39,7 +39,7 @@ def main(sfdir, outdir):
             exp = con.execute(sql).fetchdf()
         except Exception as e:
             print(f"FAIL {name}: oracle error {e}"); n_fail += 1; continue
-        got = duckdb.connect().execute(
+        got = con.execute(
             f"SELECT * FROM read_parquet('{rp}/*.parquet')").fetchdf()
         g, e = canon(got), canon(exp)
         if list(g.columns) != list(e.columns):
@@ -54,7 +54,8 @@ def main(sfdir, outdir):
         except AssertionError as ex:
             print(f"FAIL {name}: {str(ex)[:500]}"); n_fail += 1
     print(f"== {n_pass} pass, {n_fail} fail ==")
-    return 1 if n_fail else 0
+    # zero comparisons (empty oracle_sql.json / wrong outDir) is NOT a pass
+    return 1 if n_fail or not n_pass else 0
 
 if __name__ == "__main__":
     sys.exit(main(sys.argv[1], sys.argv[2]))
