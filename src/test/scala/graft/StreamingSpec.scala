@@ -38,15 +38,17 @@ class StreamingSpec extends AnyFunSuite {
       .writeStream.outputMode("complete").format("memory").queryName("hourly")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
     q.awaitTermination()
+    // sum_value included: both sides accumulate through DECIMAL(18,4),
+    // so the totals are EXACTLY equal regardless of micro-batch slicing
     val streamed = spark.table("hourly")
-      .select("hour_start", "event_type", "n_events")
-      .as[(Timestamp, String, Long)].collect().toSet
+      .select("hour_start", "event_type", "n_events", "sum_value")
+      .as[(Timestamp, String, Long, Double)].collect().toSet
     val batch = EventOps.hourlyByType(
       rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
-      .select("hour_start", "event_type", "n_events")
-      .as[(Timestamp, String, Long)].collect().toSet
+      .select("hour_start", "event_type", "n_events", "sum_value")
+      .as[(Timestamp, String, Long, Double)].collect().toSet
     assert(streamed == batch)
-    assert(batch.exists { case (_, t, n) => t == "click" && n == 3 })
+    assert(batch.exists { case (_, t, n, _) => t == "click" && n == 3 })
   }
 
   test("streaming exact dedup keeps one doc per content, agrees with batch") {
