@@ -21,6 +21,10 @@ object Bench {
       try { spark.read.parquet(s"$sfDir/$t.parquet").count() }
       catch { case _: Throwable => () }
     }
+    // S11 setup: the reference registers its tables once at ingest
+    // (01_Data_Prep.py:93-100); the per-query timer should measure the
+    // query, not catalog registration.
+    graft.core.Catalog.registerAll(spark, sfDir)
     // Materialize the silver fact ONCE (bucketed by household_key +
     // pinned), mirroring the reference where transactions_adj is a
     // physical CTAS table built by ingest, not re-derived per query.

@@ -23,9 +23,25 @@ object Catalog {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** Last fixture dir registered per session: registering reads all 10
+    * parquet schemas (~0.8s of footer IO), and the reference registers its
+    * tables once at ingest (`01_Data_Prep.py:93-100`), not per query — so
+    * repeat calls for the same (session, dir) are no-ops. A DIFFERENT dir
+    * re-registers: the views are session-global and must follow the caller.
+    */
+  private val registered =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
   /** S2/S11: register every fixture table as a temp view for SQL access. */
-  def registerAll(spark: SparkSession, sfDir: String): Unit =
-    fixtureTables.foreach { n =>
-      table(spark, sfDir, n).createOrReplaceTempView(n)
+  def registerAll(spark: SparkSession, sfDir: String): Unit = {
+    val sid = spark.sparkContext.applicationId + "-" +
+      java.lang.Integer.toHexString(System.identityHashCode(spark))
+    if (!registered.get(sid).contains(sfDir)) {
+      fixtureTables.foreach { n =>
+        table(spark, sfDir, n).createOrReplaceTempView(n)
+      }
+      registered.put(sid, sfDir)
+      ()
     }
+  }
 }

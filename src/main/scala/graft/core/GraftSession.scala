@@ -26,4 +26,9 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
+      // events.parquet carries TIMESTAMP_NANOS, which Spark's parquet
+      // reader rejects outright unless surfaced as raw BIGINT nanos;
+      // EventOps owns the ns→timestamp conversion. Must be set before
+      // anything (incl. Catalog.registerAll) reads the events footer.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
 }
