@@ -37,7 +37,13 @@ object Bench {
       System.err.println(s"[bench] silver warm-up failed: $e")
     }
 
+    def gcMillis: Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).sum
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val gc0 = gcMillis
       val t0 = System.nanoTime()
       // Materialize the FULL result (every column, every row) by executing
       // the physical plan and counting its rows. A plain `df.count()` plans
@@ -50,6 +56,11 @@ object Bench {
           System.err.println(s"[bench] $name failed: $e"); false
         }
       val sec = (System.nanoTime() - t0) / 1e9
+      // stderr diagnostic (the stdout contract stays one JSON line): how
+      // much of each query's wall time was driver/executor GC — the wide
+      // feature plans are the usual suspect when a query's bench time
+      // diverges from its isolated time.
+      System.err.println(f"[bench] $name%-32s ${sec}%7.2f s  gc ${gcMillis - gc0}%5d ms")
       (name, if (ok) sec else -1.0, ok)
     }
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }

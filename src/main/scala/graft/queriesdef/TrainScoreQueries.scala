@@ -112,7 +112,12 @@ object TrainScoreQueries {
         // one bounds job per distinct fact, shared across grains
         val hb = FeatureBuilder.bounds(txAsOf)
         val cb = FeatureBuilder.bounds(txcAsOf)
-        TrainingSetBuilder.build(labels, Seq(
+        // Materialized assembly (reference architecture: the training set
+        // joins stored feature tables, not live feature queries). The
+        // commodity grain is catalog-bounded (one row per commodity), so
+        // its lookup is broadcast at any data scale; the household grains
+        // scale with data and stay as co-partitioned joins.
+        TrainingSetBuilder.buildMaterialized(labels, Seq(
           TrainingSetBuilder.Lookup(
             FeatureBuilder.build(txAsOf, FeatureBuilder.household,
               knownBounds = Some(hb)),
@@ -120,7 +125,7 @@ object TrainScoreQueries {
           TrainingSetBuilder.Lookup(
             FeatureBuilder.build(txcAsOf, FeatureBuilder.commodity,
               knownBounds = Some(cb)),
-            Seq("commodity_desc"), "commodity__"),
+            Seq("commodity_desc"), "commodity__", broadcastable = true),
           TrainingSetBuilder.Lookup(
             FeatureBuilder.build(txcAsOf, FeatureBuilder.householdCommodity,
               knownBounds = Some(cb)),

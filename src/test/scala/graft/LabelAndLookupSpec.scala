@@ -60,6 +60,24 @@ class LabelAndLookupSpec extends AnyFunSuite {
     assert(m(2L) == 0.0) // left-outer miss → fillna
   }
 
+  test("buildMaterialized ≡ build (checkpointed assembly, broadcast hint)") {
+    val spine = Seq((1L, "A"), (1L, "B"), (2L, "A"))
+      .toDF("household_key", "commodity_desc")
+    val hh = Seq((1L, 3.0)).toDF("household_key", "m1")
+    val cm = Seq(("A", 5.0)).toDF("commodity_desc", "m2")
+    val lks = Seq(
+      TrainingSetBuilder.Lookup(hh, Seq("household_key"), "household__"),
+      TrainingSetBuilder.Lookup(cm, Seq("commodity_desc"), "commodity__",
+        broadcastable = true))
+    val plain = TrainingSetBuilder.build(spine, lks, joinDay = false)
+    val mat = TrainingSetBuilder.buildMaterialized(spine, lks, joinDay = false)
+    assert(mat.columns.toSeq == plain.columns.toSeq)
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getAs[Long]("household_key"), r.getAs[String]("commodity_desc"))
+    assert(mat.collect().map(r => key(r) -> r.toSeq).toMap ==
+      plain.collect().map(r => key(r) -> r.toSeq).toMap)
+  }
+
   test("PIT lookup is day-exact: wrong-day snapshot does not match") {
     val spine = Seq((1L, d("2024-01-02"))).toDF("household_key", "day")
     val features = Seq((1L, d("2024-01-01"), 7.0)).toDF("household_key", "day", "m1")
