@@ -15,15 +15,21 @@ import org.apache.spark.sql.functions._
   *     → temporal predicate inside the join condition
   *     → per-spine-row `max(struct(snapshot_day, metrics…))`
   *
-  * The per-row argmax is a partial-aggregable `max(struct)` keyed by a
-  * unique spine-row id, NOT a `row_number` window: the aggregate combines
-  * map-side before any exchange (no sort, no full-fan-out shuffle), and
-  * keying by spine ROW — rather than by (grain keys, day) — means
-  * duplicate spine rows each survive with their own match, exactly like
-  * a native ASOF JOIN's left rows. Struct ordering breaks nothing:
-  * snapshots are PK-unique per (keys, day), so the leading
-  * `snapshot_day` field alone decides, and the all-null struct from an
-  * unmatched left-outer row loses to any real match (null orders first).
+  * The per-row argmax is a partial-aggregable `max(struct)` keyed by the
+  * spine row's CONTENT, NOT a `row_number` window and NOT a synthetic
+  * `monotonically_increasing_id`: the aggregate combines map-side before
+  * any exchange (no sort, no full-fan-out shuffle), and content keys are
+  * stable under partial-stage recomputation — a retried or speculated
+  * task reproduces the same keys, where a synthetic id depends on
+  * partition index and intra-partition order and can silently duplicate
+  * or drop as-of rows. Duplicate spine rows are handled by carrying a
+  * multiplicity: identical rows collapse before the join (shrinking its
+  * fan-out) and re-expand afterwards, so each survives with its own
+  * match, exactly like a native ASOF JOIN's left rows. Struct ordering
+  * breaks nothing: snapshots are PK-unique per (keys, day), so the
+  * leading `snapshot_day` field alone decides, and the all-null struct
+  * from an unmatched left-outer row loses to any real match (null orders
+  * first).
   *
   * Scale: the join fans out spine × snapshots-per-key, which is bounded
   * by the snapshot retention (e.g. 30 daily snapshots), NOT by table
@@ -42,7 +48,13 @@ object AsOfLookup {
       .filterNot(_ == "day")
     val f = snapshots.select(
       grainKeys.map(col) ++ (col("day").as(snapshotDayAs) +: metricCols.map(col)): _*)
-    val sp = spine.withColumn("__spine_id", monotonically_increasing_id()).alias("sp")
+    val spineCols = spine.columns.toSeq
+    // Deterministic spine identity: collapse identical rows to one row +
+    // multiplicity (groupBy treats nulls as equal, so null-keyed rows keep
+    // their count too). Map-side combinable; duplicate-heavy spines also
+    // pay less join fan-out.
+    val sp = spine.groupBy(spineCols.map(col): _*)
+      .agg(count(lit(1)).as("__mult")).alias("sp")
     val ff = f.alias("ff")
     // temporal predicate INSIDE the join condition so a spine row whose
     // snapshots are all in the future still survives (with nulls)
@@ -51,13 +63,11 @@ object AsOfLookup {
     val payload = struct(
       col(s"ff.$snapshotDayAs").as(snapshotDayAs) +:
         metricCols.map(c => col(s"ff.$c").as(c)): _*)
-    val spineCols = spine.columns.toSeq
     sp.join(ff, cond, "left_outer")
-      .groupBy(col("sp.__spine_id"))
-      .agg(
-        first(col(s"sp.${spineCols.head}")).as(spineCols.head),
-        spineCols.tail.map(c => first(col(s"sp.$c")).as(c)) :+
-          max(payload).as("__best"): _*)
+      .groupBy(spineCols.map(c => col(s"sp.$c")) :+ col("sp.__mult"): _*)
+      .agg(max(payload).as("__best"))
+      // restore multiplicity: one output row per original spine row
+      .withColumn("__i", explode(sequence(lit(1L), col("__mult"))))
       .select(
         spineCols.map(col) ++
           (col(s"__best.$snapshotDayAs").as(snapshotDayAs) +:

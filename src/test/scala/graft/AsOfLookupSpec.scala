@@ -57,4 +57,18 @@ class AsOfLookupSpec extends AnyFunSuite {
       r.getAs[Double]("m")).toMap
     assert(byTag("A") == 10.0 && byTag("B") == 10.0 && byTag("C") == 20.0)
   }
+
+  test("bit-identical duplicate spine rows keep their multiplicity") {
+    val spine = Seq(
+      (1L, d("2024-01-10")), (1L, d("2024-01-10")), (1L, d("2024-01-10")),
+      (2L, d("2024-01-10")), (2L, d("2024-01-10")) // unmatched, null m
+    ).toDF("household_key", "day")
+    val out = AsOfLookup.lookupAsOf(spine, snapshots, Seq("household_key"))
+      .collect()
+    assert(out.length == 5)
+    assert(out.count(r => r.getAs[Long]("household_key") == 1L &&
+      r.getAs[Double]("m") == 10.0) == 3)
+    assert(out.count(r => r.getAs[Long]("household_key") == 2L &&
+      r.isNullAt(r.fieldIndex("m"))) == 2)
+  }
 }
