@@ -40,7 +40,15 @@ object HashSplit {
     require(trainPerMille + valPerMille < buckets,
       s"split boundaries ($trainPerMille + $valPerMille) must leave room for test within $buckets buckets")
     val b = bucket(col(keyCol), buckets)
-    df.withColumn("bucket", b)
+    // A null key has no stable content hash: its null bucket would fail
+    // every `<` comparison and fall through to 'test', silently
+    // concentrating unkeyed records in one split (and leaking them into
+    // evaluation). Split assignment is a correctness boundary — fail loud.
+    df.withColumn("bucket",
+        when(col(keyCol).isNull,
+          raise_error(lit(s"HashSplit.split: null $keyCol — split membership " +
+            "requires a non-null key; filter or impute upstream")))
+          .otherwise(b))
       .withColumn("split",
         when(col("bucket") < trainPerMille, "train")
           .when(col("bucket") < trainPerMille + valPerMille, "val")

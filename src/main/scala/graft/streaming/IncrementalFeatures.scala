@@ -69,7 +69,17 @@ object IncrementalFeatures {
     if (!java.nio.file.Files.exists(marker)) -1L
     else java.nio.file.Files.readString(marker).split("\n", 2) match {
       case Array(ck, id) if ck == checkpoint => id.trim.toLong
-      case _ => -1L // legacy single-field marker or different checkpoint
+      case Array(legacyId) if scala.util.Try(legacyId.trim.toLong).isSuccess =>
+        // Legacy single-field marker (pre checkpoint-qualified format):
+        // written by an older writer on THIS table, so the only lineage it
+        // can belong to is the one resuming here — treating it as "nothing
+        // applied" would re-apply its last batch on the first crash-replay
+        // after an in-place upgrade and double-count the additive merge.
+        // Adopt it into the current checkpoint and rewrite in new format.
+        val id = legacyId.trim.toLong
+        recordBatch(table, checkpoint, id)
+        id
+      case _ => -1L // different checkpoint lineage (or unreadable marker)
     }
   }
 

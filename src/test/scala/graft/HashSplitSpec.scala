@@ -38,6 +38,16 @@ class HashSplitSpec extends AnyFunSuite {
     assert(bad == 0)
   }
 
+  test("split fails loud on a null key instead of leaking rows into 'test'") {
+    val df = Seq(Some(1L), None).toDF("doc_id")
+    val ex = intercept[Exception] {
+      HashSplit.split(df, "doc_id").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("null doc_id")), ex.toString)
+  }
+
   test("stratified: per-class keep rates, absent classes keep default") {
     val df = (1L to 1000L).map(i => (i, if (i <= 800) "big" else "small"))
       .toDF("doc_id", "cls")

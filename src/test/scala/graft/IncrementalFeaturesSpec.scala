@@ -75,6 +75,26 @@ class IncrementalFeaturesSpec extends AnyFunSuite {
     assert(t.read(spark).count() > 0)
   }
 
+  test("a LEGACY single-field marker is adopted into the resuming checkpoint") {
+    // pre-upgrade writers recorded only the batchId; on an in-place
+    // upgrade the marker must keep suppressing its already-applied batch
+    // (treating it as 'nothing applied' would double-count on replay)
+    val dir = Files.createTempDirectory("inc-replay3").toString
+    toDF(batch1).write.mode("overwrite").parquet(dir)
+    val t = FeatureTable(
+      Files.createTempDirectory("inc5").toString + "/t", Seq("user_id", "day"))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(t.root))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(t.root, "_last_batch"), "999")
+    val cp = Files.createTempDirectory("inc-cp5").toString
+    IncrementalFeatures.run(spark, EventStreams.readEvents(spark, dir), t, cp)
+    assert(!t.exists, "legacy marker must keep suppressing applied batches")
+    // and the marker is rewritten in the checkpoint-qualified format
+    val rewritten = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(t.root, "_last_batch"))
+    assert(rewritten == cp + "\n999")
+  }
+
   test("streaming foreachBatch path drains a directory into the table") {
     val dir = Files.createTempDirectory("inc-stream").toString
     toDF(batch1 ++ batch2).write.mode("overwrite").parquet(dir)
