@@ -155,9 +155,15 @@ object Similarity {
     * coarse quantizer runs Spark jobs (count + sampled k-means) before
     * the returned DataFrame exists. Callers that only need a plan should
     * pass `kmeansCells = false`.
+    *
+    * `probes` defaults to 2: near-cell-border queries are the known IVF
+    * recall weakness, and probing the second-nearest cell recovers most
+    * of them for one extra candidate pass over the QUERY side only (the
+    * corpus assignment is always single-cell). SimilaritySpec reports
+    * measured recall@k for probes ∈ {1, 2} against brute force.
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int, nCells: Int,
-      kmeansCells: Boolean = true, probes: Int = 1): DataFrame = {
+      kmeansCells: Boolean = true, probes: Int = 2): DataFrame = {
     ArrayOps.register(queries.sparkSession)
     val centroids =
       if (kmeansCells) kmeansCentroids(corpus, nCells)
@@ -194,20 +200,30 @@ object Similarity {
     * recall is high (pinned by SimilaritySpec against brute force).
     */
   def cosineNearDupPairs(vectors: DataFrame, threshold: Double,
-      exactLimit: Long = 20000L): DataFrame = {
+      exactLimit: Long = 20000L, knownCount: Option[Long] = None): DataFrame = {
     ArrayOps.register(vectors.sparkSession)
     val a = side(vectors, "vec_a", "va", "na")
     val b = side(vectors, "vec_b", "vb", "nb")
     // a pinned exact mode (exactLimit = MaxValue, e.g. the oracle-carrying
     // query entry) must not pay an eager count job for a predetermined
-    // branch — the builder stays lazy in that case
-    lazy val n = vectors.count()
+    // branch — the builder stays lazy in that case; pipeline callers that
+    // already hold a count pass it via `knownCount` (no second scan)
+    lazy val n = knownCount.getOrElse(vectors.count())
+    // The exact↔approximate switch changes result SEMANTICS (recall < 1
+    // above the limit) — announce it the way Bench announces a failed
+    // silver warm-up, so a size-dependent strategy is never silent.
+    def announce(strategy: String): Unit =
+      System.err.println(s"[similarity] cosineNearDupPairs: $strategy " +
+        s"(n=${if (exactLimit == Long.MaxValue) "unconstrained" else n.toString}, " +
+        s"exactLimit=$exactLimit)")
     if (exactLimit == Long.MaxValue || n <= exactLimit) {
+      announce("exact all-pairs")
       a.crossJoin(b).filter(col("vec_a") < col("vec_b"))
         .select(col("vec_a"), col("vec_b"),
           pairCos("va", "vb", "na", "nb").as("cos"))
         .filter(col("cos") >= threshold)
     } else {
+      announce("approximate IVF candidates + exact verify (recall < 1)")
       val nCells = math.max(16, math.sqrt(n.toDouble).toInt)
       val cents = kmeansCentroids(vectors, nCells, knownCount = Some(n))
       // assign ONCE; the b side is the same assignment under renamed

@@ -47,17 +47,46 @@ class SimilaritySpec extends AnyFunSuite {
     val q = emb.filter(col("vec_id") < 10)
     val bf = Similarity.bruteForceTopK(q, emb, k = 5).collect()
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
-    val ivf = Similarity.ivfTopK(q, emb, k = 5, nCells = 4).collect()
-      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
-    val recall = (bf & ivf).size.toDouble / bf.size
-    assert(recall >= 0.2, s"IVF recall unreasonably low: $recall")
+    // recall@5 report for both probe settings (probes=2 is the default)
+    val byProbes = Seq(1, 2).map { p =>
+      val ivf = Similarity.ivfTopK(q, emb, k = 5, nCells = 4, probes = p).collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+      // every IVF hit must be a real vector pair (query != neighbor)
+      assert(ivf.forall { case (a, b) => a != b })
+      val recall = (bf & ivf).size.toDouble / bf.size
+      info(f"IVF recall@5 (nCells=4, probes=$p): $recall%.3f")
+      p -> recall
+    }.toMap
+    assert(byProbes(1) >= 0.2, s"IVF recall unreasonably low: ${byProbes(1)}")
     // recall is monotone in probes: probe-2 candidates ⊇ probe-1
-    val ivf2 = Similarity.ivfTopK(q, emb, k = 5, nCells = 4, probes = 2).collect()
+    assert(byProbes(2) >= byProbes(1),
+      s"probe-2 recall ${byProbes(2)} < probe-1 recall ${byProbes(1)}")
+    // the default must match the documented probes=2 behavior exactly
+    val dflt = Similarity.ivfTopK(q, emb, k = 5, nCells = 4).collect()
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
-    val recall2 = (bf & ivf2).size.toDouble / bf.size
-    assert(recall2 >= recall, s"probe-2 recall $recall2 < probe-1 recall $recall")
-    // every IVF hit must be a real vector pair (query != neighbor)
-    assert(ivf.forall { case (a, b) => a != b })
+    val p2 = Similarity.ivfTopK(q, emb, k = 5, nCells = 4, probes = 2).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    assert(dflt == p2, "default probes must be 2")
+  }
+
+  test("cosineNearDupPairs honors knownCount without a second scan") {
+    val rnd = new scala.util.Random(11)
+    val emb = (0L until 50L).map(i => (i, Array.fill(8)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    // knownCount drives the branch: with exactLimit=0 the corpus size
+    // would force the approximate path, but a supplied count of 0 keeps
+    // the exact plan (visible as the all-pairs join in the physical plan)
+    val forced = Similarity.cosineNearDupPairs(emb, 0.9, exactLimit = 0L,
+      knownCount = Some(0L))
+    val plan = forced.queryExecution.executedPlan.toString
+    assert(plan.contains("CartesianProduct") || plan.contains("NestedLoop"),
+      s"knownCount<=exactLimit must select the exact all-pairs plan:\n$plan")
+    // and results are identical across branches on the same corpus
+    val exact = Similarity.cosineNearDupPairs(emb, 0.5)
+      .collect().map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
+    val viaKnown = Similarity.cosineNearDupPairs(emb, 0.5, knownCount = Some(50L))
+      .collect().map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
+    assert(viaKnown == exact)
   }
 
   test("near-dup scale path: high recall vs exact, no unconditioned cross join") {
