@@ -16,7 +16,7 @@ object Flagship {
     val work = Files.createTempDirectory("graft-flagship").toString
     val cfg = PipelineConfig(
       sfDir = sfDir, workRoot = work, nCommodities = 2,
-      trainer = PropensityTrainer.Config(algo = "lr", maxIter = 10, parallelism = 2))
+      trainer = PropensityTrainer.Config(algo = "lr", regParams = Seq(0.0, 0.01), maxIter = 10, parallelism = 2))
     val p = new PropensityPipeline(spark, cfg)
     p.init()
     p.trainAll()

@@ -28,23 +28,80 @@ import org.apache.spark.sql.functions._
   */
 object PropensityTrainer {
 
-  /** Defaults mirror the reference's tuning budget in grid form
-    * (`04b:378-395`): hyperopt explores `max_depth` ∈ [5, 20] and
-    * `learning_rate` ∈ [0.01, 0.40] with ≥50 TPE evals; the grid samples
-    * the same ranges at 4×3 = 12 points, and trials run as parallel
-    * Spark jobs (`parallelism` = local cores, like `SparkTrials`).
+  /** Defaults mirror the reference's tuning budget (`04b:378-395`):
+    * hyperopt explores `max_depth` ∈ [5, 20] (quniform) and
+    * `learning_rate` ∈ [0.01, 0.40] (uniform) with
+    * `max_evals = max(50, parallelism·5)` TPE trials. The engine samples
+    * the SAME ranges with a seeded uniform random search of `maxEvals`
+    * distinct points (random search, unlike a fixed grid, matches TPE's
+    * budget semantics and covers continuous ranges at any budget), and
+    * trials run as parallel Spark jobs (`parallelism` = local cores, like
+    * `SparkTrials`). For exact reference parity on a cluster pass
+    * `maxEvals = math.max(50, cores * 5)`.
     * XGBoost→GBT delta: MLlib's GBT has no `scale_pos_weight` /
     * `min_child_weight` / histogram tricks — imbalance is handled by the
-    * `weightCol` instead (`withWeights`), and depth beyond ~12 is
-    * disproportionately slow on GBT, so the depth samples stop there.
+    * `weightCol` instead (`withWeights`).
+    *
+    * `maxDepths`/`stepSizes` (GBT) and `regParams` (LR) are explicit grid
+    * OVERRIDES — when non-empty they replace the sampled search (tests
+    * and quick baselines); when empty the `maxEvals` random search runs.
     */
   final case class Config(
       algo: String = "gbt", // "gbt" | "lr"
-      maxDepths: Seq[Int] = Seq(3, 5, 8, 12),
-      stepSizes: Seq[Double] = Seq(0.05, 0.1, 0.3),
+      maxDepths: Seq[Int] = Nil,
+      stepSizes: Seq[Double] = Nil,
+      regParams: Seq[Double] = Nil,
       maxIter: Int = 20,
+      maxEvals: Int = 50,
       parallelism: Int = Runtime.getRuntime.availableProcessors(),
       seed: Long = 42L)
+
+  /** Seeded distinct samples from the reference search space
+    * (`04b:379-383`): depth quniform [5, 20], rate uniform [0.01, 0.40].
+    */
+  private def sampledSpace(cfg: Config): Seq[(Int, Double)] = {
+    val rnd = new scala.util.Random(cfg.seed)
+    val seen = scala.collection.mutable.LinkedHashSet.empty[(Int, Double)]
+    var attempts = 0
+    while (seen.size < cfg.maxEvals && attempts < cfg.maxEvals * 100) {
+      seen += ((5 + rnd.nextInt(16), 0.01 + rnd.nextDouble() * 0.39))
+      attempts += 1
+    }
+    seen.toSeq
+  }
+
+  /** The hyperparameter search points for a config — pure, no fitting
+    * (TrainerSpec asserts the budget and ranges without training). Grid
+    * overrides win; otherwise the seeded `maxEvals`-point random search
+    * over the reference ranges.
+    */
+  def searchMaps(estimator: Any, cfg: Config): Array[org.apache.spark.ml.param.ParamMap] = {
+    import org.apache.spark.ml.param.ParamMap
+    estimator match {
+      case lr: LogisticRegression =>
+        val regs =
+          if (cfg.regParams.nonEmpty) cfg.regParams
+          else {
+            // log-uniform reg strength: LR's analog of the reference's
+            // continuous rate range, same sampled budget
+            val rnd = new scala.util.Random(cfg.seed)
+            Seq.fill(cfg.maxEvals)(math.pow(10.0, -4.0 + 3.7 * rnd.nextDouble()))
+              .distinct
+          }
+        regs.map(r => ParamMap(lr.regParam -> r)).toArray
+      case gbt: GBTClassifier =>
+        if (cfg.maxDepths.nonEmpty && cfg.stepSizes.nonEmpty)
+          new ParamGridBuilder()
+            .addGrid(gbt.maxDepth, cfg.maxDepths.toArray)
+            .addGrid(gbt.stepSize, cfg.stepSizes.toArray).build()
+        else
+          sampledSpace(cfg).map { case (d, s) =>
+            ParamMap(gbt.maxDepth -> d, gbt.stepSize -> s)
+          }.toArray
+      case other =>
+        throw new IllegalArgumentException(s"unsupported estimator: $other")
+    }
+  }
 
   /** Train/validate/test split mirroring `04b:366-367`. */
   def split(df: DataFrame, seed: Long): (DataFrame, DataFrame, DataFrame) = {
@@ -69,19 +126,14 @@ object PropensityTrainer {
     val labeled = trainingSet
       .withColumn("label", col("purchased").cast("double"))
 
-    val (estimator, grid) = cfg.algo match {
+    val estimator = cfg.algo match {
       case "lr" =>
-        val lr = new LogisticRegression()
-          .setWeightCol("weight").setMaxIter(cfg.maxIter)
-        (lr, new ParamGridBuilder()
-          .addGrid(lr.regParam, Array(0.0, 0.01)).build())
+        new LogisticRegression().setWeightCol("weight").setMaxIter(cfg.maxIter)
       case _ =>
-        val gbt = new GBTClassifier()
+        new GBTClassifier()
           .setWeightCol("weight").setMaxIter(cfg.maxIter).setSeed(cfg.seed)
-        (gbt, new ParamGridBuilder()
-          .addGrid(gbt.maxDepth, cfg.maxDepths.toArray)
-          .addGrid(gbt.stepSize, cfg.stepSizes.toArray).build())
     }
+    val grid = searchMaps(estimator, cfg)
     val evaluator = new BinaryClassificationEvaluator()
       .setMetricName("areaUnderPR")
     val tvs = new TrainValidationSplit()

@@ -17,7 +17,7 @@ class PipelineSpec extends AnyFunSuite {
       sfDir = "/root/testdata/sf0.001",
       workRoot = Files.createTempDirectory("pipe-spec").toString,
       nCommodities = 1,
-      trainer = PropensityTrainer.Config(algo = "lr", maxIter = 5, parallelism = 2))
+      trainer = PropensityTrainer.Config(algo = "lr", regParams = Seq(0.0, 0.01), maxIter = 5, parallelism = 2))
     val pp = new PropensityPipeline(spark, cfg)
     pp.init()
     pp

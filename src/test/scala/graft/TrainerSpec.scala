@@ -22,7 +22,7 @@ class TrainerSpec extends AnyFunSuite {
     val df = PropensityTrainer.withWeights(toy(200), posRatio = 0.4)
     val model = PropensityTrainer.train(df,
       Seq("household__f1", "household__f2"),
-      PropensityTrainer.Config(algo = "lr", maxIter = 10, parallelism = 2))
+      PropensityTrainer.Config(algo = "lr", regParams = Seq(0.0, 0.01), maxIter = 10, parallelism = 2))
     val scored = model.transform(df)
       .select(col("household__f1"),
         org.apache.spark.ml.functions.vector_to_array(col("probability"))
@@ -39,7 +39,7 @@ class TrainerSpec extends AnyFunSuite {
     val store = ModelStore(Files.createTempDirectory("ms").toString)
     val df = PropensityTrainer.withWeights(toy(100), posRatio = 0.4)
     val model = PropensityTrainer.train(df, Seq("household__f1", "household__f2"),
-      PropensityTrainer.Config(algo = "lr", maxIter = 5, parallelism = 1))
+      PropensityTrainer.Config(algo = "lr", regParams = Seq(0.0, 0.01), maxIter = 5, parallelism = 1))
     val v = store.save("test_commodity", model)
     assert(!store.hasProduction("test_commodity"))
     store.promote("test_commodity", v)
@@ -63,6 +63,31 @@ class TrainerSpec extends AnyFunSuite {
     assert(agg(true) > 0.7 && agg(false) < 0.3, s"gbt failed to separate: $agg")
   }
 
+  test("default search budget is ≥50 points over the reference ranges (04b:379-395)") {
+    import org.apache.spark.ml.classification.{GBTClassifier, LogisticRegression}
+    val cfg = PropensityTrainer.Config() // production default
+    assert(cfg.maxEvals >= 50)
+    val gbt = new GBTClassifier()
+    def points(cfg: PropensityTrainer.Config) =
+      PropensityTrainer.searchMaps(gbt, cfg)
+        .map(m => (m(gbt.maxDepth), m(gbt.stepSize))).toSeq
+    val maps = points(cfg)
+    assert(maps.length >= 50, s"budget ${maps.length} < 50")
+    assert(maps.distinct.length == maps.length, "sampled points must be distinct")
+    maps.foreach { case (d, s) =>
+      assert(d >= 5 && d <= 20, s"max_depth $d outside [5,20]")
+      assert(s >= 0.01 && s <= 0.40, s"learning_rate $s outside [0.01,0.40]")
+    }
+    // deterministic for a fixed seed; a different seed moves the points
+    assert(points(cfg) == maps)
+    assert(points(cfg.copy(seed = 7L)) != maps)
+    // lr: same sampled budget; explicit override wins
+    val lr = new LogisticRegression()
+    assert(PropensityTrainer.searchMaps(lr, cfg).length >= 50)
+    assert(PropensityTrainer.searchMaps(lr,
+      cfg.copy(regParams = Seq(0.0, 0.01))).length == 2)
+  }
+
   test("confusion metrics match hand-computed MCC and balanced accuracy") {
     // tp=2 fp=1 tn=3 fn=1 → tpr=2/3, tnr=3/4, ba=17/24;
     // mcc = (2*3 - 1*1) / sqrt(3*3*4*4) = 5/12
@@ -83,7 +108,7 @@ class TrainerSpec extends AnyFunSuite {
     val df = PropensityTrainer.withWeights(toy(200), posRatio = 0.4)
     val model = PropensityTrainer.train(df,
       Seq("household__f1", "household__f2"),
-      PropensityTrainer.Config(algo = "lr", maxIter = 10, parallelism = 2))
+      PropensityTrainer.Config(algo = "lr", regParams = Seq(0.0, 0.01), maxIter = 10, parallelism = 2))
     val m = PropensityTrainer.evaluate(model, toy(200))
     assert(m.avgPrecision > 0.95, s"ap=${m.avgPrecision}")
     assert(m.balancedAccuracy > 0.95, s"ba=${m.balancedAccuracy}")
