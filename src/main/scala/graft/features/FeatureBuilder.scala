@@ -72,10 +72,11 @@ object FeatureBuilder {
     */
   def build(fact: DataFrame, grain: Grain,
       approxDistinct: Boolean = false,
-      knownBounds: Option[(LocalDate, LocalDate)] = None): DataFrame = {
+      knownBounds: Option[(LocalDate, LocalDate)] = None,
+      referenceExact: Boolean = false): DataFrame = {
     val (_, cur) = knownBounds.getOrElse(bounds(fact))
     val wins = WindowSpec.windows(cur)
-    val aggs = wins.flatMap(w => MetricDefs.aggsFor(w, approxDistinct))
+    val aggs = wins.flatMap(w => MetricDefs.aggsFor(w, approxDistinct, referenceExact))
     val posts = wins.flatMap(MetricDefs.ratiosFor)
 
     // Pre-filter to the union of all windows: lets parquet skip row groups
@@ -154,13 +155,14 @@ object FeatureBuilder {
     * prefixed with `p` so multiple chains can coexist in one oracle query.
     * Returns (cteFragment, finalRelName).
     */
-  def cteChain(p: String, factRel: String, grain: Grain): (String, String) = {
+  def cteChain(p: String, factRel: String, grain: Grain,
+      referenceExact: Boolean = false): (String, String) = {
     val keys = grain.keys.mkString(", ")
     val epoch = LocalDate.ofEpochDay(0) // Spark-side dates unused in SQL
     val wins = WindowSpec.windows(epoch)
     val maxOffset =
       wins.map(w => java.time.temporal.ChronoUnit.DAYS.between(w.start, epoch)).max
-    val aggs = wins.flatMap(w => MetricDefs.aggsFor(w))
+    val aggs = wins.flatMap(w => MetricDefs.aggsFor(w, referenceExact = referenceExact))
     val posts = wins.flatMap(MetricDefs.ratiosFor)
     val aggSelect = aggs.map(a => s"    ${a.sql} AS ${a.name}").mkString(",\n")
     val cleanSelect = aggs
@@ -196,8 +198,9 @@ object FeatureBuilder {
     * into the aggregation (all references sit inside aggregate args, so no
     * extra GROUP BY keys are needed).
     */
-  def buildSql(factCte: String, grain: Grain): String = {
-    val (frag, fin) = cteChain("f_", "fact_rel", grain)
+  def buildSql(factCte: String, grain: Grain,
+      referenceExact: Boolean = false): String = {
+    val (frag, fin) = cteChain("f_", "fact_rel", grain, referenceExact)
     s"WITH $factCte,\n$frag\nSELECT * FROM $fin"
   }
 }

@@ -69,7 +69,8 @@ object MetricDefs {
     * chain — one logical aggregation for all windows (scale redesign,
     * SURVEY.md §4).
     */
-  def aggsFor(w: WindowDef, approxDistinct: Boolean = false): Seq[AggDef] = {
+  def aggsFor(w: WindowDef, approxDistinct: Boolean = false,
+      referenceExact: Boolean = false): Seq[AggDef] = {
     // the approx variant swaps exact distinct counts for HLL sketches —
     // the 100 TB escape hatch that keeps everything in ONE pass with no
     // Expand and no per-entity restructuring; not oracle-exact, so only
@@ -83,13 +84,25 @@ object MetricDefs {
       AggKind.DistinctOf(entity,
         extra.fold(inWin)(m => inWin && col(m) > 0.0))
 
-    // A2: base multi-aggregates (`04a:183-199`). Deliberate departure:
-    // the reference's `products` is a plain `fn.count('product_id')`
-    // (`04a:194`) — numerically identical to `line_items` whenever
-    // product_id is non-null, which makes its per-product ratio family
-    // duplicate the per-line_item one. Here `products` is the DISTINCT
-    // product count, which is what the downstream ratios
-    // (products_per_basket, …_per_product) clearly intend.
+    // A2: base multi-aggregates (`04a:183-199`). Deliberate departure,
+    // made OPT-OUT by `referenceExact`: the reference's `products` is a
+    // plain `fn.count('product_id')` (`04a:194`) — numerically identical
+    // to `line_items` whenever product_id is non-null, which makes its
+    // per-product ratio family duplicate the per-line_item one. The
+    // engine default counts DISTINCT products, which is what the
+    // downstream ratios (products_per_basket, …_per_product) clearly
+    // intend; `referenceExact = true` reproduces the reference's plain
+    // count verbatim so parity audits can diff outputs bit-for-bit.
+    // (Only this one metric differs: the `products_with_*` conditional
+    // counts are countDistinct in the reference too, `04a:229-241`.)
+    val productsAgg =
+      if (referenceExact)
+        AggDef(s"products_$s", count(when(inWin, col("product_id"))),
+          s"COUNT(CASE WHEN $inWinSql THEN product_id END)")
+      else
+        AggDef(s"products_$s", cdist(when(inWin, col("product_id"))),
+          s"COUNT(DISTINCT CASE WHEN $inWinSql THEN product_id END)",
+          distinctOf("product_id", None))
     val base = Seq(
       AggDef(s"days_$s", cdist(when(inWin, col("day"))),
         s"COUNT(DISTINCT CASE WHEN $inWinSql THEN day END)",
@@ -97,9 +110,7 @@ object MetricDefs {
       AggDef(s"baskets_$s", cdist(when(inWin, col("basket_id"))),
         s"COUNT(DISTINCT CASE WHEN $inWinSql THEN basket_id END)",
         distinctOf("basket_id", None)),
-      AggDef(s"products_$s", cdist(when(inWin, col("product_id"))),
-        s"COUNT(DISTINCT CASE WHEN $inWinSql THEN product_id END)",
-        distinctOf("product_id", None)),
+      productsAgg,
       AggDef(s"line_items_$s", count(when(inWin, lit(1))),
         s"COUNT(CASE WHEN $inWinSql THEN 1 END)"),
       AggDef(s"units_$s", sum(when(inWin, col("units"))),

@@ -39,6 +39,18 @@ object FeatureQueries {
         FeatureBuilder.txWithCommodity(s, dir), FeatureBuilder.householdCommodity),
       Some(FeatureBuilder.buildSql(factCommodity, FeatureBuilder.householdCommodity))),
 
+    // A2-A5 + P3 in strict reference parity mode: `products` is the
+    // reference's plain count (04a:194), not the engine-default DISTINCT —
+    // the opt-in for audits diffing against reference output verbatim.
+    // Engine and oracle render from the SAME flag, so the hash match
+    // proves the flag changes exactly the documented metric family.
+    Entry(
+      "household_features_reference_exact",
+      (s, dir) => FeatureBuilder.build(TransactionsAdj(s, dir),
+        FeatureBuilder.household, referenceExact = true),
+      Some(FeatureBuilder.buildSql(factHousehold, FeatureBuilder.household,
+        referenceExact = true))),
+
     // A2 isolated: grouped multi-aggregate (04a:183-199).
     Entry(
       "feature_agg_core",

@@ -7,6 +7,7 @@ import graft.QueryRegistry.Entry
 import graft.features.FeatureBuilder
 import graft.labels.LabelBuilder
 import graft.ops.Commodities
+import graft.score.MergeWriter
 import graft.silver.TransactionsAdj
 import graft.train.TrainingSetBuilder
 
@@ -167,6 +168,83 @@ object TrainScoreQueries {
         |SELECT e.* FROM existing e
         |WHERE NOT EXISTS (
         |  SELECT 1 FROM incoming i WHERE i.household_key = e.household_key)""".stripMargin)),
+
+    // S7 end-to-end through the REAL sink: two pivoted score batches merged
+    // into a FeatureTable where the second batch updates one column and
+    // adds a first-seen one (schema evolution, 04c:156,189-202). Score
+    // columns are rank-labeled (score_c1..c3 = top-3 commodities) because
+    // the static oracle SQL cannot embed data-derived commodity names;
+    // oracle = FULL JOIN + per-column COALESCE, Delta MERGE's semantics.
+    Entry(
+      "score_merge_evolution",
+      (s, dir) => {
+        val txc = FeatureBuilder.txWithCommodity(s, dir)
+        val (_, cur) = graft.core.Retail.dayBounds(s, dir)
+        val curD = Date.valueOf(cur)
+        val fedD = Date.valueOf(cur.minusDays(LabelBuilder.horizonDays))
+        val cts = Commodities.commoditiesToScore(s, dir)
+          .select("commodity_desc").collect().map(_.getString(0)).take(3).toSeq
+        def scores(df: org.apache.spark.sql.DataFrame, names: Seq[String]) =
+          df.filter(col("commodity_desc").isin(names: _*))
+            .groupBy("household_key", "commodity_desc")
+            .agg(sum(col("amount_paid").cast("decimal(18,4)"))
+              .cast("double").as("prediction"))
+            .withColumn("day", lit(curD))
+            .withColumn("commodity_desc",
+              when(col("commodity_desc") === cts(0), "score_c1")
+                .when(col("commodity_desc") === cts(1), "score_c2")
+                .otherwise("score_c3"))
+        val batch1 = MergeWriter.pivotScores(
+          scores(txc, cts.take(2)), Seq("score_c1", "score_c2"))
+        val batch2 = MergeWriter.pivotScores(
+          scores(txc.filter(col("day") <= lit(fedD)), cts.drop(1)),
+          Seq("score_c2", "score_c3"))
+        val table = graft.features.FeatureTable(
+          java.nio.file.Files.createTempDirectory("graft-merge").toString
+            + "/scores", Seq("household_key", "day"))
+        table.overwrite(batch1)
+        MergeWriter.mergeWide(s, table, batch2)
+        table.read(s)
+      },
+      Some(s"""WITH ${Oracle.txCommodity},
+        |gb AS (SELECT max(day) AS cur FROM tx),
+        |cts AS (
+        |  SELECT commodity_desc,
+        |    ROW_NUMBER() OVER (ORDER BY baskets DESC, commodity_desc) AS rnk
+        |  FROM (
+        |    SELECT commodity_desc, COUNT(DISTINCT basket_id) AS baskets
+        |    FROM txc GROUP BY commodity_desc
+        |    ORDER BY baskets DESC, commodity_desc LIMIT 3) t),
+        |sc1 AS (
+        |  SELECT t.household_key, c.rnk,
+        |    ${Oracle.dsum("t.amount_paid", "prediction")}
+        |  FROM txc t JOIN cts c ON t.commodity_desc = c.commodity_desc
+        |  WHERE c.rnk IN (1, 2)
+        |  GROUP BY t.household_key, c.rnk),
+        |b1 AS (
+        |  SELECT household_key, (SELECT cur FROM gb) AS day,
+        |    MAX(CASE WHEN rnk = 1 THEN prediction END) AS score_c1,
+        |    MAX(CASE WHEN rnk = 2 THEN prediction END) AS score_c2
+        |  FROM sc1 GROUP BY household_key),
+        |sc2 AS (
+        |  SELECT t.household_key, c.rnk,
+        |    ${Oracle.dsum("t.amount_paid", "prediction")}
+        |  FROM txc t JOIN cts c ON t.commodity_desc = c.commodity_desc
+        |  CROSS JOIN gb
+        |  WHERE c.rnk IN (2, 3) AND t.day <= (gb.cur - ${LabelBuilder.horizonDays})
+        |  GROUP BY t.household_key, c.rnk),
+        |b2 AS (
+        |  SELECT household_key, (SELECT cur FROM gb) AS day,
+        |    MAX(CASE WHEN rnk = 2 THEN prediction END) AS score_c2,
+        |    MAX(CASE WHEN rnk = 3 THEN prediction END) AS score_c3
+        |  FROM sc2 GROUP BY household_key)
+        |SELECT COALESCE(a.household_key, b.household_key) AS household_key,
+        |  COALESCE(a.day, b.day) AS day,
+        |  a.score_c1 AS score_c1,
+        |  COALESCE(b.score_c2, a.score_c2) AS score_c2,
+        |  b.score_c3 AS score_c3
+        |FROM b1 a FULL JOIN b2 b
+        |  ON a.household_key = b.household_key AND a.day = b.day""".stripMargin)),
 
     // groupBy().pivot(): the idiomatic form of the per-commodity pivoted
     // merge (04c:124-132); fixed value list keeps the schema static.

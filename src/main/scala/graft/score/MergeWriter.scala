@@ -32,6 +32,28 @@ object MergeWriter {
       .pivot("commodity_desc", commodities)
       .agg(first(col("prediction")))
 
+  /** Merge a WIDE (already-pivoted) score batch into the table — the
+    * 100 TB shape promised above: one full-outer join + one rewrite per
+    * scoring day for ALL commodities, instead of one per commodity.
+    * Matched keys take the incoming score per overlapping column
+    * (`coalesce(src, target)` — exactly Delta MERGE's update), columns
+    * absent from the batch are kept, and first-seen columns evolve the
+    * schema (`schema.autoMerge`, `04c:156`).
+    */
+  def mergeWide(spark: SparkSession, table: FeatureTable, src: DataFrame): Unit = {
+    if (!table.exists) { table.overwrite(src); return }
+    val target = table.read(spark)
+    val joined = target.as("t").join(src.as("s"), table.keys, "full_outer")
+    val tCols = target.columns.toSeq.filterNot(table.keys.contains)
+    val sCols = src.columns.toSeq.filterNot(table.keys.contains)
+    val merged = joined.select(
+      table.keys.map(col) ++
+        tCols.map(c => (if (sCols.contains(c)) coalesce(col(s"s.$c"), col(s"t.$c"))
+                        else col(s"t.$c")).as(c)) ++
+        sCols.filterNot(tCols.contains).map(c => col(s"s.$c").as(c)): _*)
+    table.overwrite(merged)
+  }
+
   /** Merge one commodity column into the pivoted table (S7). */
   def mergeColumn(spark: SparkSession, table: FeatureTable,
       scores: DataFrame, columnName: String): Unit = {

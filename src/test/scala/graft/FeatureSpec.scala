@@ -162,6 +162,31 @@ class FeatureSpec extends AnyFunSuite {
     }
   }
 
+  test("referenceExact: products is the reference's plain count (04a:194)") {
+    // same product bought twice in the 30d window: distinct=1, plain=2
+    val repeat = Seq(
+      (1L, 10L, d("2024-12-31"), 100L, 1L, 1, 10.0, 1.0, 0.0, 0.0, 1.0, 9.0),
+      (1L, 11L, d("2024-12-30"), 100L, 1L, 1, 10.0, 1.0, 0.0, 0.0, 1.0, 9.0)
+    ).toDF("household_key", "basket_id", "day", "product_id", "store_id", "units",
+      "amount_list", "instore_discount", "campaign_coupon_discount",
+      "manuf_coupon_discount", "total_coupon_discount", "amount_paid")
+    def one(referenceExact: Boolean) =
+      FeatureBuilder.build(repeat, FeatureBuilder.household,
+        knownBounds = Some((LocalDate.parse("2024-12-30"), cur)),
+        referenceExact = referenceExact).collect().head
+    val dflt = one(false)
+    val refx = one(true)
+    assert(dflt.getAs[Double]("products_30d") == 1.0)
+    assert(refx.getAs[Double]("products_30d") == 2.0)
+    // ONLY the base products metric flips: conditional product distincts
+    // stay countDistinct in the reference too (04a:229-241)
+    assert(dflt.getAs[Double]("products_with_instore_discount_30d") == 1.0)
+    assert(refx.getAs[Double]("products_with_instore_discount_30d") == 1.0)
+    // the rest of the catalog is untouched
+    assert(dflt.getAs[Double]("baskets_30d") == refx.getAs[Double]("baskets_30d"))
+    assert(dflt.getAs[Double]("amount_paid_30d") == refx.getAs[Double]("amount_paid_30d"))
+  }
+
   test("approxDistinct flag swaps exact distincts for HLL sketches") {
     val exact = FeatureBuilder.build(fact, FeatureBuilder.household)
     val approx = FeatureBuilder.build(fact, FeatureBuilder.household,
