@@ -32,11 +32,15 @@ object Catalog {
   private val registered =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
-  /** S2/S11: register every fixture table as a temp view for SQL access. */
-  def registerAll(spark: SparkSession, sfDir: String): Unit = {
-    val sid = spark.sparkContext.applicationId + "-" +
-      java.lang.Integer.toHexString(System.identityHashCode(spark))
-    if (!registered.get(sid).contains(sfDir)) {
+  /** S2/S11: register every fixture table as a temp view for SQL access.
+    * Memoized per (session, dir) — pass `force = true` after regenerating
+    * fixture files in place or clobbering one of the view names, the two
+    * cases where the memo would otherwise pin a stale registration.
+    */
+  def registerAll(spark: SparkSession, sfDir: String,
+      force: Boolean = false): Unit = {
+    val sid = SilverStore.sessionId(spark)
+    if (force || !registered.get(sid).contains(sfDir)) {
       fixtureTables.foreach { n =>
         table(spark, sfDir, n).createOrReplaceTempView(n)
       }

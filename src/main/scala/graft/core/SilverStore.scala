@@ -50,9 +50,10 @@ object SilverStore {
   /** Stable identity of a session within this JVM. `SparkSession` in the
     * shipped jars exposes no sessionUUID, so we combine the application id
     * (stable across sessions of one SparkContext) with the session object's
-    * identity hash (distinct per session).
+    * identity hash (distinct per session). Shared with [[Catalog]] so the
+    * engine has exactly ONE definition of session identity.
     */
-  private def sessionId(spark: SparkSession): String =
+  private[core] def sessionId(spark: SparkSession): String =
     spark.sparkContext.applicationId + "-" +
       java.lang.Integer.toHexString(System.identityHashCode(spark))
 

@@ -44,15 +44,13 @@ object SkewAgg {
     val hashable0 = df.schema.fields.collect {
       case f if !containsMap(f.dataType) => col(f.name)
     }.toSeq
-    // Degrade gracefully when EVERY column contains a map at some depth:
-    // fall back to the grouping keys (maps are never valid grouping keys,
-    // so they are map-free), or a constant when there are none — a
-    // zero-argument xxhash64() would fail analysis outright. The constant
-    // fallback disables rebalancing but keeps the aggregate correct.
-    val hashable =
-      if (hashable0.nonEmpty) hashable0
-      else if (key.nonEmpty) key.map(col)
-      else Seq(lit(0L))
+    // Degrade gracefully when EVERY column contains a map at some depth
+    // (which necessarily includes the key columns — so there is nothing
+    // map-free left to hash): salt from a constant instead of letting a
+    // zero-argument xxhash64() fail analysis. This disables rebalancing
+    // but keeps the aggregate correct; such inputs cannot be salted by
+    // content at all.
+    val hashable = if (hashable0.nonEmpty) hashable0 else Seq(lit(0L))
     val salted = df.withColumn("__salt",
       pmod(xxhash64(hashable: _*), lit(salt.toLong)))
     val partial = salted

@@ -184,6 +184,8 @@ object TrainScoreQueries {
         val fedD = Date.valueOf(cur.minusDays(LabelBuilder.horizonDays))
         val cts = Commodities.commoditiesToScore(s, dir)
           .select("commodity_desc").collect().map(_.getString(0)).take(3).toSeq
+        require(cts.size == 3,
+          s"score_merge_evolution needs >=3 scoreable commodities, got ${cts.size}")
         def scores(df: org.apache.spark.sql.DataFrame, names: Seq[String]) =
           df.filter(col("commodity_desc").isin(names: _*))
             .groupBy("household_key", "commodity_desc")

@@ -12,9 +12,9 @@ import graft.features.FeatureTable
   * the new score, unmatched keep their row (other columns untouched), new
   * households are inserted, and a first-seen commodity adds its column to
   * the schema. Relationally: FULL OUTER join on the key + per-column
-  * `coalesce(src, target)` — which is exactly what Delta's merge executes,
-  * minus the transaction log; atomicity comes from FeatureTable's staged
-  * directory swap.
+  * `coalesce(src, target)` — the join/update shape Delta's merge executes,
+  * minus the transaction log (see `mergeWide` for the NULL-update nuance);
+  * atomicity comes from FeatureTable's staged directory swap.
   *
   * Scale: the join shuffles on household_key once per commodity batch. The
   * 100 TB refinement is to group all commodities of a scoring day into one
@@ -35,10 +35,15 @@ object MergeWriter {
   /** Merge a WIDE (already-pivoted) score batch into the table — the
     * 100 TB shape promised above: one full-outer join + one rewrite per
     * scoring day for ALL commodities, instead of one per commodity.
-    * Matched keys take the incoming score per overlapping column
-    * (`coalesce(src, target)` — exactly Delta MERGE's update), columns
-    * absent from the batch are kept, and first-seen columns evolve the
-    * schema (`schema.autoMerge`, `04c:156`).
+    * Matched keys take the incoming score per overlapping column via
+    * `coalesce(src, target)` — a MERGE-PATCH: an incoming NULL means
+    * "no score this run, keep the previous one", matching the reference's
+    * per-commodity loop (each pass only touches its own column,
+    * `04c:189-202`). Note this is narrower than a literal Delta
+    * `UPDATE SET col = src.col`, which would overwrite with NULL; a
+    * revocation semantic would need an explicit sentinel, not NULL.
+    * Columns absent from the batch are kept, and first-seen columns
+    * evolve the schema (`schema.autoMerge`, `04c:156`).
     */
   def mergeWide(spark: SparkSession, table: FeatureTable, src: DataFrame): Unit = {
     if (!table.exists) { table.overwrite(src); return }

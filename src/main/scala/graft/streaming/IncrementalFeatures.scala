@@ -71,11 +71,16 @@ object IncrementalFeatures {
       case Array(ck, id) if ck == checkpoint => id.trim.toLong
       case Array(legacyId) if scala.util.Try(legacyId.trim.toLong).isSuccess =>
         // Legacy single-field marker (pre checkpoint-qualified format):
-        // written by an older writer on THIS table, so the only lineage it
-        // can belong to is the one resuming here — treating it as "nothing
-        // applied" would re-apply its last batch on the first crash-replay
-        // after an in-place upgrade and double-count the additive merge.
-        // Adopt it into the current checkpoint and rewrite in new format.
+        // ASSUME it belongs to the lineage resuming here — treating it as
+        // "nothing applied" would re-apply its last batch on the first
+        // crash-replay after an in-place upgrade and double-count the
+        // additive merge. The assumption is deliberate and one-shot (the
+        // marker is rewritten checkpoint-qualified immediately): if the
+        // resumer is instead a BRAND-NEW checkpoint pointed at a
+        // legacy-marked table, batches up to the legacy id are skipped —
+        // but replaying a fresh stream into an existing additive table
+        // double-counts EVERYTHING regardless of markers, so that
+        // operation requires clearing the table (and with it the marker).
         val id = legacyId.trim.toLong
         recordBatch(table, checkpoint, id)
         id

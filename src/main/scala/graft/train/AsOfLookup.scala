@@ -41,9 +41,17 @@ object AsOfLookup {
   /** Left as-of join: every spine row survives; feature columns are null
     * when no snapshot precedes the spine day (caller decides fill).
     * `snapshotDayAs` exposes which snapshot day matched.
+    *
+    * Because spine identity is the row's CONTENT, every spine column must
+    * be groupable (no map types — reject upstream or stringify), and
+    * grouping normalizes float keys the way any Spark groupBy does
+    * (-0.0 ≡ 0.0, one NaN). Typical as-of spines (keys + day + scalar
+    * payload) satisfy this trivially.
     */
   def lookupAsOf(spine: DataFrame, snapshots: DataFrame, grainKeys: Seq[String],
       snapshotDayAs: String = "snapshot_day"): DataFrame = {
+    require(!spine.columns.contains("__mult"),
+      "lookupAsOf: spine already has a __mult column (reserved for the internal multiplicity)")
     val metricCols = snapshots.columns.toSeq.filterNot(grainKeys.contains)
       .filterNot(_ == "day")
     val f = snapshots.select(

@@ -40,7 +40,13 @@ object PropensityTrainer {
     * `maxEvals = math.max(50, cores * 5)`.
     * XGBoost→GBT delta: MLlib's GBT has no `scale_pos_weight` /
     * `min_child_weight` / histogram tricks — imbalance is handled by the
-    * `weightCol` instead (`withWeights`).
+    * `weightCol` instead (`withWeights`). Cost caveat: MLlib GBT slows
+    * disproportionately beyond depth ~12 (no histogram binning), and the
+    * sampled space reaches the reference's depth 20 — a full 50-eval GBT
+    * search is a cluster-scale job, exactly as the reference's 50 XGBoost
+    * trials are; local/test callers should pass explicit
+    * `maxDepths`/`stepSizes` (or `algo = "lr"`), as every harness caller
+    * does.
     *
     * `maxDepths`/`stepSizes` (GBT) and `regParams` (LR) are explicit grid
     * OVERRIDES — when non-empty they replace the sampled search (tests
@@ -90,7 +96,11 @@ object PropensityTrainer {
           }
         regs.map(r => ParamMap(lr.regParam -> r)).toArray
       case gbt: GBTClassifier =>
-        if (cfg.maxDepths.nonEmpty && cfg.stepSizes.nonEmpty)
+        // a PARTIAL grid override would be silently discarded and the
+        // 50-point random search run instead — fail loud on the ambiguity
+        require(cfg.maxDepths.isEmpty == cfg.stepSizes.isEmpty,
+          "GBT grid override needs BOTH maxDepths and stepSizes (or neither)")
+        if (cfg.maxDepths.nonEmpty)
           new ParamGridBuilder()
             .addGrid(gbt.maxDepth, cfg.maxDepths.toArray)
             .addGrid(gbt.stepSize, cfg.stepSizes.toArray).build()
