@@ -51,6 +51,25 @@ class PlanSpec extends AnyFunSuite {
       s"expected broadcast for the commodity side:\n$p")
   }
 
+  test("a broadcastable lookup plans a broadcast join even after checkpoint") {
+    // the checkpoint strips plan stats AND hints; the Lookup-level flag
+    // must still force the broadcast at join time (catalog-bounded grains
+    // are broadcastable at ANY data scale)
+    import spark.implicits._
+    import graft.train.TrainingSetBuilder
+    val spine = Seq((1L, "A"), (2L, "B")).toDF("household_key", "commodity_desc")
+    val cm = Seq(("A", 1.0)).toDF("commodity_desc", "m").localCheckpoint(true)
+    val p = plan(TrainingSetBuilder.lookup(spine,
+      TrainingSetBuilder.Lookup(cm, Seq("commodity_desc"), "commodity__",
+        broadcastable = true), joinDay = false))
+    assert(p.contains("BroadcastHashJoin"),
+      s"expected broadcast join for the broadcastable lookup:\n$p")
+    // (without the flag, Spark 4 happens to carry origin stats through a
+    // localCheckpoint and may still auto-broadcast small sides locally —
+    // the flag exists to DECLARE catalog-boundedness so the broadcast
+    // survives when stats are absent or the side is big-but-bounded)
+  }
+
   test("silver projection is a single codegen'd Project over the scan") {
     val df = graft.silver.TransactionsAdj(spark, sf)
     val qe = df.queryExecution
