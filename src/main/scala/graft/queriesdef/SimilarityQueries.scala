@@ -85,5 +85,23 @@ object SimilarityQueries {
           .select(col("query_id"), col("neighbor_id"), col("cos"),
             col("rank").cast("long").as("rank"))
       },
+      None),
+
+    // Stored-index ANN: assignment written at ingest (parquet partitioned
+    // by cell_id), search scans ONLY the probed cells' partitions —
+    // the "assignment rides with the data" 100 TB shape demonstrated
+    // end-to-end (partition pruning pinned by SimilaritySpec).
+    Entry(
+      "ann_ivf_indexed",
+      (s, dir) => {
+        val emb = Catalog.table(s, dir, "embeddings")
+        val root = java.nio.file.Files.createTempDirectory("graft-ivf")
+          .toString + "/index"
+        Similarity.writeIvfIndex(emb, nCells = 8, root)
+        Similarity.searchIvfIndex(s, root, emb.filter(col("vec_id") < 20),
+          k = 5)
+          .select(col("query_id"), col("neighbor_id"), col("cos"),
+            col("rank").cast("long").as("rank"))
+      },
       None))
 }

@@ -186,6 +186,53 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Write a persistent IVF index: the corpus with its cell assignment,
+    * parquet-partitioned BY cell_id, plus the centroid table — the
+    * "assignment rides with the data" shape for 100 TB: assignment is
+    * paid once at ingest, and a search touches only its probed cells'
+    * partitions (directory-level pruning, no full scan, pinned by
+    * SimilaritySpec). Precomputed norms ride along so the search never
+    * re-scans vectors to normalize.
+    */
+  def writeIvfIndex(corpus: DataFrame, nCells: Int, root: String): Unit = {
+    ArrayOps.register(corpus.sparkSession)
+    val cents = kmeansCentroids(corpus, nCells)
+    cents.write.mode("overwrite").parquet(s"$root/centroids")
+    assign(side(corpus, "vec_id", "embedding", "nv"),
+      "vec_id", "embedding", "nv", cents, probes = 1)
+      .write.mode("overwrite").partitionBy("cell_id")
+      .parquet(s"$root/vectors")
+  }
+
+  /** Top-k search against a stored IVF index. The query batch's probed
+    * cell ids — at most `nCells`, a control-table-sized set like
+    * `commodities_to_score` — are collected and pushed as a STATIC
+    * partition filter, so the index scan reads only those directories
+    * (`PartitionFilters` in the plan; the scan cost is |probed cells|,
+    * not |corpus|). Ranking matches [[ivfTopK]]: rounded cosine DESC,
+    * then neighbor id.
+    */
+  def searchIvfIndex(spark: org.apache.spark.sql.SparkSession, root: String,
+      queries: DataFrame, k: Int, probes: Int = 2): DataFrame = {
+    ArrayOps.register(spark)
+    val cents = spark.read.parquet(s"$root/centroids")
+    val queryCells = assign(side(queries, "query_id", "qv", "nq"),
+      "query_id", "qv", "nq", cents, probes = probes)
+    val probed = queryCells.select("cell_id").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val index = spark.read.parquet(s"$root/vectors")
+      .filter(col("cell_id").isin(probed: _*))
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"),
+        col("nv").as("nc"), col("cell_id"))
+    val scored = queryCells.join(index, Seq("cell_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        pairCos("qv", "cv", "nq", "nc").as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Embedding-cosine near-duplicate pairs (dedup by semantic identity):
     * all pairs with cosine ≥ threshold.
     *

@@ -69,6 +69,25 @@ class SimilaritySpec extends AnyFunSuite {
     assert(dflt == p2, "default probes must be 2")
   }
 
+  test("stored IVF index: search ≡ live ivfTopK, scan pruned to probed cells") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 10)
+    val root = java.nio.file.Files.createTempDirectory("ivf-idx").toString + "/i"
+    Similarity.writeIvfIndex(emb, nCells = 4, root)
+    val stored = Similarity.searchIvfIndex(spark, root, q, k = 5, probes = 2)
+    // same centroids (seeded fit on the same corpus) → identical results
+    val live = Similarity.ivfTopK(q, emb, k = 5, nCells = 4, probes = 2)
+    def keyed(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Double]("cos"))).toSet
+    assert(keyed(stored) == keyed(live))
+    // the index scan must carry a cell_id partition filter — the whole
+    // point of storing the assignment is directory-level pruning
+    val plan = stored.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cell_id"),
+      s"expected a static cell_id partition filter on the index scan:\n$plan")
+  }
+
   test("cosineNearDupPairs honors knownCount without a second scan") {
     val rnd = new scala.util.Random(11)
     val emb = (0L until 50L).map(i => (i, Array.fill(8)(rnd.nextGaussian().toFloat)))
