@@ -248,6 +248,64 @@ object TrainScoreQueries {
         |FROM b1 a FULL JOIN b2 b
         |  ON a.household_key = b.household_key AND a.day = b.day""".stripMargin)),
 
+    // S10/S11 verbatim: the reference's TEMP→prod elevation is literal SQL
+    // (`04c:243-249,274-282`: CREATE TABLE IF NOT EXISTS … AS SELECT *
+    // … WHERE 1=2, then INSERT OVERWRITE … SELECT * FROM TEMP__…) — this
+    // entry runs that exact surface through spark.sql against the session
+    // catalog (managed parquet table in the warehouse dir), not the
+    // FeatureTable analog. DROP first keeps reruns across fixtures clean;
+    // the reference's truncate-and-replace semantics come from the
+    // INSERT OVERWRITE itself.
+    Entry(
+      "sql_staging",
+      (s, dir) => {
+        val txc = FeatureBuilder.txWithCommodity(s, dir)
+        val (_, cur) = graft.core.Retail.dayBounds(s, dir)
+        val curD = Date.valueOf(cur)
+        val cts = Commodities.commoditiesToScore(s, dir)
+          .select("commodity_desc").collect().map(_.getString(0)).take(3).toSeq
+        txc.filter(col("commodity_desc").isin(cts: _*))
+          .groupBy("household_key", "commodity_desc")
+          .agg(sum(col("amount_paid").cast("decimal(18,4)"))
+            .cast("double").as("prediction"))
+          .select(col("household_key"), lit(curD).as("day"),
+            col("commodity_desc"), col("prediction"))
+          .createOrReplaceTempView("TEMP__graft_propensities_unpivoted")
+        s.sql("DROP TABLE IF EXISTS graft_propensities_unpivoted")
+        // the in-memory catalog cannot DROP a location a PREVIOUS JVM's
+        // catalog created — sweep the orphaned warehouse dir so CREATE
+        // does not fail with LOCATION_ALREADY_EXISTS
+        val orphan = java.nio.file.Paths.get(
+          new java.net.URI(s.conf.get("spark.sql.warehouse.dir"))
+            .getPath, "graft_propensities_unpivoted")
+        if (java.nio.file.Files.isDirectory(orphan)) {
+          val walk = java.nio.file.Files.walk(orphan)
+          try {
+            import scala.jdk.CollectionConverters._
+            walk.iterator().asScala.toSeq.reverse
+              .foreach(java.nio.file.Files.deleteIfExists(_))
+          } finally walk.close()
+        }
+        s.sql("""CREATE TABLE IF NOT EXISTS graft_propensities_unpivoted AS
+                |  SELECT * FROM TEMP__graft_propensities_unpivoted WHERE 1=2""".stripMargin)
+        s.sql("""INSERT OVERWRITE graft_propensities_unpivoted
+                |SELECT * FROM TEMP__graft_propensities_unpivoted""".stripMargin)
+        s.sql("SELECT * FROM graft_propensities_unpivoted")
+      },
+      Some(s"""WITH ${Oracle.txCommodity},
+        |gb AS (SELECT max(day) AS cur FROM tx),
+        |cts AS (
+        |  SELECT commodity_desc FROM (
+        |    SELECT commodity_desc, COUNT(DISTINCT basket_id) AS baskets
+        |    FROM txc GROUP BY commodity_desc
+        |    ORDER BY baskets DESC, commodity_desc LIMIT 3) t)
+        |SELECT t.household_key, (SELECT cur FROM gb) AS day,
+        |  t.commodity_desc,
+        |  ${Oracle.dsum("t.amount_paid", "prediction")}
+        |FROM txc t
+        |WHERE t.commodity_desc IN (SELECT commodity_desc FROM cts)
+        |GROUP BY t.household_key, t.commodity_desc""".stripMargin)),
+
     // groupBy().pivot(): the idiomatic form of the per-commodity pivoted
     // merge (04c:124-132); fixed value list keeps the schema static.
     Entry(
