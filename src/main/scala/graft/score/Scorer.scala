@@ -23,4 +23,16 @@ object Scorer {
       .select(
         col("household_key"), col("day"), col("commodity_desc"),
         vector_to_array(col("probability")).getItem(1).as("prediction"))
+
+  /** Streaming twin of [[score]] (SURVEY.md §2.9 extension): the SAME
+    * PipelineModel serves a feature stream — `readStream` source →
+    * `transform` → append sink. VectorAssembler and the classifier's
+    * transform are row-local (no aggregation state), so the streaming
+    * plan needs no watermark and scores ride each micro-batch; stream and
+    * batch scores are identical by construction (StreamingSpec asserts
+    * it). At scale this is the online-inference path: the model broadcast
+    * rides the executors, throughput is source-bound.
+    */
+  def scoreStream(model: PipelineModel, featureStream: DataFrame): DataFrame =
+    score(model, featureStream)
 }

@@ -74,6 +74,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(survivors.size == 3 && batch.values.sum == 5L)
   }
 
+  test("streaming model scoring ≡ batch scoring (same PipelineModel)") {
+    import graft.score.Scorer
+    import graft.train.PropensityTrainer
+    // tiny separable training set (same toy as TrainerSpec)
+    val train = PropensityTrainer.withWeights(
+      (0 until 100).map { i =>
+        val f1 = (i % 10) / 10.0
+        (i.toLong, f1, (i % 3) / 3.0, if (f1 > 0.5) 1 else 0)
+      }.toDF("id", "household__f1", "household__f2", "purchased"),
+      posRatio = 0.4)
+    val model = PropensityTrainer.train(train,
+      Seq("household__f1", "household__f2"),
+      PropensityTrainer.Config(algo = "lr", regParams = Seq(0.01),
+        maxIter = 5, parallelism = 1))
+    // a featurized spine to score, parked as a file-source directory
+    val spine = (0 until 20).map { i =>
+      (i.toLong, java.sql.Date.valueOf("2024-06-01"), "CMD",
+        (i % 10) / 10.0, (i % 3) / 3.0)
+    }.toDF("household_key", "day", "commodity_desc",
+      "household__f1", "household__f2")
+    val d = Files.createTempDirectory("score-stream").toString
+    spine.write.mode("overwrite").parquet(d)
+    val stream = spark.readStream.schema(spine.schema).parquet(d)
+    val q = Scorer.scoreStream(model, stream).writeStream
+      .format("memory").queryName("graft_scored_stream")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    def keyed(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[Long]("household_key") ->
+        r.getAs[Double]("prediction")).toMap
+    val streamed = keyed(spark.table("graft_scored_stream"))
+    val batch = keyed(Scorer.score(model, spine))
+    assert(streamed == batch)
+    assert(streamed.size == 20)
+  }
+
   test("stateful sessionizer closes sessions on gap, matches batch islands") {
     val stream = EventStreams.readEvents(spark, dir)
     val sessions = EventStreams.sessionizeStream(spark, stream)
