@@ -24,8 +24,9 @@ object Bench {
     // S11 setup: the reference registers its tables once at ingest
     // (01_Data_Prep.py:93-100); the per-query timer should measure the
     // query, not catalog registration. A missing fixture table must not
-    // abort the bench before the JSON line (same contract as the per-table
-    // warm-up above): queries over the missing table report -1 instead.
+    // abort the bench before the JSON line: registerAll is per-table
+    // fault-isolated (healthy tables register even when one is bad), so
+    // only queries over the bad table report -1.
     try graft.core.Catalog.registerAll(spark, sfDir)
     catch { case e: Throwable =>
       System.err.println(s"[bench] catalog warm-up failed: $e")

@@ -28,24 +28,42 @@ object Catalog {
     * tables once at ingest (`01_Data_Prep.py:93-100`), not per query — so
     * repeat calls for the same (session, dir) are no-ops. A DIFFERENT dir
     * re-registers: the views are session-global and must follow the caller.
+    *
+    * Keyed WEAKLY on the session object itself (not an identity-hash
+    * string): identity hashes can be reused after a session is GC'd — a
+    * colliding later session would silently skip registration into its own
+    * (empty) temp-view catalog — and weak keys also let dead sessions'
+    * entries be collected instead of growing for the JVM lifetime.
     */
-  private val registered =
-    scala.collection.concurrent.TrieMap.empty[String, String]
+  private val registered = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, String])
 
   /** S2/S11: register every fixture table as a temp view for SQL access.
     * Memoized per (session, dir) — pass `force = true` after regenerating
-    * fixture files in place or clobbering one of the view names, the two
-    * cases where the memo would otherwise pin a stale registration.
+    * fixture files in place. A memo hit is only trusted when the views are
+    * actually still present in the session's catalog, so dropping or
+    * clobbering a view name re-registers instead of silently resolving to
+    * the clobbered view.
+    *
+    * Registration is per-table fault-isolated: one missing/corrupt fixture
+    * registers every OTHER table first and then throws naming the bad
+    * ones, so queries over healthy tables keep working (and the memo is
+    * not populated — a retry re-attempts the failed tables).
     */
   def registerAll(spark: SparkSession, sfDir: String,
       force: Boolean = false): Unit = {
-    val sid = SilverStore.sessionId(spark)
-    if (force || !registered.get(sid).contains(sfDir)) {
-      fixtureTables.foreach { n =>
-        table(spark, sfDir, n).createOrReplaceTempView(n)
+    val hit = !force && registered.get(spark) == sfDir &&
+      fixtureTables.forall(spark.catalog.tableExists)
+    if (!hit) {
+      registered.remove(spark)
+      val failures = fixtureTables.flatMap { n =>
+        try { table(spark, sfDir, n).createOrReplaceTempView(n); None }
+        catch { case scala.util.control.NonFatal(e) => Some((n, e)) }
       }
-      registered.put(sid, sfDir)
-      ()
+      if (failures.isEmpty) { registered.put(spark, sfDir); () }
+      else throw new RuntimeException(
+        s"registerAll($sfDir): failed for ${failures.map(_._1).mkString(", ")}",
+        failures.head._2)
     }
   }
 }

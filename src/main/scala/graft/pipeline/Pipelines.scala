@@ -23,7 +23,21 @@ final case class PipelineConfig(
     sfDir: String,
     workRoot: String,
     nCommodities: Int = 10,
-    trainer: PropensityTrainer.Config = PropensityTrainer.Config())
+    trainer: PropensityTrainer.Config = PipelineConfig.defaultTrainer)
+
+object PipelineConfig {
+  /** Default pipeline trainer: a modest 9-point GBT grid capped at depth
+    * 12. `PropensityTrainer.Config()`'s own default is the REFERENCE
+    * budget — a 50-eval random search reaching depth 20 (`04b:391-395`) —
+    * which is a deliberate cluster-scale job (MLlib GBT has no histogram
+    * binning; deep trees are disproportionately slow). A pipeline caller
+    * relying on defaults should get a sane cost, not a silent 50-trial
+    * sweep; the reference budget stays one explicit opt-in away:
+    * `cfg.copy(trainer = PropensityTrainer.Config())`.
+    */
+  val defaultTrainer: PropensityTrainer.Config = PropensityTrainer.Config(
+    maxDepths = Seq(5, 8, 12), stepSizes = Seq(0.05, 0.1, 0.3))
+}
 
 final class PropensityPipeline(spark: SparkSession, cfg: PipelineConfig) {
 

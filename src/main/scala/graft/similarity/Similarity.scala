@@ -216,8 +216,13 @@ object Similarity {
       queries: DataFrame, k: Int, probes: Int = 2): DataFrame = {
     ArrayOps.register(spark)
     val cents = spark.read.parquet(s"$root/centroids")
+    // localCheckpoint: the assignment is consumed TWICE — collected here
+    // for the static partition filter, and re-read by the final join when
+    // the returned plan executes. Without truncating the lineage the
+    // centroid-scoring pass over the query batch would run both times.
     val queryCells = assign(side(queries, "query_id", "qv", "nq"),
       "query_id", "qv", "nq", cents, probes = probes)
+      .localCheckpoint(true)
     val probed = queryCells.select("cell_id").distinct()
       .collect().map(_.getLong(0)).toSeq
     val index = spark.read.parquet(s"$root/vectors")

@@ -38,6 +38,9 @@ import org.apache.spark.sql.functions._
   */
 object AsOfLookup {
 
+  /** Default per-array cap for the multiplicity re-expansion. */
+  val ExpandChunk: Long = 1L << 20
+
   /** Left as-of join: every spine row survives; feature columns are null
     * when no snapshot precedes the spine day (caller decides fill).
     * `snapshotDayAs` exposes which snapshot day matched.
@@ -49,9 +52,11 @@ object AsOfLookup {
     * payload) satisfy this trivially.
     */
   def lookupAsOf(spine: DataFrame, snapshots: DataFrame, grainKeys: Seq[String],
-      snapshotDayAs: String = "snapshot_day"): DataFrame = {
+      snapshotDayAs: String = "snapshot_day",
+      expandChunk: Long = ExpandChunk): DataFrame = {
     require(!spine.columns.contains("__mult"),
       "lookupAsOf: spine already has a __mult column (reserved for the internal multiplicity)")
+    require(expandChunk >= 1, s"lookupAsOf: expandChunk must be >= 1, got $expandChunk")
     val metricCols = snapshots.columns.toSeq.filterNot(grainKeys.contains)
       .filterNot(_ == "day")
     val f = snapshots.select(
@@ -74,8 +79,17 @@ object AsOfLookup {
     sp.join(ff, cond, "left_outer")
       .groupBy(spineCols.map(c => col(s"sp.$c")) :+ col("sp.__mult"): _*)
       .agg(max(payload).as("__best"))
-      // restore multiplicity: one output row per original spine row
-      .withColumn("__i", explode(sequence(lit(1L), col("__mult"))))
+      // restore multiplicity: one output row per original spine row. The
+      // expansion is TWO-LEVEL so no single generated array ever exceeds
+      // `expandChunk` elements — a flat explode(sequence(1, __mult)) would
+      // materialize the entire multiplicity as one in-memory array inside
+      // one task (and sequence() itself hard-fails near 2^31 elements), so
+      // a degenerate spine of identical rows would OOM an executor instead
+      // of degrading to many bounded batches.
+      .withColumn("__chunk", explode(sequence(lit(0L),
+        floor((col("__mult") - 1L) / expandChunk).cast("long"))))
+      .withColumn("__i", explode(sequence(lit(1L),
+        least(lit(expandChunk), col("__mult") - col("__chunk") * expandChunk))))
       .select(
         spineCols.map(col) ++
           (col(s"__best.$snapshotDayAs").as(snapshotDayAs) +:

@@ -58,6 +58,24 @@ class AsOfLookupSpec extends AnyFunSuite {
     assert(byTag("A") == 10.0 && byTag("B") == 10.0 && byTag("C") == 20.0)
   }
 
+  test("multiplicity re-expansion is exact across chunk boundaries") {
+    // 7 identical rows with expandChunk = 3 exercises every chunk shape:
+    // two full chunks (3 + 3) plus a 1-element remainder — and the
+    // single-chunk case (5 rows, chunk 8) must be untouched by the split
+    val spine7 = spark.range(7).select(lit(1L).as("household_key"),
+      lit(d("2024-01-10")).as("day"))
+    val out7 = AsOfLookup.lookupAsOf(spine7, snapshots, Seq("household_key"),
+      expandChunk = 3L).collect()
+    assert(out7.length == 7)
+    assert(out7.forall(_.getAs[Double]("m") == 10.0))
+    val spine5 = spark.range(5).select(lit(2L).as("household_key"),
+      lit(d("2024-01-10")).as("day"))
+    val out5 = AsOfLookup.lookupAsOf(spine5, snapshots, Seq("household_key"),
+      expandChunk = 8L).collect()
+    assert(out5.length == 5)
+    assert(out5.forall(r => r.isNullAt(r.fieldIndex("m"))))
+  }
+
   test("bit-identical duplicate spine rows keep their multiplicity") {
     val spine = Seq(
       (1L, d("2024-01-10")), (1L, d("2024-01-10")), (1L, d("2024-01-10")),
