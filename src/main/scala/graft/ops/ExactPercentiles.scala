@@ -1,0 +1,73 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact interpolated per-group percentiles, sort-based.
+  *
+  * Spark's built-in exact `percentile` aggregate is a
+  * TypedImperativeAggregate that accumulates a value→count hash map PER
+  * GROUP PER PARTIAL, serializes the maps across the exchange and merges
+  * them single-threaded per group — memory grows with distinct values,
+  * nothing is codegen'd, and the allocation burst makes its wall time
+  * GC-sensitive (observed 1.2s↔8.4s swings for the same plan in bench
+  * context). This operator computes the same numbers from ONE sort:
+  *
+  *   shuffle on the group key → in-partition sort by value
+  *     → `row_number` + group count (window over the sorted run)
+  *     → pick the floor/ceil ranks per requested percentile (hash agg)
+  *     → linear interpolation `lo + (hi − lo)·frac`
+  *
+  * Sort-shuffle + hash-agg spill gracefully at any scale (no per-group
+  * value maps), and every stage after the window is whole-stage codegen.
+  * The interpolation matches Spark's `percentile` and DuckDB's
+  * `quantile_cont`: rank position `(n−1)·p`, linear between the
+  * surrounding order statistics (verified value-identical by
+  * ExactPercentilesSpec against the built-in on random data).
+  *
+  * Null handling matches the aggregate for non-degenerate groups (nulls
+  * are ignored); a group whose values are ALL null is dropped here rather
+  * than emitted with null percentiles — callers needing those groups
+  * should left-join this output back to the group universe.
+  */
+object ExactPercentiles {
+
+  /** `percentiles`: output column name → fraction in [0, 1]. */
+  def perGroup(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      percentiles: Seq[(String, Double)]): DataFrame = {
+    require(groupCols.nonEmpty, "perGroup: at least one group column")
+    require(percentiles.nonEmpty, "perGroup: at least one percentile")
+    percentiles.foreach { case (nm, p) =>
+      require(p >= 0.0 && p <= 1.0, s"perGroup: $nm fraction $p outside [0,1]")
+    }
+    val gs = groupCols.map(col)
+    val byVal = Window.partitionBy(gs: _*).orderBy(col("__v"))
+    val whole = Window.partitionBy(gs: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val ranked = df
+      .filter(col(valueCol).isNotNull)
+      .select(gs :+ col(valueCol).cast("double").as("__v"): _*)
+      .withColumn("__rn", row_number().over(byVal).cast("long") - 1L)
+      .withColumn("__n", count(lit(1)).over(whole))
+
+    def pos(p: Double): Column = (col("__n") - 1L).cast("double") * lit(p)
+
+    // per percentile: the two order statistics surrounding rank (n−1)·p,
+    // picked with conditional aggregates (exactly one row matches each)
+    val picks = percentiles.flatMap { case (nm, p) =>
+      Seq(
+        max(when(col("__rn") === floor(pos(p)).cast("long"), col("__v")))
+          .as(s"__lo_$nm"),
+        max(when(col("__rn") === ceil(pos(p)).cast("long"), col("__v")))
+          .as(s"__hi_$nm"))
+    } :+ max(col("__n")).as("__n")
+    val agg = ranked.groupBy(gs: _*).agg(picks.head, picks.tail: _*)
+
+    val outCols = gs ++ percentiles.map { case (nm, p) =>
+      val frac = pos(p) - floor(pos(p))
+      (col(s"__lo_$nm") + (col(s"__hi_$nm") - col(s"__lo_$nm")) * frac).as(nm)
+    }
+    agg.select(outCols: _*)
+  }
+}

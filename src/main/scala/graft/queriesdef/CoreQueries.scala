@@ -164,14 +164,18 @@ object CoreQueries {
         |  count(*) AS n_lines
         |FROM txc GROUP BY ROLLUP (commodity_desc)""".stripMargin)),
 
-    // Beyond-reference OLAP: exact interpolated percentiles per group.
+    // Beyond-reference OLAP: exact interpolated percentiles per group —
+    // sort-based (ExactPercentiles), not the map-accumulating built-in.
     Entry(
       "spend_percentiles",
-      (s, dir) => graft.features.FeatureBuilder.txWithCommodity(s, dir)
-        .groupBy("commodity_desc")
-        .agg(
-          round(expr("percentile(amount_paid, 0.5)"), 6).as("p50"),
-          round(expr("percentile(amount_paid, 0.9)"), 6).as("p90")),
+      (s, dir) => {
+        val p = graft.ops.ExactPercentiles.perGroup(
+          graft.features.FeatureBuilder.txWithCommodity(s, dir),
+          Seq("commodity_desc"), "amount_paid",
+          Seq("p50" -> 0.5, "p90" -> 0.9))
+        p.select(col("commodity_desc"),
+          round(col("p50"), 6).as("p50"), round(col("p90"), 6).as("p90"))
+      },
       Some(s"""WITH ${Oracle.txCommodity}
         |SELECT commodity_desc,
         |  round(quantile_cont(amount_paid, 0.5), 6) AS p50,

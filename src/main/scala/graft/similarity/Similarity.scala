@@ -95,7 +95,12 @@ object Similarity {
         if (sampleN == 0) Seq.empty[(Long, Array[Double])] // empty corpus → no cells
         else {
           val k = math.max(1, math.min(nCells.toLong, sampleN).toInt)
-          new KMeans().setK(k).setSeed(seed).setMaxIter(10).fit(feats)
+          // random init, not k-means||: the parallel init runs several
+          // extra distributed passes to seed centroids that a COARSE
+          // quantizer doesn't need (faiss trains its IVF quantizer from
+          // a random subset too) — recall is pinned by SimilaritySpec
+          new KMeans().setK(k).setSeed(seed).setMaxIter(10)
+            .setInitMode("random").fit(feats)
             .clusterCenters.toSeq.zipWithIndex
             .map { case (v, i) => (i.toLong, v.toArray) }
         }
