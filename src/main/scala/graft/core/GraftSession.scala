@@ -26,6 +26,16 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
+      // Generated-class cache (default 100 entries): the wide feature
+      // family compiles MANY large codegen classes per query (4 agg
+      // passes × 3 grains + a ~1,270-col assembly), and a 57-query run
+      // evicts constantly — so structurally identical plans (the grain
+      // builds differ only in embedded literals, which codegen hoists
+      // into the references array) recompile AND re-JIT from scratch.
+      // Profiling showed a feature build warms from ~10s to 0.9s once
+      // its classes are compiled+JIT'd; a cache sized for the whole
+      // suite keeps that warm state shareable across queries.
+      .config("spark.sql.codegen.cache.maxEntries", "4000")
       // events.parquet carries TIMESTAMP_NANOS, which Spark's parquet
       // reader rejects outright unless surfaced as raw BIGINT nanos;
       // EventOps owns the ns→timestamp conversion. Must be set before
