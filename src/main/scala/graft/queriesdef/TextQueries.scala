@@ -243,6 +243,51 @@ object TextQueries {
         |  FROM documents) t
         |WHERE bucket < rate""".stripMargin)),
 
+    // Per-group quota cap: at most 20 documents per language, membership
+    // a pure function of (lang, md5(doc_id)) — the curation primitive
+    // that bounds any one group's share of a corpus. Rank-limit pushdown
+    // (WindowGroupLimit) keeps hot groups map-side-bounded; pinned by
+    // CapAndTfidfSpec.
+    Entry(
+      "cap_per_group",
+      (s, dir) => graft.ops.CapPerGroup.cap(
+        docs(s, dir).select("doc_id", "lang"), Seq("lang"), "doc_id", 20),
+      Some(s"""SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang,
+        |    ${graft.ops.CapPerGroup.rankSql(Seq("lang"), "doc_id")} AS rn
+        |  FROM documents) t
+        |WHERE rn <= 20""".stripMargin)),
+
+    // Keyword extraction: per-document top-3 terms by smoothed tf-idf,
+    // scores rounded to 9 decimals before ranking (the cosine convention)
+    // so engine ln() ulp differences can neither reorder nor leak into
+    // values.
+    Entry(
+      "tfidf_top_terms",
+      (s, dir) => TextAnalysis.tfidfTopTerms(docs(s, dir), k = 3),
+      Some("""WITH words AS (
+        |  SELECT doc_id, w AS term FROM (
+        |    SELECT doc_id,
+        |      unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+        |    FROM documents) t),
+        |tf AS (
+        |  SELECT doc_id, term, COUNT(*) AS tf
+        |  FROM words GROUP BY doc_id, term),
+        |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT t.doc_id, t.term, t.tf,
+        |    round(CAST(t.tf AS DOUBLE) *
+        |      ln(CAST(n.n_docs + 1 AS DOUBLE) / CAST(d.df + 1 AS DOUBLE)), 9)
+        |      AS tfidf
+        |  FROM tf t JOIN df d ON t.term = d.term CROSS JOIN n),
+        |ranked AS (
+        |  SELECT *, ROW_NUMBER() OVER (
+        |    PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+        |  FROM scored)
+        |SELECT doc_id, term, tf, tfidf, rank
+        |FROM ranked WHERE rank <= 3""".stripMargin)),
+
     // Multimodal plumbing: batched stub feature extraction (rows-only).
     Entry(
       "multimodal_features",

@@ -97,6 +97,28 @@ object TrainScoreQueries {
         |    AS class_ratio
         |FROM cls""".stripMargin)),
 
+    // Class-rebalancing for training: keep every positive, downsample
+    // negatives to 250 per-mille by content hash of the (household,
+    // commodity) pair — the deterministic counterpart of the reference's
+    // imbalance handling (04b:385-388 reweights; curation pipelines
+    // downsample). Membership is a pure function of the pair key: no
+    // seeded-RNG drift, stable across reruns, verified engine-exact.
+    Entry(
+      "labels_balanced",
+      (s, dir) => {
+        val txc = FeatureBuilder.txWithCommodity(s, dir)
+        val (_, cur) = graft.core.Retail.dayBounds(s, dir)
+        val labels = LabelBuilder.labels(txc, Commodities.commoditiesToScore(s, dir),
+          cur.minusDays(LabelBuilder.horizonDays))
+        labels.filter(col("purchased") === 1 ||
+          graft.ops.HashSplit.bucket(
+            concat_ws("|", col("household_key"), col("commodity_desc")), 1000) < 250)
+      },
+      Some(s"""WITH ${Oracle.txCommodity}, $labelsCtes
+        |SELECT * FROM labels
+        |WHERE purchased = 1 OR ${graft.ops.HashSplit.bucketSql(
+          "CAST(household_key AS VARCHAR) || '|' || commodity_desc", 1000)} < 250""".stripMargin)),
+
     // J5: multi-key PIT feature lookup with per-table prefixes
     // (04b:195-217) — labels spine ⟕ three feature tables, fillna 0.
     Entry(

@@ -141,4 +141,43 @@ object TextAnalysis {
       col("doc_id"),
       md5(col("text").cast("binary")).as("content_md5"),
       substring(md5(col("text").cast("binary")), 1, 8).as("fingerprint_prefix"))
+
+  /** Per-document top-`k` terms by smoothed tf-idf — keyword extraction
+    * for corpus exploration / topic tagging. Terms are the module's shared
+    * word tokenization ([[wordNgrams]] with n = 1); idf is the smoothed
+    * `ln((N + 1) / (df + 1))` (never divides by zero, never negative for
+    * df ≤ N); scores are rounded to 9 decimals BEFORE ranking so a
+    * last-ulp `ln` difference between engines can neither reorder nor
+    * change an emitted value (the same convention as Similarity's
+    * cosines). Ties break on the term, so top-k is fully deterministic.
+    *
+    * Scale shape: explode → tf aggregation clustered by doc_id → df
+    * aggregation shuffled by term (hot stop-terms are ONE row per
+    * (term, doc) by then — df is bounded by |docs|, not occurrences).
+    * The idf join is left to Catalyst/AQE: a small vocabulary broadcasts
+    * at runtime, a web-scale one (too big to broadcast) sort-merge-joins
+    * on term — both correct. The per-doc top-k then uses the same
+    * rank-limit pushdown as [[graft.ops.CapPerGroup]]. The corpus size N
+    * rides in as a 1-row broadcast, not a driver-side collect.
+    */
+  def tfidfTopTerms(docs: DataFrame, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = wordNgrams(docs, 1, "term")
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf
+      .join(df, Seq("term"))
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("term"), col("tf"),
+        round(col("tf").cast("double") *
+          log((col("n_docs") + 1).cast("double") / (col("df") + 1).cast("double")), 9)
+          .as("tfidf"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("term"), col("tf"),
+        col("tfidf"), col("rank").cast("long").as("rank"))
+  }
 }
