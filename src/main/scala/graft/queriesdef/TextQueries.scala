@@ -288,6 +288,84 @@ object TextQueries {
         |SELECT doc_id, term, tf, tfidf, rank
         |FROM ranked WHERE rank <= 3""".stripMargin)),
 
+    // Eval-set decontamination: flag train-split documents sharing any
+    // word 5-gram with the eval split (the GPT-3 13-gram rule, n sized to
+    // the fixture's short synthetic docs). Eval side collapses to a bare
+    // gram set — broadcastable against a 100 TB train corpus.
+    Entry(
+      "decontaminate",
+      (s, dir) => {
+        val d = docs(s, dir)
+        graft.text.Curation.decontaminate(
+          d.filter(!col("source").isin("src0", "src1")),
+          d.filter(col("source").isin("src0", "src1")), n = 5)
+      },
+      Some("""WITH words AS (
+        |  SELECT doc_id, source,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS w
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, source, array_to_string(w[i:i+4], ' ') AS gram
+        |  FROM (SELECT doc_id, source, w,
+        |          unnest(generate_series(1, len(w) - 4)) AS i
+        |        FROM words WHERE len(w) >= 5) t),
+        |tr AS (SELECT DISTINCT doc_id, gram FROM grams
+        |       WHERE source NOT IN ('src0', 'src1')),
+        |ev AS (SELECT DISTINCT gram FROM grams
+        |       WHERE source IN ('src0', 'src1')),
+        |hit AS (SELECT tr.doc_id, count(*) AS c
+        |        FROM tr JOIN ev USING (gram) GROUP BY tr.doc_id)
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(hit.c, 0) AS BIGINT) AS n_shared_grams,
+        |  COALESCE(hit.c, 0) > 0 AS contaminated
+        |FROM documents d LEFT JOIN hit ON d.doc_id = hit.doc_id
+        |WHERE d.source NOT IN ('src0', 'src1')""".stripMargin)),
+
+    // RAG-style chunking: 200-char chunks, 50-char overlap (stride 150);
+    // per-row explode, no shuffle.
+    Entry(
+      "doc_chunks",
+      (s, dir) => graft.text.Curation.chunk(docs(s, dir),
+        chunkSize = 200, overlap = 50),
+      Some("""WITH t AS (
+        |  SELECT doc_id, text,
+        |    CAST(1 + floor((greatest(length(text) - 200, 0) + 149) / 150.0)
+        |      AS BIGINT) AS nc
+        |  FROM documents),
+        |e AS (
+        |  SELECT doc_id, text,
+        |    unnest(generate_series(0, nc - 1)) AS chunk_id
+        |  FROM t)
+        |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        |  CAST(chunk_id * 150 + 1 AS BIGINT) AS chunk_start,
+        |  substr(text, CAST(chunk_id * 150 + 1 AS INTEGER), 200) AS chunk_text,
+        |  CAST(length(substr(text, CAST(chunk_id * 150 + 1 AS INTEGER), 200))
+        |    AS BIGINT) AS chunk_len
+        |FROM e""".stripMargin)),
+
+    // Context-window sequence packing: concatenate-and-split at 256
+    // tokens per pack, streams keyed by source and sub-sharded 4 ways by
+    // content hash (the skew escape for a 100 TB stream key).
+    Entry(
+      "pack_sequences",
+      (s, dir) => graft.text.Curation.packSequences(docs(s, dir),
+        ctxTokens = 256, streamCols = Seq("source"), shards = 4),
+      Some(s"""WITH t AS (
+        |  SELECT doc_id, source,
+        |    ${reCount("trim(text)", """\S+""")} AS n_tokens,
+        |    ${graft.ops.HashSplit.bucketSql("doc_id", 4)} AS shard
+        |  FROM documents),
+        |c AS (
+        |  SELECT *, COALESCE(SUM(n_tokens) OVER (
+        |      PARTITION BY source, shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS tokens_before
+        |  FROM t)
+        |SELECT doc_id, source, shard, n_tokens,
+        |  CAST(floor(tokens_before / 256.0) AS BIGINT) AS pack_id,
+        |  tokens_before % 256 AS pack_offset
+        |FROM c""".stripMargin)),
+
     // Multimodal plumbing: batched stub feature extraction (rows-only).
     Entry(
       "multimodal_features",

@@ -1,0 +1,117 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.ops.HashSplit
+
+/** Corpus-curation operators a large-scale training-data pipeline runs
+  * between cleaning and training: eval-set decontamination, RAG-style
+  * document chunking, and context-window sequence packing. Everything is
+  * pure column algebra over the module's shared tokenization
+  * ([[TextAnalysis.wordNgrams]]), with DuckDB-oracle twins — no UDFs, no
+  * RNG, no driver-side state.
+  */
+object Curation {
+
+  /** Train/eval decontamination: flag every training document that shares
+    * at least one word `n`-gram with the eval corpus — the standard
+    * benchmark-leakage gate (GPT-3 used 13-gram overlap; `n` is the
+    * caller's contract, sized to the corpus).
+    *
+    * Scale shape: each side reduces to DISTINCT (doc, gram) pairs with
+    * map-side partial aggregation before any join, so a gram repeated
+    * through a 100 TB corpus crosses the wire once per doc, not once per
+    * occurrence. The eval side collapses further to a bare gram set —
+    * eval suites are MBs against a train corpus of TBs, so Catalyst/AQE
+    * broadcasts it and the scan-side join runs with no train shuffle; a
+    * pathological giant eval set degrades to a sort-merge join on gram,
+    * still never all-pairs. The final left join keys on doc_id only
+    * (contaminated docs carry their hit count, clean docs get 0).
+    */
+  def decontaminate(train: DataFrame, eval: DataFrame, n: Int): DataFrame = {
+    require(n >= 1, s"n-gram order must be >= 1, got $n")
+    val trainGrams = TextAnalysis.wordNgrams(train, n).distinct()
+    val evalGrams = TextAnalysis.wordNgrams(eval, n).select("gram").distinct()
+    val hits = trainGrams.join(evalGrams, Seq("gram"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared_grams"))
+    train.select("doc_id").join(hits, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_shared_grams"), lit(0L)).as("n_shared_grams"))
+      .withColumn("contaminated", col("n_shared_grams") > 0)
+  }
+
+  /** Fixed-size character chunking with overlap — the retrieval /
+    * context-window preprocessing step. Chunk `i` of a document covers
+    * `[i*(chunkSize-overlap) + 1, … + chunkSize]` (1-based, end-clamped);
+    * a document of `n_chars ≤ chunkSize` yields exactly one chunk, and
+    * consecutive chunks share `overlap` characters. All arithmetic is
+    * small-integer (exact in any engine); chunking is a per-row explode —
+    * no shuffle, embarrassingly parallel, output size a predictable
+    * `≈ n_chars / (chunkSize - overlap)` multiple of the input.
+    */
+  def chunk(docs: DataFrame, chunkSize: Int, overlap: Int): DataFrame = {
+    require(chunkSize > 0, s"chunkSize must be positive, got $chunkSize")
+    require(overlap >= 0 && overlap < chunkSize,
+      s"overlap must be in [0, chunkSize), got $overlap for chunkSize $chunkSize")
+    val stride = (chunkSize - overlap).toLong
+    val nChars = length(col("text")).cast("long")
+    // 1 + ceil(max(n_chars - chunkSize, 0) / stride), as ONE division of
+    // exact small integers: floor((a + stride - 1) / stride). A correctly
+    // rounded single division of exact doubles can never round across an
+    // integer boundary here (the true ratio is either an integer — then
+    // representable and returned exactly — or at distance ≥ 1/stride from
+    // one), so both engines floor identically.
+    val nChunks = lit(1L) + floor(
+      (greatest(nChars - chunkSize, lit(0L)) + (stride - 1)).cast("double")
+        / stride).cast("long")
+    docs
+      .select(col("doc_id"), col("text"), nChunks.as("__nc"))
+      .withColumn("chunk_id", explode(sequence(lit(0L), col("__nc") - 1)))
+      .select(col("doc_id"), col("chunk_id"),
+        (col("chunk_id") * stride + 1).as("chunk_start"),
+        col("text").substr((col("chunk_id") * stride + 1).cast("int"),
+          lit(chunkSize)).as("chunk_text"))
+      .withColumn("chunk_len", length(col("chunk_text")).cast("long"))
+  }
+
+  /** Sequence packing: assign documents to fixed-budget context windows
+    * by concatenate-and-split — documents are laid out in a deterministic
+    * stream order (`orderCol` within each stream) and a document starts in
+    * pack `floor(tokens_before / ctxTokens)` at offset
+    * `tokens_before % ctxTokens`. This is the packing shape GPT-style
+    * pipelines use (concatenate, then cut at the context boundary);
+    * a document longer than the remaining budget spans into the next
+    * pack, which downstream splits using `pack_offset`.
+    *
+    * Scale shape: the running sum is a partitioned window — one shuffle
+    * on the stream key. A stream key with 100 TB behind it would
+    * concentrate into one task, so `shards` sub-divides each stream by
+    * the document's content-hash bucket ([[HashSplit.bucket]] — pure,
+    * engine-exact): pack identity becomes (stream, shard, pack_id) and
+    * each shard's window sorts only its slice. Shards trade packing
+    * fragmentation (≤ one partial pack per shard) for parallelism.
+    */
+  def packSequences(docs: DataFrame, ctxTokens: Long,
+      streamCols: Seq[String] = Seq("source"), orderCol: String = "doc_id",
+      shards: Int = 1): DataFrame = {
+    require(ctxTokens > 0, s"ctxTokens must be positive, got $ctxTokens")
+    require(shards >= 1, s"shards must be >= 1, got $shards")
+    val base = docs.select(
+      (col(orderCol) +: streamCols.map(col)) :+
+        TextAnalysis.tokensWs(col("text")).as("n_tokens") :+
+        HashSplit.bucket(col(orderCol), shards).as("shard"): _*)
+    val w = Window
+      .partitionBy((streamCols :+ "shard").map(col): _*)
+      .orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    base
+      .withColumn("tokens_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(
+        (col(orderCol) +: streamCols.map(col)) ++ Seq(
+          col("shard"), col("n_tokens"),
+          floor(col("tokens_before").cast("double") / ctxTokens).cast("long")
+            .as("pack_id"),
+          (col("tokens_before") % ctxTokens).as("pack_offset")): _*)
+  }
+}

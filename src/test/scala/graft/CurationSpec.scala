@@ -1,0 +1,96 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.text.Curation
+
+class CurationSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("decontaminate: flags exactly the docs sharing an n-gram with eval") {
+    val train = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely unrelated training text here today"),
+      (3L, "quick brown fox jumps again and again")).toDF("doc_id", "text")
+    val eval = Seq(
+      (100L, "watch the quick brown fox jumps high")).toDF("doc_id", "text")
+    val out = Curation.decontaminate(train, eval, n = 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    // doc 1 shares "the quick brown fox" and "quick brown fox jumps";
+    // doc 3 shares only "quick brown fox jumps"; doc 2 shares nothing
+    assert(out(1L) == ((2L, true)))
+    assert(out(3L) == ((1L, true)))
+    assert(out(2L) == ((0L, false)))
+    assert(out.size == 3) // every train doc appears, clean ones included
+  }
+
+  test("decontaminate: duplicate grams count once per (doc, gram)") {
+    val train = Seq((1L, "a b a b a b")).toDF("doc_id", "text")
+    val eval = Seq((9L, "x a b y")).toDF("doc_id", "text")
+    val row = Curation.decontaminate(train, eval, n = 2).collect().head
+    assert(row.getLong(1) == 1L) // "a b" appears 3x in train, counts once
+  }
+
+  test("chunk: short doc yields one chunk; empty doc yields one empty chunk") {
+    val docs = Seq((1L, "short"), (2L, "")).toDF("doc_id", "text")
+    val out = Curation.chunk(docs, chunkSize = 10, overlap = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(3))).toSet
+    assert(out == Set((1L, 0L, "short"), (2L, 0L, "")))
+  }
+
+  test("chunk: strides, overlap, and end clamp reconstruct the document") {
+    val text = ('a' to 'z').mkString // 26 chars
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val rows = Curation.chunk(docs, chunkSize = 10, overlap = 4)
+      .orderBy("chunk_id").collect()
+    // stride 6: starts 1,7,13,19,25 → nChunks = 1 + ceil(16/6) = 4? No:
+    // 1 + ceil((26-10)/6) = 1 + ceil(16/6) = 1 + 3 = 4 chunks
+    assert(rows.length == 4)
+    assert(rows.map(_.getLong(2)).toSeq == Seq(1L, 7L, 13L, 19L))
+    assert(rows(0).getString(3) == "abcdefghij")
+    assert(rows(1).getString(3) == "ghijklmnop")
+    assert(rows(3).getString(3) == "stuvwxyz") // clamped to 8 chars
+    assert(rows(3).getLong(4) == 8L)
+    // overlap removal reconstructs the original text
+    val rebuilt = rows(0).getString(3) +
+      rows.drop(1).map(_.getString(3).drop(4)).mkString
+    assert(rebuilt == text)
+    // exact boundary: a doc of exactly chunkSize chars is one chunk
+    val exact = Curation.chunk(Seq((2L, "0123456789")).toDF("doc_id", "text"),
+      chunkSize = 10, overlap = 4).collect()
+    assert(exact.length == 1)
+  }
+
+  test("pack: sequential fill per stream, offsets and pack ids consistent") {
+    // one stream, shards=1: docs of 100 tokens each into ctx=256
+    val docs = (1L to 5L).map(i =>
+      (i, "s", Seq.fill(100)("w").mkString(" "))).toDF("doc_id", "source", "text")
+    val rows = Curation.packSequences(docs, ctxTokens = 256,
+      streamCols = Seq("source"), shards = 1)
+      .orderBy("doc_id").collect()
+    assert(rows.map(_.getLong(3)).toSeq == Seq(100L, 100L, 100L, 100L, 100L))
+    // cumulative starts: 0,100,200,300,400 → packs 0,0,0,1,1
+    assert(rows.map(r => r.getLong(4)).toSeq == Seq(0L, 0L, 0L, 1L, 1L))
+    assert(rows.map(r => r.getLong(5)).toSeq == Seq(0L, 100L, 200L, 44L, 144L))
+  }
+
+  test("pack: sharding keeps per-shard streams independent and deterministic") {
+    val docs = (1L to 40L).map(i =>
+      (i, s"src${i % 2}", s"tok$i word$i")).toDF("doc_id", "source", "text")
+    val a = Curation.packSequences(docs, 16, Seq("source"), shards = 4)
+    val b = Curation.packSequences(docs.repartition(7), 16, Seq("source"), shards = 4)
+    assert(a.orderBy("doc_id").collect().toSeq ==
+      b.orderBy("doc_id").collect().toSeq) // partitioning-independent
+    // within every (source, shard) stream, offsets replay the running sum
+    val byStream = a.collect()
+      .groupBy(r => (r.getString(1), r.getLong(2)))
+    byStream.values.foreach { rs =>
+      var cum = 0L
+      rs.sortBy(_.getLong(0)).foreach { r =>
+        assert(r.getLong(4) == cum / 16 && r.getLong(5) == cum % 16)
+        cum += r.getLong(3)
+      }
+    }
+  }
+}
