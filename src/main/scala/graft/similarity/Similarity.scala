@@ -82,6 +82,7 @@ object Similarity {
     import org.apache.spark.ml.functions.array_to_vector
     val spark = corpus.sparkSession
     import spark.implicits._
+    ArrayOps.register(spark) // the ncent column below uses graft_dot
     val n = knownCount.getOrElse(corpus.count())
     val sampled =
       if (n <= sampleCap) corpus
