@@ -30,4 +30,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // 4 windows) plus the pinned bucketed silver are GC-bound under 8g at
   // sf0.1 — training_set alone swings 21s↔35s with heap pressure
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // the suite JIT-compiles many MiB of generated aggregate code; the
+  // 240m default code cache fills after a warm-up pass + timed pass and
+  // the JVM silently disables compilation for whatever runs last
+  "-XX:ReservedCodeCacheSize=1g",
 )

@@ -1,13 +1,15 @@
-// Build a 5x-scaled retail fixture at /root/repo/bench-data/sf0.5r from
-// sf0.1: orders/lineitem/customer are replicated with household/basket key
-// offsets (5x households, 5x baskets — the grain cardinalities the feature
-// family scales with); dims and the text/embedding/event tables are copied
-// unchanged (their scale behavior is governed by candidate-generation
-// bounds pinned in unit tests, and replicating identical docs would
-// quadratically distort near-dup pair counts rather than scale them).
+// Build an N-x-scaled retail fixture from sf0.1 (spark-shell -i, with
+// -DREPLICAS=n -DDST=/root/repo/bench-data/sfNr): orders/lineitem/customer
+// are replicated with household/basket key offsets (n-x households,
+// n-x baskets -- the grain cardinalities the feature family scales with);
+// dims and the text/embedding/event tables are copied unchanged (their
+// scale behavior is governed by candidate-generation bounds pinned in unit
+// tests, and replicating identical docs would quadratically distort
+// near-dup pair counts rather than scale them).
 import org.apache.spark.sql.functions._
 val src = "/root/testdata/sf0.1"
-val dst = "/root/repo/bench-data/sf0.5r"
+val replicas = sys.props.getOrElse("REPLICAS", "5").toInt
+val dst = sys.props.getOrElse("DST", s"/root/repo/bench-data/sf0.${replicas}r")
 spark.sparkContext.setLogLevel("WARN")
 
 val KH = 100000000L  // custkey offset per replica (>> max c_custkey)
@@ -15,20 +17,20 @@ val KO = 1000000000L // orderkey offset per replica (>> max o_orderkey)
 
 def rep(table: String, offsets: Map[String, Long]): Unit = {
   val base = spark.read.parquet(s"$src/$table.parquet")
-  val parts = (0 until 5).map { i =>
+  val parts = (0 until replicas).map { i =>
     offsets.foldLeft(base) { case (df, (c, k)) =>
       df.withColumn(c, col(c) + lit(i * k))
     }
   }
   parts.reduce(_ unionByName _)
     .write.mode("overwrite").parquet(s"$dst/$table.parquet")
-  println(s"[fixture] $table x5 done")
+  println(s"[fixture] $table x$replicas done")
 }
 rep("orders", Map("o_orderkey" -> KO, "o_custkey" -> KH))
 rep("lineitem", Map("l_orderkey" -> KO))
 rep("customer", Map("c_custkey" -> KH))
 // dims + text/embedding/event tables: byte-identical copies (cp in the
-// wrapper script — rewriting events.parquet would change its
+// wrapper script -- rewriting events.parquet would change its
 // TIMESTAMP_NANOS physical type)
 println("[fixture] replicated tables done")
 System.exit(0)
