@@ -235,5 +235,26 @@ object CoreQueries {
           approx_count_distinct(col("day")).as("approx_days"),
           approx_count_distinct(col("basket_id")).as("approx_baskets"),
           approx_count_distinct(col("product_id")).as("approx_products")),
-      None))
+      None),
+
+    // One-pass column profiler (Deequ-style data-quality staple): per
+    // column, row/null counts + typed min/max, long form. ONE algebraic
+    // aggregation over the table; the pivot is a stack over the single
+    // summary row. The oracle's column list is hard-coded to the fixture
+    // lineitem schema — ProfileSpec guards against drift.
+    Entry(
+      "table_profile",
+      (s, dir) => graft.ops.Profile.table(Catalog.table(s, dir, "lineitem")),
+      Some(graft.ops.Profile.oracleSql("lineitem", ProfileOracle.lineitemCols))))
+}
+
+/** Fixture lineitem schema for the `table_profile` oracle (name, isNumeric);
+  * asserted against the live schema by ProfileSpec.
+  */
+private[graft] object ProfileOracle {
+  val lineitemCols: Seq[(String, Boolean)] = Seq(
+    "l_orderkey" -> true, "l_partkey" -> true, "l_suppkey" -> true,
+    "l_linenumber" -> true, "l_quantity" -> true, "l_extendedprice" -> true,
+    "l_discount" -> true, "l_tax" -> true, "l_returnflag" -> false,
+    "l_linestatus" -> false, "l_shipdate" -> false)
 }

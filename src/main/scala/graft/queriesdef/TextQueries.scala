@@ -288,6 +288,30 @@ object TextQueries {
         |SELECT doc_id, term, tf, tfidf, rank
         |FROM ranked WHERE rank <= 3""".stripMargin)),
 
+    // CCNet-style relative quality gate: keep the top half per language
+    // by stopword-ratio score (percent_rank — exact integer ratio,
+    // engine-identical; score rounded to 9 decimals before ranking).
+    Entry(
+      "quality_top_share",
+      (s, dir) => graft.text.Curation.qualityTopShare(docs(s, dir), share = 0.5),
+      Some(s"""WITH st AS (
+        |  SELECT doc_id, lang,
+        |    ${reCount("trim(text)", """\S+""")} AS n_tokens,
+        |    ${reCount("text", """\b(the|a)\b""")} AS n_stop
+        |  FROM documents),
+        |scored AS (
+        |  SELECT doc_id, lang,
+        |    round(CASE WHEN n_tokens > 0
+        |      THEN CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+        |      ELSE 0.0 END, 9) AS quality_score
+        |  FROM st),
+        |ranked AS (
+        |  SELECT *, PERCENT_RANK() OVER (
+        |    PARTITION BY lang ORDER BY quality_score DESC, doc_id) AS q_rank
+        |  FROM scored)
+        |SELECT doc_id, lang, quality_score, q_rank
+        |FROM ranked WHERE q_rank <= 0.5""".stripMargin)),
+
     // Eval-set decontamination: flag train-split documents sharing any
     // word 5-gram with the eval split (the GPT-3 13-gram rule, n sized to
     // the fixture's short synthetic docs). Eval side collapses to a bare

@@ -75,6 +75,41 @@ object Curation {
       .withColumn("chunk_len", length(col("chunk_text")).cast("long"))
   }
 
+  /** Share-based quality gate: keep the top `share` of documents per
+    * group (language / domain) ranked by a quality score — the CCNet-style
+    * relative gate ("keep the best X% per language"), the complement of
+    * [[graft.ops.CapPerGroup]]'s absolute quota. The score here is the
+    * stopword ratio (prose-likeness) from the module's shared counters,
+    * rounded to 9 decimals BEFORE ranking so engine division ulps cannot
+    * reorder; `doc_id` breaks ties, so the kept set is deterministic.
+    * `percent_rank` = (rank−1)/(n−1) is a ratio of exact small integers —
+    * engine-identical.
+    *
+    * Scale shape: one hash partition on the group key + one sort — a
+    * relative gate needs the group's full order, so unlike the quota cap
+    * there is no rank-limit pushdown. At corpus scale the standard
+    * escape (what CCNet does) is a two-pass threshold: compute each
+    * group's score cutoff once ([[graft.ops.ExactPercentiles]], or an
+    * approx quantile sketch), broadcast it, and gate with a pure map-side
+    * `score >= cutoff` filter — same semantics up to ties, no per-group
+    * sort. This operator is the exact single-pass form.
+    */
+  def qualityTopShare(docs: DataFrame, share: Double,
+      groupCols: Seq[String] = Seq("lang")): DataFrame = {
+    require(share > 0.0 && share <= 1.0, s"share must be in (0, 1], got $share")
+    val t = col("text")
+    val nTokens = TextAnalysis.tokensWs(t)
+    val nStop = TextAnalysis.wordHits(t, TextAnalysis.stopwords)
+    val scored = docs.select(
+      (col("doc_id") +: groupCols.map(col)) :+
+        round(when(nTokens > 0, nStop.cast("double") / nTokens.cast("double"))
+          .otherwise(0.0), 9).as("quality_score"): _*)
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col("quality_score").desc, col("doc_id"))
+    scored.withColumn("q_rank", percent_rank().over(w))
+      .filter(col("q_rank") <= share)
+  }
+
   /** Sequence packing: assign documents to fixed-budget context windows
     * by concatenate-and-split — documents are laid out in a deterministic
     * stream order (`orderCol` within each stream) and a document starts in
