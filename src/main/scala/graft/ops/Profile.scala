@@ -34,6 +34,12 @@ object Profile {
 
   def table(df: DataFrame, approxDistinct: Boolean = false): DataFrame = {
     val cols = df.schema.fields
+    // names are embedded in a stack() expression: backticks/quotes in a
+    // column name would splice into the parsed SQL — fail loud instead
+    cols.foreach { f =>
+      require(!f.name.exists(c => c == '`' || c == '\''),
+        s"Profile.table: column name ${f.name} contains a quote/backtick")
+    }
     val aggs = count(lit(1)).as("__n") +: cols.flatMap { f =>
       val c = col(f.name)
       val base = Seq(

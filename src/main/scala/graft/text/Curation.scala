@@ -62,9 +62,14 @@ object Curation {
     // integer boundary here (the true ratio is either an integer — then
     // representable and returned exactly — or at distance ≥ 1/stride from
     // one), so both engines floor identically.
-    val nChunks = lit(1L) + floor(
+    // null for null text (greatest() skips nulls, so the subtraction's
+    // null would otherwise fold to 0 and emit one spurious chunk)
+    val nChunks = when(col("text").isNotNull, lit(1L) + floor(
       (greatest(nChars - chunkSize, lit(0L)) + (stride - 1)).cast("double")
-        / stride).cast("long")
+        / stride).cast("long"))
+    // a null-text document has no chunks (explode of a null sequence emits
+    // nothing) — the convention callers want from a chunker, vs the
+    // single-empty-chunk a zero-length text yields
     docs
       .select(col("doc_id"), col("text"), nChunks.as("__nc"))
       .withColumn("chunk_id", explode(sequence(lit(0L), col("__nc") - 1)))
@@ -132,9 +137,12 @@ object Curation {
       shards: Int = 1): DataFrame = {
     require(ctxTokens > 0, s"ctxTokens must be positive, got $ctxTokens")
     require(shards >= 1, s"shards must be >= 1, got $shards")
+    // null text = zero tokens: without the coalesce a null-text doc would
+    // emit a null n_tokens (the window sum skips nulls, so its pack/offset
+    // would be right but downstream splitting on n_tokens would NPE)
     val base = docs.select(
       (col(orderCol) +: streamCols.map(col)) :+
-        TextAnalysis.tokensWs(col("text")).as("n_tokens") :+
+        coalesce(TextAnalysis.tokensWs(col("text")), lit(0L)).as("n_tokens") :+
         HashSplit.bucket(col(orderCol), shards).as("shard"): _*)
     val w = Window
       .partitionBy((streamCols :+ "shard").map(col): _*)

@@ -62,6 +62,18 @@ class CurationSpec extends AnyFunSuite {
     assert(exact.length == 1)
   }
 
+  test("null text: packed as zero tokens, chunked to nothing, decontaminated clean") {
+    val docs = Seq((1L, "s", null: String), (2L, "s", "w w w"))
+      .toDF("doc_id", "source", "text")
+    val packed = Curation.packSequences(docs, 16, Seq("source"), shards = 1)
+      .orderBy("doc_id").collect()
+    assert(packed.map(_.getLong(3)).toSeq == Seq(0L, 3L)) // null → 0 tokens
+    assert(Curation.chunk(docs, 10, 2).filter(col("doc_id") === 1L).count() == 0)
+    val d = Curation.decontaminate(docs, docs.filter(lit(false)), n = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d == Map(1L -> 0L, 2L -> 0L)) // null-text doc still reported
+  }
+
   test("pack: sequential fill per stream, offsets and pack ids consistent") {
     // one stream, shards=1: docs of 100 tokens each into ctx=256
     val docs = (1L to 5L).map(i =>
