@@ -312,6 +312,31 @@ object TextQueries {
         |SELECT doc_id, lang, quality_score, q_rank
         |FROM ranked WHERE q_rank <= 0.5""".stripMargin)),
 
+    // The corpus-scale twin of quality_top_share: per-group quantile
+    // cutoff (one score sort per group) + map-side gate — no per-group
+    // sort of the data rows. DuckDB's quantile_cont matches
+    // ExactPercentiles' interpolation exactly (as spend_percentiles pins).
+    Entry(
+      "quality_cutoff_gate",
+      (s, dir) => graft.text.Curation.qualityAboveCutoff(docs(s, dir), share = 0.5),
+      Some(s"""WITH st AS (
+        |  SELECT doc_id, lang,
+        |    ${reCount("trim(text)", """\S+""")} AS n_tokens,
+        |    ${reCount("text", """\b(the|a)\b""")} AS n_stop
+        |  FROM documents),
+        |scored AS (
+        |  SELECT doc_id, lang,
+        |    round(CASE WHEN n_tokens > 0
+        |      THEN CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+        |      ELSE 0.0 END, 9) AS quality_score
+        |  FROM st),
+        |cut AS (
+        |  SELECT lang, quantile_cont(quality_score, 0.5) AS cutoff
+        |  FROM scored GROUP BY lang)
+        |SELECT s.doc_id, s.lang, s.quality_score, c.cutoff
+        |FROM scored s JOIN cut c ON s.lang = c.lang
+        |WHERE s.quality_score >= c.cutoff""".stripMargin)),
+
     // Eval-set decontamination: flag train-split documents sharing any
     // word 5-gram with the eval split (the GPT-3 13-gram rule, n sized to
     // the fixture's short synthetic docs). Eval side collapses to a bare

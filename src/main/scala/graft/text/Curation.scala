@@ -102,17 +102,46 @@ object Curation {
   def qualityTopShare(docs: DataFrame, share: Double,
       groupCols: Seq[String] = Seq("lang")): DataFrame = {
     require(share > 0.0 && share <= 1.0, s"share must be in (0, 1], got $share")
-    val t = col("text")
-    val nTokens = TextAnalysis.tokensWs(t)
-    val nStop = TextAnalysis.wordHits(t, TextAnalysis.stopwords)
-    val scored = docs.select(
-      (col("doc_id") +: groupCols.map(col)) :+
-        round(when(nTokens > 0, nStop.cast("double") / nTokens.cast("double"))
-          .otherwise(0.0), 9).as("quality_score"): _*)
+    val scored = scoreDocs(docs, groupCols)
     val w = Window.partitionBy(groupCols.map(col): _*)
       .orderBy(col("quality_score").desc, col("doc_id"))
     scored.withColumn("q_rank", percent_rank().over(w))
       .filter(col("q_rank") <= share)
+  }
+
+  /** The corpus-scale form of [[qualityTopShare]] — two passes, no
+    * per-group sort of the data rows: pass 1 computes each group's score
+    * cutoff (the `(1 − share)` quantile, [[graft.ops.ExactPercentiles]] —
+    * sort of SCORES within a group, spill-graceful, or swap in an approx
+    * sketch at 100 TB); pass 2 is a join against the group-cardinality-
+    * sized cutoff table (broadcast by AQE for any real group count) plus
+    * a pure map-side `score >= cutoff` filter. Interpolated cutoffs admit
+    * ties, so the kept share is ≥ `share` rather than exactly it — the
+    * usual contract of threshold-based gates (CCNet ships bucket
+    * thresholds exactly like this).
+    */
+  def qualityAboveCutoff(docs: DataFrame, share: Double,
+      groupCols: Seq[String] = Seq("lang")): DataFrame = {
+    require(share > 0.0 && share <= 1.0, s"share must be in (0, 1], got $share")
+    val scored = scoreDocs(docs, groupCols)
+    val cutoffs = graft.ops.ExactPercentiles.perGroup(
+      scored, groupCols, "quality_score", Seq("cutoff" -> (1.0 - share)))
+    scored.join(cutoffs, groupCols)
+      .filter(col("quality_score") >= col("cutoff"))
+  }
+
+  /** Shared quality score: stopword ratio (prose-likeness), rounded to
+    * 9 decimals before any ranking/thresholding so engine division ulps
+    * cannot reorder or flip a comparison.
+    */
+  private def scoreDocs(docs: DataFrame, groupCols: Seq[String]): DataFrame = {
+    val t = col("text")
+    val nTokens = TextAnalysis.tokensWs(t)
+    val nStop = TextAnalysis.wordHits(t, TextAnalysis.stopwords)
+    docs.select(
+      (col("doc_id") +: groupCols.map(col)) :+
+        round(when(nTokens > 0, nStop.cast("double") / nTokens.cast("double"))
+          .otherwise(0.0), 9).as("quality_score"): _*)
   }
 
   /** Sequence packing: assign documents to fixed-budget context windows

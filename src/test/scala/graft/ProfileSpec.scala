@@ -70,4 +70,16 @@ class ProfileSpec extends AnyFunSuite {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(kept2 == kept)
   }
+
+  test("qualityAboveCutoff: quantile gate keeps the same top docs here") {
+    val docs = Seq(
+      (1L, "en", "the a"), (2L, "en", "the x"), (3L, "en", "x y"), (4L, "en", "z w"),
+      (5L, "fr", "the a"), (6L, "fr", "q r")).toDF("doc_id", "lang", "text")
+    val out = Curation.qualityAboveCutoff(docs, share = 0.5).collect()
+    // en cutoff = interp([0, 0, 0.5, 1], 0.5) = 0.25 → docs 1, 2
+    // fr cutoff = interp([0, 1], 0.5) = 0.5 → doc 5
+    assert(out.map(r => r.getLong(1)).toSet == Set(1L, 2L, 5L))
+    val en = out.filter(_.getString(0) == "en").head
+    assert(en.getDouble(3) == 0.25) // the interpolated cutoff rides along
+  }
 }
