@@ -94,9 +94,7 @@ object Bench {
       }
       System.err.println(
         f"[bench] suite warm-up at $warmDir: ${(System.nanoTime() - t0) / 1e9}%.1f s")
-      spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
-        if (!preSweep.contains(id)) rdd.unpersist(blocking = false)
-      }
+      graft.core.GraftSession.sweepTransientBlocks(spark, preSweep)
       // the sweep re-pointed the temp views at the toy fixture — restore
       try graft.core.Catalog.registerAll(spark, sfDir)
       catch { case e: Throwable => System.err.println(s"[bench] catalog: $e") }
@@ -117,9 +115,7 @@ object Bench {
     // persistent RDD that did not exist at warm-up end.
     val pinnedRdds = spark.sparkContext.getPersistentRDDs.keySet
     def sweepTransientBlocks(): Unit =
-      spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
-        if (!pinnedRdds.contains(id)) rdd.unpersist(blocking = false)
-      }
+      graft.core.GraftSession.sweepTransientBlocks(spark, pinnedRdds)
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val gc0 = gcMillis

@@ -8,19 +8,9 @@ package graft
 object ExplainQuery {
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "usage: ExplainQuery <queryName> [more...]")
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = graft.core.GraftSession.builder(s"local[$cpus]", cpus.toInt)
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    try graft.core.Catalog.registerAll(spark, sfDir)
-    catch { case e: Throwable => System.err.println(s"[explain] registerAll: $e") }
-    graft.core.SilverStore.enable()
-    try graft.silver.TransactionsAdj(spark, sfDir)
-    catch { case e: Throwable => System.err.println(s"[explain] silver: $e") }
+    val DevHarness.Ctx(spark, sfDir) = DevHarness.init("explain")
     args.foreach { name =>
-      val fn = SparkEntry.queries.getOrElse(name,
-        sys.error(s"unknown query '$name'"))
+      val fn = DevHarness.query(name)
       println(s"===== $name =====")
       val qe = fn(spark, sfDir).queryExecution
       // execute first: under AQE the codegen-wrapped, finalized stages only

@@ -47,24 +47,14 @@ object TimeQueries {
 
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "usage: TimeQueries <queryName> [more...]")
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
     val profile = sys.env.get("SPARK_GRAFT_PROFILE").contains("1")
-    val spark = graft.core.GraftSession.builder(s"local[$cpus]", cpus.toInt)
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    try graft.core.Catalog.registerAll(spark, sfDir)
-    catch { case e: Throwable => System.err.println(s"[time] registerAll: $e") }
-    graft.core.SilverStore.enable()
-    try graft.silver.TransactionsAdj(spark, sfDir)
-    catch { case e: Throwable => System.err.println(s"[time] silver: $e") }
+    val DevHarness.Ctx(spark, sfDir) = DevHarness.init("time")
     val prof = new Profiler
     if (profile) spark.sparkContext.addSparkListener(prof)
     val pinned = spark.sparkContext.getPersistentRDDs.keySet
     args.foreach { name =>
-      val fn = SparkEntry.queries.getOrElse(name,
-        sys.error(s"unknown query '$name'; known: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}"))
+      val fn = DevHarness.query(name)
       (1 to reps).foreach { i =>
         val t0 = System.nanoTime()
         fn(spark, sfDir).queryExecution.toRdd.count()
@@ -75,9 +65,7 @@ object TimeQueries {
           Thread.sleep(300)
           prof.reportAndReset()
         }
-        spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
-          if (!pinned.contains(id)) rdd.unpersist(blocking = false)
-        }
+        graft.core.GraftSession.sweepTransientBlocks(spark, pinned)
       }
     }
     spark.stop()

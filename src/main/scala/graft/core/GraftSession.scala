@@ -41,4 +41,16 @@ object GraftSession {
       // EventOps owns the ns→timestamp conversion. Must be set before
       // anything (incl. Catalog.registerAll) reads the events footer.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+  /** Unpersist every persistent RDD not in `pinned` — the harness sweep
+    * for transient per-query blocks (localCheckpoint/cache blocks are only
+    * released when the driver GCs the RDD object, which a large heap may
+    * not do for minutes; see Bench). ONE definition so the bench, the
+    * dev timers, and any future harness sweep identically.
+    */
+  def sweepTransientBlocks(spark: SparkSession,
+      pinned: scala.collection.Set[Int]): Unit =
+    spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+      if (!pinned.contains(id)) rdd.unpersist(blocking = false)
+    }
 }

@@ -16,7 +16,7 @@ import org.apache.spark.sql.functions._
   * `cap_per_group` oracle replays the same md5 ranking in DuckDB).
   *
   * Scale shape: one hash-partition on the group key, then Spark's
-  * rank-limit pushdown (`WindowGroupLimit`, pinned by CapPerGroupSpec)
+  * rank-limit pushdown (`WindowGroupLimit`, pinned by CapAndTfidfSpec)
   * keeps at most `maxPerGroup` rows per group on the MAP side before the
   * exchange and again before the final sort — a hot group ships
   * `maxPerGroup` rows per upstream partition, never its full membership,
@@ -31,17 +31,21 @@ object CapPerGroup {
   def cap(df: DataFrame, groupCols: Seq[String], keyCol: String,
       maxPerGroup: Int): DataFrame = {
     require(maxPerGroup > 0, s"maxPerGroup must be positive, got $maxPerGroup")
+    // NULLS LAST explicitly: Spark's ascending default is nulls-first,
+    // DuckDB's is nulls-last — without the pin, null-keyed rows would
+    // preferentially SURVIVE the cap here and be CUT by the oracle
     val w = Window.partitionBy(groupCols.map(col): _*)
-      .orderBy(md5(col(keyCol).cast("string")), col(keyCol))
+      .orderBy(md5(col(keyCol).cast("string")).asc_nulls_last,
+        col(keyCol).asc_nulls_last)
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= maxPerGroup)
       .drop("__rn")
   }
 
-  /** The matching DuckDB ranking expression (for oracle rendering):
-    * `ROW_NUMBER() OVER (PARTITION BY <groups> ORDER BY md5(key), key)`.
+  /** The matching DuckDB ranking expression (for oracle rendering), with
+    * the same explicit NULLS LAST as the Spark window.
     */
   def rankSql(groupCols: Seq[String], keyExpr: String): String =
     s"ROW_NUMBER() OVER (PARTITION BY ${groupCols.mkString(", ")} " +
-      s"ORDER BY md5(CAST($keyExpr AS VARCHAR)), $keyExpr)"
+      s"ORDER BY md5(CAST($keyExpr AS VARCHAR)) NULLS LAST, $keyExpr NULLS LAST)"
 }

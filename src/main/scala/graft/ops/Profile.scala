@@ -34,11 +34,12 @@ object Profile {
 
   def table(df: DataFrame, approxDistinct: Boolean = false): DataFrame = {
     val cols = df.schema.fields
-    // names are embedded in a stack() expression: backticks/quotes in a
-    // column name would splice into the parsed SQL — fail loud instead
+    // names are embedded in a stack() expression: backticks/quotes would
+    // splice into the parsed SQL, and backslashes are processed as string
+    // escapes (silently renaming the output row) — fail loud instead
     cols.foreach { f =>
-      require(!f.name.exists(c => c == '`' || c == '\''),
-        s"Profile.table: column name ${f.name} contains a quote/backtick")
+      require(!f.name.exists(c => c == '`' || c == '\'' || c == '\\'),
+        s"Profile.table: column name ${f.name} contains a quote/backtick/backslash")
     }
     val aggs = count(lit(1)).as("__n") +: cols.flatMap { f =>
       val c = col(f.name)
@@ -57,7 +58,6 @@ object Profile {
     }.toSeq
     val one = df.agg(aggs.head, aggs.tail: _*)
     // long form: stack the single summary row into one row per column
-    val width = if (approxDistinct) 6 else 5
     val stackArgs = cols.flatMap { f =>
       val perCol = Seq(s"'${f.name}'", s"`__nn_${f.name}`",
         s"`__mn_num_${f.name}`", s"`__mx_num_${f.name}`",

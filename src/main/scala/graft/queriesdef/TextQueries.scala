@@ -334,7 +334,7 @@ object TextQueries {
         |  SELECT lang, quantile_cont(quality_score, 0.5) AS cutoff
         |  FROM scored GROUP BY lang)
         |SELECT s.doc_id, s.lang, s.quality_score, c.cutoff
-        |FROM scored s JOIN cut c ON s.lang = c.lang
+        |FROM scored s JOIN cut c ON s.lang IS NOT DISTINCT FROM c.lang
         |WHERE s.quality_score >= c.cutoff""".stripMargin)),
 
     // Eval-set decontamination: flag train-split documents sharing any
@@ -401,7 +401,7 @@ object TextQueries {
         ctxTokens = 256, streamCols = Seq("source"), shards = 4),
       Some(s"""WITH t AS (
         |  SELECT doc_id, source,
-        |    ${reCount("trim(text)", """\S+""")} AS n_tokens,
+        |    COALESCE(${reCount("trim(text)", """\S+""")}, 0) AS n_tokens,
         |    ${graft.ops.HashSplit.bucketSql("doc_id", 4)} AS shard
         |  FROM documents),
         |c AS (

@@ -110,9 +110,13 @@ object TrainScoreQueries {
         val (_, cur) = graft.core.Retail.dayBounds(s, dir)
         val labels = LabelBuilder.labels(txc, Commodities.commoditiesToScore(s, dir),
           cur.minusDays(LabelBuilder.horizonDays))
+        // concat (null-propagating), not concat_ws (null-skipping): the
+        // oracle's `||` nulls out on a null key, so a null-keyed negative
+        // is dropped by BOTH engines instead of hashing differently
         labels.filter(col("purchased") === 1 ||
           graft.ops.HashSplit.bucket(
-            concat_ws("|", col("household_key"), col("commodity_desc")), 1000) < 250)
+            concat(col("household_key").cast("string"), lit("|"),
+              col("commodity_desc")), 1000) < 250)
       },
       Some(s"""WITH ${Oracle.txCommodity}, $labelsCtes
         |SELECT * FROM labels

@@ -126,8 +126,15 @@ object Curation {
     val scored = scoreDocs(docs, groupCols)
     val cutoffs = graft.ops.ExactPercentiles.perGroup(
       scored, groupCols, "quality_score", Seq("cutoff" -> (1.0 - share)))
-    scored.join(cutoffs, groupCols)
+    // null-SAFE group equality: the percentile pass groups null keys into
+    // their own group (like the share gate's window partition), so the
+    // join-back must match them too — a plain equi-join would silently
+    // drop every null-keyed document
+    val cond = groupCols.map(k => col(s"s.$k") <=> col(s"c.$k")).reduce(_ && _)
+    scored.alias("s").join(cutoffs.alias("c"), cond)
       .filter(col("quality_score") >= col("cutoff"))
+      .select((col("doc_id") +: groupCols.map(k => col(s"s.$k"))) ++
+        Seq(col("quality_score"), col("cutoff")): _*)
   }
 
   /** Shared quality score: stopword ratio (prose-likeness), rounded to

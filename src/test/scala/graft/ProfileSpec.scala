@@ -78,8 +78,27 @@ class ProfileSpec extends AnyFunSuite {
     val out = Curation.qualityAboveCutoff(docs, share = 0.5).collect()
     // en cutoff = interp([0, 0, 0.5, 1], 0.5) = 0.25 → docs 1, 2
     // fr cutoff = interp([0, 1], 0.5) = 0.5 → doc 5
-    assert(out.map(r => r.getLong(1)).toSet == Set(1L, 2L, 5L))
-    val en = out.filter(_.getString(0) == "en").head
+    assert(out.map(r => r.getLong(0)).toSet == Set(1L, 2L, 5L))
+    val en = out.filter(_.getString(1) == "en").head
     assert(en.getDouble(3) == 0.25) // the interpolated cutoff rides along
+  }
+
+  test("qualityAboveCutoff: null group keys form their own group, not dropped") {
+    val docs = Seq(
+      (1L, null: String, "the a"), (2L, null: String, "x y"),
+      (3L, "en", "the a")).toDF("doc_id", "lang", "text")
+    val kept = Curation.qualityAboveCutoff(docs, share = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // null-lang group: scores [0, 1], cutoff 0.5 → doc 1 kept; en: doc 3
+    assert(kept == Set(1L, 3L))
+  }
+
+  test("cap: null keys rank last (the NULLS LAST pin), so they are cut first") {
+    import graft.ops.CapPerGroup
+    val df = (Seq(("g", null: String)) ++ (1 to 5).map(i => ("g", s"k$i")))
+      .toDF("grp", "id")
+    val kept = CapPerGroup.cap(df, Seq("grp"), "id", 5)
+      .select("id").collect().map(r => Option(r.getString(0)))
+    assert(kept.length == 5 && !kept.contains(None))
   }
 }

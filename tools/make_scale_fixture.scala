@@ -9,7 +9,9 @@
 import org.apache.spark.sql.functions._
 val src = "/root/testdata/sf0.1"
 val replicas = sys.props.getOrElse("REPLICAS", "5").toInt
-val dst = sys.props.getOrElse("DST", s"/root/repo/bench-data/sf0.${replicas}r")
+// name encodes base-scale x replica count (sf0.1x10), NOT a scale factor:
+// "sf0.${n}r" read as a scale misleads for n >= 10
+val dst = sys.props.getOrElse("DST", s"/root/repo/bench-data/sf0.1x$replicas")
 spark.sparkContext.setLogLevel("WARN")
 
 val KH = 100000000L  // custkey offset per replica (>> max c_custkey)
