@@ -90,22 +90,43 @@ object Dedup {
   }
 
   /** MinHash signatures: h_i(doc) = min over shingles of
-    * ((a_i * x + b_i) mod p), where x is a 64-bit shingle hash. The
-    * per-band scale path buckets docs by banded signature so candidate
-    * pairs come from bucket joins, not the pair space. xxhash64 is
-    * Spark-native (codegen'd) — deterministic across runs but engine-
-    * specific, so this operator is checked by unit test + rows-only, not
-    * the SQL oracle.
+    * ((a_i * x + b_i) mod p), where x is the shingle's 31-bit base hash.
+    * The per-band scale path buckets docs by banded signature so candidate
+    * pairs come from bucket joins, not the pair space. The default base
+    * hash is md5-derived ([[md5Hash31]]) so signatures AND candidate
+    * pairs hash-verify against the DuckDB oracle; [[xxHash31]] is the
+    * cheaper Spark-native swap at corpus scale (same structure, engine-
+    * specific values).
     */
-  def minhashSignatures(docs: DataFrame, n: Int = 3, numHashes: Int = 16): DataFrame = {
-    // 31-bit domain keeps a*x+b far below Long.MaxValue (ANSI-safe).
-    val p = 2147483647L // 2^31 - 1 (Mersenne prime)
+  /** 31-bit domain keeps a*x+b far below Long.MaxValue (ANSI-safe). */
+  val minhashP: Long = 2147483647L // 2^31 - 1 (Mersenne prime)
+  /** Affine permutation constants — ONE definition shared by the Spark
+    * operator and the SQL-oracle renderer, so they cannot drift.
+    */
+  def affineA(i: Int): Long = (2 * i + 1).toLong
+  def affineB(i: Int): Long = 40503L * (i + 1)
+
+  /** Shingle → 31-bit base hash from the md5 prefix (the [[graft.ops
+    * .HashSplit]] convention) — engine-reproducible, so the signatures
+    * hash-verify against the DuckDB oracle.
+    */
+  def md5Hash31(c: Column): Column =
+    pmod(conv(substring(md5(c.cast("binary")), 1, 8), 16, 10).cast("long"),
+      lit(minhashP))
+
+  /** Spark-native base hash (codegen'd long path, no hex round-trip) —
+    * the cheaper swap-in at corpus scale when oracle verification isn't
+    * required; same signature/banding structure either way.
+    */
+  def xxHash31(c: Column): Column = pmod(xxhash64(c), lit(minhashP))
+
+  def minhashSignatures(docs: DataFrame, n: Int = 3, numHashes: Int = 16,
+      hasher: Column => Column = md5Hash31): DataFrame = {
     val sh = shingles(docs, n)
-      .select(col("doc_id"), pmod(xxhash64(col("shingle")), lit(p)).as("x"))
+      .select(col("doc_id"), hasher(col("shingle")).as("x"))
     val mins = (0 until numHashes).map { i =>
-      val a = (2 * i + 1).toLong
-      val b = 40503L * (i + 1)
-      min(pmod(col("x") * lit(a) + lit(b), lit(p))).as(s"h$i")
+      min(pmod(col("x") * lit(affineA(i)) + lit(affineB(i)), lit(minhashP)))
+        .as(s"h$i")
     }
     sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
   }
@@ -114,17 +135,23 @@ object Dedup {
     * candidate near-dups; candidates are then verified with exact Jaccard.
     */
   def minhashLshCandidates(docs: DataFrame, n: Int = 3,
-      numHashes: Int = 16, bands: Int = 4): DataFrame = {
+      numHashes: Int = 16, bands: Int = 4,
+      hasher: Column => Column = md5Hash31): DataFrame = {
     require(bands >= 1 && bands <= numHashes && numHashes % bands == 0,
       s"bands ($bands) must divide numHashes ($numHashes): a remainder would" +
         " silently drop trailing hash functions from every band")
-    val sig = minhashSignatures(docs, n, numHashes)
+    val sig = minhashSignatures(docs, n, numHashes, hasher)
     val rowsPerBand = numHashes / bands
     // one row per (doc, band) via explode — a union of `bands` selects
-    // would re-read (and re-aggregate) the signature input once per band
+    // would re-read (and re-aggregate) the signature input once per band.
+    // Band bucket = md5 prefix of the joined band values: fixed-width,
+    // engine-reproducible (a native 64-bit hash is the corpus-scale swap,
+    // one hash per doc-band — marginal either way).
     val bandCols = (0 until bands).map { bd =>
       val cols = (bd * rowsPerBand until (bd + 1) * rowsPerBand).map(i => col(s"h$i"))
-      struct(lit(bd).as("band"), xxhash64(cols: _*).as("bucket"))
+      struct(lit(bd).as("band"),
+        substring(md5(concat_ws("|", cols: _*).cast("binary")), 1, 16)
+          .as("bucket"))
     }
     val banded = sig
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
@@ -138,20 +165,30 @@ object Dedup {
       .distinct()
   }
 
-  /** SimHash: 64-bit sketch — per token hash, each bit position votes
+  /** SimHash sketch width: 60 bits — 15 md5 hex digits, the widest prefix
+    * that fits a SIGNED 64-bit integer in both engines (16 digits can
+    * overflow a BIGINT cast in the oracle).
+    */
+  val simhashBits: Int = 60
+
+  /** SimHash: 60-bit sketch — per token hash, each bit position votes
     * +1/−1, sketch bit = sign of the vote sum. Near-dups have small
-    * Hamming distance. Engine-specific hash ⇒ unit-test + rows-only.
+    * Hamming distance. The md5-derived token hash renders to DuckDB, so
+    * sketches AND blocked pairs are hash-verified against the oracle
+    * (xxhash64 is the cheaper engine-specific swap at corpus scale).
     */
   def simhash(docs: DataFrame): DataFrame = {
     val toks = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .filter(length(col("tok")) > 0)
-      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
-    val bitVotes = (0 until 64).map { i =>
+      .select(col("doc_id"),
+        conv(substring(md5(col("tok").cast("binary")), 1, 15), 16, 10)
+          .cast("long").as("h"))
+    val bitVotes = (0 until simhashBits).map { i =>
       sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i")
     }
     val votes = toks.groupBy("doc_id").agg(bitVotes.head, bitVotes.tail: _*)
-    val sketch = (0 until 64).map { i =>
+    val sketch = (0 until simhashBits).map { i =>
       when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
     }.reduce(_.bitwiseOR(_))
     votes.select(col("doc_id"), sketch.as("simhash"))
@@ -170,9 +207,11 @@ object Dedup {
     // single read instead of a 4-way self-union
     val s = simhash(docs)
     val chunks = 4
+    val chunkBits = simhashBits / chunks // 15-bit blocks over the 60-bit sketch
+    val chunkMask = (1L << chunkBits) - 1L
     val chunkCols = (0 until chunks).map { c =>
       struct(lit(c).as("chunk"),
-        shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL).as("block"))
+        shiftright(col("simhash"), c * chunkBits).bitwiseAND(chunkMask).as("block"))
     }
     val blocked = s
       .select(col("doc_id"), col("simhash"), explode(array(chunkCols: _*)).as("cb"))
@@ -183,7 +222,7 @@ object Dedup {
         col("l.chunk") === col("r.chunk") && col("l.block") === col("r.block") &&
           col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
-        hamming(col("l.simhash"), col("r.simhash")).as("hamming"))
+        hamming(col("l.simhash"), col("r.simhash")).cast("long").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }

@@ -65,6 +65,35 @@ object TextQueries {
       |  WHERE CAST(n_common AS DOUBLE)
       |      / CAST(sa.n_shingles + sb.n_shingles - n_common AS DOUBLE) >= 0.5)""".stripMargin
 
+  /** MinHash signature CTEs (word-3-gram shingles → md5-31-bit base hash
+    * → 16 affine mins per doc) — constants render from the SAME
+    * [[Dedup.affineA]]/[[Dedup.affineB]]/[[Dedup.minhashP]] definitions
+    * the Spark operator uses, so the two sides cannot drift. Defines
+    * relation `sig(doc_id, h0..h15)`.
+    */
+  private def minhashSigCtes: String = {
+    val p = Dedup.minhashP
+    val mins = (0 until 16).map { i =>
+      s"  min((x * ${Dedup.affineA(i)} + ${Dedup.affineB(i)}) % $p) AS h$i"
+    }.mkString(",\n")
+    s"""mws AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+       |  FROM documents),
+       |msh0 AS (
+       |  SELECT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+       |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+       |        FROM mws WHERE len(w) >= 3) t),
+       |msh AS (SELECT DISTINCT doc_id, shingle FROM msh0),
+       |mxs AS (
+       |  SELECT doc_id,
+       |    CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) % $p AS x
+       |  FROM msh),
+       |sig AS (
+       |  SELECT doc_id,
+       |$mins
+       |  FROM mxs GROUP BY doc_id)""".stripMargin
+  }
+
   def entries: Seq[Entry] = Seq(
 
     // Token counting + quality stats (length/punct/stopword ratios).
@@ -176,25 +205,71 @@ object TextQueries {
         |  (COALESCE(cc.cluster_id, d.doc_id) = d.doc_id) AS is_canonical
         |FROM documents d LEFT JOIN cc ON d.doc_id = cc.doc_id""".stripMargin)),
 
-    // MinHash signatures themselves (the sketch operator; engine-specific
-    // hash ⇒ rows-only, determinism covered by DedupSpec).
+    // MinHash signatures (the sketch operator). The md5-derived base hash
+    // and shared affine constants render to DuckDB, so the signatures are
+    // hash-verified — not just rows-counted.
     Entry(
       "dedup_minhash_signatures",
       (s, dir) => Dedup.minhashSignatures(docs(s, dir)),
-      None),
+      Some(s"""WITH $minhashSigCtes
+        |SELECT * FROM sig""".stripMargin)),
 
-    // MinHash+LSH candidate pairs (scale path; engine-specific hash ⇒
-    // rows-only check, exactness covered by DedupSpec unit tests).
+    // MinHash+LSH candidate pairs (the banded scale path), hash-verified
+    // end-to-end: base hash, affine mins, and band buckets all render to
+    // the same values in DuckDB.
     Entry(
       "dedup_minhash_lsh",
       (s, dir) => Dedup.minhashLshCandidates(docs(s, dir)),
-      None),
+      Some {
+        val perBand = 16 / 4
+        val bandSelects = (0 until 4).map { bd =>
+          val hs = (bd * perBand until (bd + 1) * perBand)
+            .map(i => s"h$i").mkString(", ")
+          s"SELECT doc_id, $bd AS band, substr(md5(concat_ws('|', $hs)), 1, 16) AS bucket FROM sig"
+        }.mkString("\n    UNION ALL ")
+        s"""WITH $minhashSigCtes,
+           |banded AS (
+           |    $bandSelects)
+           |SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+           |FROM banded l JOIN banded r
+           |  ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id""".stripMargin
+      }),
 
-    // SimHash near-dup pairs under Hamming radius (rows-only; unit-tested).
+    // SimHash near-dup pairs under Hamming radius, hash-verified: the
+    // md5-derived 60-bit sketch, bit votes, prefix blocks, and Hamming
+    // filter all render identically in DuckDB.
     Entry(
       "dedup_simhash",
       (s, dir) => Dedup.simhashPairs(docs(s, dir)),
-      None),
+      Some {
+        val bits = Dedup.simhashBits
+        val votes = (0 until bits).map(i =>
+          s"  SUM(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS b$i")
+          .mkString(",\n")
+        val sketch = (0 until bits).map(i =>
+          s"(CASE WHEN b$i > 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")
+        val blockSelects = (0 until 4).map { c =>
+          s"SELECT doc_id, simhash, $c AS chunk, (simhash >> ${c * 15}) & 32767 AS block FROM sk"
+        }.mkString("\n    UNION ALL ")
+        s"""WITH toks AS (
+           |  SELECT doc_id,
+           |    CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h
+           |  FROM (SELECT doc_id,
+           |          unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+           |        FROM documents) t),
+           |votes AS (
+           |  SELECT doc_id,
+           |$votes
+           |  FROM toks GROUP BY doc_id),
+           |sk AS (SELECT doc_id, CAST($sketch AS BIGINT) AS simhash FROM votes),
+           |blocked AS (
+           |    $blockSelects)
+           |SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+           |  CAST(bit_count(xor(l.simhash, r.simhash)) AS BIGINT) AS hamming
+           |FROM blocked l JOIN blocked r
+           |  ON l.chunk = r.chunk AND l.block = r.block AND l.doc_id < r.doc_id
+           |WHERE bit_count(xor(l.simhash, r.simhash)) <= 12""".stripMargin
+      }),
 
     // Intra-document repetition ratio (boilerplate/spam signal): share of
     // word bigrams taken by the most frequent bigram.
