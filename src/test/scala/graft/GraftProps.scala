@@ -77,6 +77,44 @@ object GraftProps extends Properties("graft") {
       out.agg(sum(col("n_copies"))).head().getLong(0) == docs.size.toLong
     }
 
+  private val textGen: Gen[String] = Gen.listOf(Gen.oneOf(
+    "the", "a", "fox", "data", "x1", "zz")).map(_.mkString(" "))
+
+  property("chunk: overlap removal reconstructs every document exactly") =
+    forAll(Gen.nonEmptyListOf(textGen).map(_.take(8)),
+      Gen.chooseNum(2, 30), Gen.chooseNum(0, 1)) { (texts, size, ovFlag) =>
+      val overlap = math.min(ovFlag * (size / 2), size - 1)
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val chunks = graft.text.Curation.chunk(docs, size, overlap)
+        .collect().groupBy(_.getLong(0))
+      texts.zipWithIndex.forall { case (t, i) =>
+        val cs = chunks.getOrElse(i.toLong, Array.empty)
+          .sortBy(_.getLong(1)).map(_.getString(3))
+        val rebuilt =
+          if (cs.isEmpty) ""
+          else cs.head + cs.tail.map(_.drop(overlap)).mkString
+        rebuilt == t
+      }
+    }
+
+  property("pack: per-stream offsets replay the running token sum") =
+    forAll(Gen.nonEmptyListOf(textGen).map(_.take(12)),
+      Gen.chooseNum(4L, 64L)) { (texts, ctx) =>
+      val docs = texts.zipWithIndex.map { case (t, i) =>
+        (i.toLong, s"src${i % 2}", t) }.toDF("doc_id", "source", "text")
+      val rows = graft.text.Curation
+        .packSequences(docs, ctx, Seq("source"), shards = 2)
+        .collect().groupBy(r => (r.getString(1), r.getLong(2)))
+      rows.values.forall { rs =>
+        var cum = 0L
+        rs.sortBy(_.getLong(0)).forall { r =>
+          val ok = r.getLong(4) == cum / ctx && r.getLong(5) == cum % ctx
+          cum += r.getLong(3); ok
+        }
+      }
+    }
+
   property("sessionize: sessions partition events per user") =
     forAll(Gen.listOfN(15,
       for {
