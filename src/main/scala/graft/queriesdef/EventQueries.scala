@@ -77,6 +77,28 @@ object EventQueries {
         |  ${Oracle.dsum("value", "sum_value")}
         |FROM expd GROUP BY ws, event_type""".stripMargin)),
 
+    // Interval self-join: every purchase credited to each same-user view
+    // in the preceding 30 minutes (view inclusive, window end exclusive).
+    // Batch form of the stream-stream join twin
+    // (EventStreams.attributionStream — same join, verbatim).
+    Entry(
+      "view_attribution",
+      (s, dir) => EventOps.attribution(EventOps.events(s, dir)),
+      Some(s"""WITH $evCte,
+        |v AS (SELECT user_id, event_id AS view_id, ts AS view_ts
+        |      FROM ev WHERE event_type = 'view'),
+        |p AS (SELECT user_id, event_id AS purchase_id, ts AS purchase_ts,
+        |        value AS purchase_value
+        |      FROM ev WHERE event_type = 'purchase')
+        |SELECT v.user_id, v.view_id, p.purchase_id, v.view_ts, p.purchase_ts,
+        |  CAST(epoch(p.purchase_ts) AS BIGINT) - CAST(epoch(v.view_ts) AS BIGINT)
+        |    AS lag_seconds,
+        |  p.purchase_value
+        |FROM v JOIN p ON v.user_id = p.user_id
+        | AND p.purchase_ts >= v.view_ts
+        | AND CAST(epoch(p.purchase_ts) AS BIGINT)
+        |     - CAST(epoch(v.view_ts) AS BIGINT) < 1800""".stripMargin)),
+
     // Per-user activity summary (events-table A2/A5 family).
     Entry(
       "user_activity",

@@ -490,6 +490,86 @@ object TextQueries {
         |  tokens_before % 256 AS pack_offset
         |FROM c""".stripMargin)),
 
+    // Corpus vocabulary: global top-50 terms by corpus frequency with
+    // document frequency — tf and df from ONE pass over the (term, doc)
+    // pre-aggregate; top-k via TakeOrderedAndProject, ties on the term.
+    Entry(
+      "vocab_topk",
+      (s, dir) => TextAnalysis.vocabulary(docs(s, dir), k = 50),
+      Some("""WITH words AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+        |  FROM documents),
+        |pd AS (SELECT term, doc_id, COUNT(*) AS c FROM words GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT term, CAST(SUM(c) AS BIGINT) AS tf, COUNT(*) AS df
+        |  FROM pd GROUP BY term),
+        |ranked AS (
+        |  SELECT term, tf, df,
+        |    ROW_NUMBER() OVER (ORDER BY tf DESC, term) AS rank
+        |  FROM agg)
+        |SELECT term, tf, df, CAST(rank AS BIGINT) AS rank
+        |FROM ranked WHERE rank <= 50""".stripMargin)),
+
+    // PII scrubbing: the fixture corpus carries no PII, so the entry
+    // deterministically injects synthetic emails/URLs/phones into a
+    // doc_id-keyed subset first (pure string concat, identical in both
+    // dialects) — the regex redaction paths then do real work and the
+    // oracle verifies them engine-exact, counts and rewritten text both.
+    Entry(
+      "pii_redact",
+      (s, dir) => {
+        val injected = docs(s, dir).select(col("doc_id"), concat(
+          col("text"),
+          when(col("doc_id") % 5 === 0,
+            concat(lit(" contact user"), col("doc_id").cast("string"),
+              lit("@example.com now"))).otherwise(""),
+          when(col("doc_id") % 7 === 0,
+            concat(lit(" see https://example.org/d/"),
+              col("doc_id").cast("string"), lit("?x=1 ok"))).otherwise(""),
+          when(col("doc_id") % 11 === 0,
+            lit(" call 555-867-5309 today")).otherwise("")).as("text"))
+        TextAnalysis.redactPii(injected)
+      },
+      Some(s"""WITH inj AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 5 = 0 THEN ' contact user' ||
+        |      CAST(doc_id AS VARCHAR) || '@example.com now' ELSE '' END ||
+        |    CASE WHEN doc_id % 7 = 0 THEN ' see https://example.org/d/' ||
+        |      CAST(doc_id AS VARCHAR) || '?x=1 ok' ELSE '' END ||
+        |    CASE WHEN doc_id % 11 = 0 THEN ' call 555-867-5309 today'
+        |      ELSE '' END AS text
+        |  FROM documents),
+        |e AS (
+        |  SELECT doc_id, text,
+        |    regexp_replace(text, '${TextAnalysis.emailPattern}', '<EMAIL>', 'g')
+        |      AS t1
+        |  FROM inj),
+        |u AS (
+        |  SELECT *, regexp_replace(t1, '${TextAnalysis.urlPattern}', '<URL>', 'g')
+        |      AS t2
+        |  FROM e)
+        |SELECT doc_id,
+        |  ${reCount("text", TextAnalysis.emailPattern)} AS n_emails,
+        |  ${reCount("t1", TextAnalysis.urlPattern)} AS n_urls,
+        |  ${reCount("t2", TextAnalysis.phonePattern)} AS n_phones,
+        |  regexp_replace(t2, '${TextAnalysis.phonePattern}', '<PHONE>', 'g')
+        |    AS text_clean
+        |FROM u""".stripMargin)),
+
+    // Deterministic corpus mixing: keep src0:src1:src2:src3 in a 5:3:2:1
+    // ratio (other sources dropped), membership a pure function of
+    // md5(doc_id) — exact integer boundary arithmetic, verified
+    // engine-exact against the same counts-and-units SQL in DuckDB.
+    Entry(
+      "mix_sources",
+      (s, dir) => graft.ops.MixSources.mix(
+        docs(s, dir).select("doc_id", "source"), "doc_id", "source",
+        Map("src0" -> 5, "src1" -> 3, "src2" -> 2, "src3" -> 1)),
+      Some(graft.ops.MixSources.mixSql(
+        "documents", "doc_id", "source", Seq("doc_id", "source"),
+        Map("src0" -> 5, "src1" -> 3, "src2" -> 2, "src3" -> 1)))),
+
     // Multimodal plumbing: batched stub feature extraction (rows-only).
     Entry(
       "multimodal_features",

@@ -75,6 +75,57 @@ object EventOps {
         sum(col("value").cast("decimal(18,4)")).cast("double").as("session_value"))
   }
 
+  /** Attribution window: a purchase is credited to every same-user view
+    * in the preceding `attributionWindowSeconds` (view inclusive, window
+    * end exclusive).
+    */
+  val attributionWindowSeconds: Long = 1800L
+
+  /** The view side of the attribution join, renamed so both sides (and
+    * the streaming twin's watermarks) keep disjoint column names.
+    */
+  def viewsOf(ev: DataFrame): DataFrame =
+    ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user_id"),
+        col("event_id").as("view_id"), col("ts").as("view_ts"))
+
+  def purchasesOf(ev: DataFrame): DataFrame =
+    ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"),
+        col("event_id").as("purchase_id"), col("ts").as("purchase_ts"),
+        col("value").as("purchase_value"))
+
+  /** View→purchase interval join, shared verbatim by the batch entry and
+    * [[EventStreams.attributionStream]] (the Structured Streaming
+    * stream-stream join twin — same plan, two execution modes).
+    *
+    * Scale shape: an equi-join on user, shuffled on the user key, with
+    * the time range as a join-level predicate — fan-out per purchase is
+    * bounded by views-per-user-per-window, never a time-only cross
+    * product. The timestamp-interval form of the bound (not epoch
+    * subtraction) is what lets the streaming engine derive state watermark
+    * bounds from the same condition.
+    */
+  def attributionJoin(views: DataFrame, purchases: DataFrame,
+      windowSeconds: Long = attributionWindowSeconds): DataFrame =
+    views.join(purchases,
+        col("v_user_id") === col("p_user_id") &&
+          col("purchase_ts") >= col("view_ts") &&
+          col("purchase_ts") <
+            col("view_ts") + expr(s"INTERVAL $windowSeconds SECONDS"))
+      .select(
+        col("v_user_id").as("user_id"),
+        col("view_id"), col("purchase_id"),
+        col("view_ts"), col("purchase_ts"),
+        (unix_timestamp(col("purchase_ts")) - unix_timestamp(col("view_ts")))
+          .cast("long").as("lag_seconds"),
+        col("purchase_value"))
+
+  /** Batch attribution over the whole event history. */
+  def attribution(ev: DataFrame,
+      windowSeconds: Long = attributionWindowSeconds): DataFrame =
+    attributionJoin(viewsOf(ev), purchasesOf(ev), windowSeconds)
+
   /** Per-user recency/frequency over event history — the events-table
     * variant of the feature A2/A5 family.
     */

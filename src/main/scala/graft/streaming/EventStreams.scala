@@ -99,6 +99,24 @@ object EventStreams {
       }
   }
 
+  /** Stream-stream interval join: the streaming twin of
+    * EventOps.attribution. Both sides carry a watermark and the join
+    * condition bounds purchase_ts to a window after view_ts, which is
+    * exactly what the engine needs to derive per-side state retention
+    * (a view's state is dropped once the purchase watermark passes
+    * view_ts + window + delay; a purchase's once the view watermark
+    * passes purchase_ts + delay) — bounded state at any stream length.
+    * The join itself is [[EventOps.attributionJoin]], verbatim: one
+    * logical query, two execution modes.
+    */
+  def attributionStream(ev: DataFrame,
+      windowSeconds: Long = EventOps.attributionWindowSeconds,
+      watermarkDelay: String = "1 hour"): DataFrame =
+    EventOps.attributionJoin(
+      EventOps.viewsOf(ev).withWatermark("view_ts", watermarkDelay),
+      EventOps.purchasesOf(ev).withWatermark("purchase_ts", watermarkDelay),
+      windowSeconds)
+
   /** Run a streaming query into an in-memory table and drain it — the
     * harness for tests and local smoke (file-driven batch ≡ stream).
     */

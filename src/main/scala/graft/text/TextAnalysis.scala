@@ -180,4 +180,60 @@ object TextAnalysis {
       .select(col("doc_id"), col("term"), col("tf"),
         col("tfidf"), col("rank").cast("long").as("rank"))
   }
+
+  /** Corpus vocabulary: the global top-`k` terms by corpus frequency,
+    * with document frequency — the token-histogram pass of tokenizer
+    * training and corpus QA. Terms are the module's shared word
+    * tokenization ([[wordNgrams]] n = 1); ties break on the term so the
+    * cut is fully deterministic.
+    *
+    * Scale shape: the (term, doc) pre-aggregate combines map-side, so a
+    * stop word crossing a 100 TB corpus reaches the term shuffle once
+    * per document, not once per occurrence; tf and df then come from ONE
+    * pass over that pre-aggregate (sum + count — no second scan, no
+    * count_distinct expand). The top-k is `orderBy.limit` =
+    * TakeOrderedAndProject: per-partition k-heaps merged on the driver,
+    * never a global sort of the vocabulary.
+    */
+  def vocabulary(docs: DataFrame, k: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perDoc = wordNgrams(docs, 1, "term")
+      .groupBy("term", "doc_id").agg(count(lit(1)).as("c"))
+    val agg = perDoc.groupBy("term").agg(
+      sum(col("c")).cast("long").as("tf"),
+      count(lit(1)).as("df"))
+    agg.orderBy(col("tf").desc, col("term").asc).limit(k)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("tf").desc, col("term").asc))
+          .cast("long"))
+  }
+
+  /** PII scrubbing: replace emails, URLs, and phone-shaped digit runs
+    * with typed placeholders, and count what was redacted (the audit
+    * signal a curation run reports). Pure per-row `regexp_replace` /
+    * `regexp_count` — codegen'd, no shuffle, and the patterns stay
+    * within the regex subset Java and RE2 evaluate identically
+    * (character classes, bounded repetition, alternation, `\b`).
+    *
+    * Order matters and is part of the contract: emails before URLs
+    * (so `http://a@b.c` URLs survive as one `<URL>`, not a torn email),
+    * URLs before phones (so digits inside a URL path are gone before
+    * the phone pass).
+    */
+  val emailPattern = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+  val urlPattern = """https?://[^\s]+"""
+  val phonePattern = """\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b"""
+
+  def redactPii(docs: DataFrame): DataFrame = {
+    val t = col("text")
+    val afterEmail = regexp_replace(t, emailPattern, "<EMAIL>")
+    val afterUrl = regexp_replace(afterEmail, urlPattern, "<URL>")
+    val clean = regexp_replace(afterUrl, phonePattern, "<PHONE>")
+    docs.select(
+      col("doc_id"),
+      regexp_count(t, lit(emailPattern)).cast("long").as("n_emails"),
+      regexp_count(afterEmail, lit(urlPattern)).cast("long").as("n_urls"),
+      regexp_count(afterUrl, lit(phonePattern)).cast("long").as("n_phones"),
+      clean.as("text_clean"))
+  }
 }

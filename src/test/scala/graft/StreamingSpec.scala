@@ -51,6 +51,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.exists { case (_, t, n, _) => t == "click" && n == 3 })
   }
 
+  test("stream-stream attribution join matches the batch interval join") {
+    val attRows = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 100L, "view", 0.0, ""),
+      (2L, ts("2024-01-01 10:20:00"), 100L, "purchase", 9.0, ""),  // ← view 1 (20 min)
+      (3L, ts("2024-01-01 10:25:00"), 100L, "view", 0.0, ""),
+      (4L, ts("2024-01-01 10:40:00"), 100L, "purchase", 7.0, ""),  // ← views 1? (40 min: no) and 3 (15 min)
+      (5L, ts("2024-01-01 10:30:00"), 100L, "view", 0.0, ""),      // also credits purchase 4 (10 min)
+      (6L, ts("2024-01-01 12:00:00"), 100L, "purchase", 5.0, ""),  // no view within 30 min
+      (7L, ts("2024-01-01 10:05:00"), 200L, "view", 0.0, ""),
+      (8L, ts("2024-01-01 10:10:00"), 300L, "purchase", 3.0, "")   // other users: no cross-credit
+    )
+    val d = Files.createTempDirectory("events-attr").toString
+    val batchDf = attRows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    batchDf.write.mode("overwrite").parquet(d)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(d).schema).parquet(d)
+      .withColumn("ts", date_trunc("second", col("ts")))
+    EventStreams.runToMemory(
+      EventStreams.attributionStream(stream), "attr_stream")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("user_id", "view_id", "purchase_id", "lag_seconds", "purchase_value")
+      .as[(Long, Long, Long, Long, Double)].collect().toSet
+    val streamed = rows(spark.table("attr_stream"))
+    val batch = rows(EventOps.attribution(batchDf))
+    assert(streamed == batch)
+    // the hand-checked credit set: (view, purchase) pairs within 30 min
+    assert(batch.map(t => (t._2, t._3)) ==
+      Set((1L, 2L), (3L, 4L), (5L, 4L)))
+  }
+
   test("streaming exact dedup keeps one doc per content, agrees with batch") {
     val docRows = Seq(
       (1L, "alpha beta", ts("2024-01-01 10:00:00")),

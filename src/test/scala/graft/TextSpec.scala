@@ -56,6 +56,50 @@ class TextSpec extends AnyFunSuite {
     assert(!out.contains(12L))
   }
 
+  test("vocabulary: corpus tf/df with deterministic tie-break") {
+    val d = Seq(
+      (0L, "b a a"),
+      (1L, "a b"),
+      (2L, "c"),
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.vocabulary(d, k = 2).collect()
+      .map(r => (r.getAs[String]("term"), r.getAs[Long]("tf"),
+        r.getAs[Long]("df"), r.getAs[Long]("rank")))
+    // a: tf 3 df 2; b: tf 2 df 2; c cut at k=2
+    assert(out.toSeq == Seq(("a", 3L, 2L, 1L), ("b", 2L, 2L, 2L)))
+    // ties break on the term: equal tf orders alphabetically
+    val tied = TextAnalysis.vocabulary(
+      Seq((0L, "z y")).toDF("doc_id", "text"), k = 2).collect()
+      .map(r => r.getAs[String]("term") -> r.getAs[Long]("rank"))
+    assert(tied.toSeq == Seq("y" -> 1L, "z" -> 2L))
+  }
+
+  test("redactPii: placeholders and counts, pass order respected") {
+    val d = Seq(
+      (0L, "mail bob.smith+x@corp.example.org or visit https://a.b/c?d=1 soon"),
+      (1L, "call 555-123-4567 or 555 123 4567 now"),
+      (2L, "digits in url https://x.y/555-123-4567 are not a phone"),
+      (3L, "clean text"),
+      (4L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.redactPii(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(0L).getAs[String]("text_clean") ==
+      "mail <EMAIL> or visit <URL> soon")
+    assert(out(0L).getAs[Long]("n_emails") == 1L &&
+      out(0L).getAs[Long]("n_urls") == 1L)
+    assert(out(1L).getAs[String]("text_clean") == "call <PHONE> or <PHONE> now")
+    assert(out(1L).getAs[Long]("n_phones") == 2L)
+    // the URL pass runs before the phone pass: digits inside a URL are
+    // already gone, so they never count as a phone
+    assert(out(2L).getAs[String]("text_clean") ==
+      "digits in url <URL> are not a phone")
+    assert(out(2L).getAs[Long]("n_phones") == 0L)
+    assert(out(3L).getAs[String]("text_clean") == "clean text")
+    assert(out(4L).isNullAt(out(4L).fieldIndex("text_clean")))
+  }
+
   test("fingerprints: md5 is content-determined") {
     val fp = TextAnalysis.fingerprints(docs).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("content_md5")).toMap
