@@ -99,6 +99,18 @@ object EventQueries {
         | AND CAST(epoch(p.purchase_ts) AS BIGINT)
         |     - CAST(epoch(v.view_ts) AS BIGINT) < 1800""".stripMargin)),
 
+    // Per-group feature normalization: z-score + min-max of value within
+    // each event_type. Exact decimal moments (no float summation-order
+    // dependence) + a fixed double-op sequence + 9-decimal rounding →
+    // engine-bit-identical (ops.Normalize).
+    Entry(
+      "events_normalized",
+      (s, dir) => graft.ops.Normalize.perGroup(
+        EventOps.events(s, dir), Seq("event_type"), "value",
+        keepCols = Seq("event_id")),
+      Some(graft.ops.Normalize.perGroupSql(
+        "events", "event_type", "value", Seq("event_id")))),
+
     // Per-user activity summary (events-table A2/A5 family).
     Entry(
       "user_activity",
