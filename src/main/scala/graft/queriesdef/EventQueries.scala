@@ -99,6 +99,50 @@ object EventQueries {
         | AND CAST(epoch(p.purchase_ts) AS BIGINT)
         |     - CAST(epoch(v.view_ts) AS BIGINT) < 1800""".stripMargin)),
 
+    // Per-user rolling features (lag / moving window / running total):
+    // one shuffle + one sort serves all five windows; decimal window
+    // sums make the floats engine-exact.
+    Entry(
+      "user_rolling",
+      (s, dir) => EventOps.rollingFeatures(EventOps.events(s, dir)),
+      Some(s"""WITH $evCte,
+        |w AS (
+        |  SELECT event_id, user_id, ts,
+        |    CAST(CAST(value AS DECIMAL(18,4)) AS DOUBLE) AS value,
+        |    ROW_NUMBER() OVER win AS event_index,
+        |    LAG(CAST(value AS DECIMAL(18,4))) OVER win AS prev4,
+        |    SUM(CAST(value AS DECIMAL(18,4))) OVER win3 AS sum4,
+        |    COUNT(CAST(value AS DECIMAL(18,4))) OVER win3 AS n3,
+        |    SUM(CAST(value AS DECIMAL(18,4))) OVER wcum AS cum4
+        |  FROM ev
+        |  WINDOW
+        |    win AS (PARTITION BY user_id ORDER BY ts, event_id),
+        |    win3 AS (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+        |    wcum AS (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT event_id, user_id, ts, value,
+        |  CAST(event_index AS BIGINT) AS event_index,
+        |  CAST(prev4 AS DOUBLE) AS prev_value,
+        |  CAST(sum4 AS DOUBLE) AS sum_3,
+        |  CAST(sum4 AS DOUBLE) / CAST(n3 AS DOUBLE) AS avg_3,
+        |  CAST(cum4 AS DOUBLE) AS cum_value
+        |FROM w""".stripMargin)),
+
+    // Cohort retention matrix: first-seen day × day offset → distinct
+    // users, via the distinct (user, day) pre-aggregate (no Expand).
+    Entry(
+      "user_cohorts",
+      (s, dir) => EventOps.cohorts(EventOps.events(s, dir)),
+      Some(s"""WITH $evCte,
+        |d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM ev),
+        |f AS (SELECT user_id, MIN(day) AS cohort_day FROM d GROUP BY user_id)
+        |SELECT f.cohort_day,
+        |  CAST(datediff('day', f.cohort_day, d.day) AS BIGINT) AS day_offset,
+        |  COUNT(*) AS n_users
+        |FROM d JOIN f ON d.user_id = f.user_id
+        |GROUP BY 1, 2""".stripMargin)),
+
     // Per-group feature normalization: z-score + min-max of value within
     // each event_type. Exact decimal moments (no float summation-order
     // dependence) + a fixed double-op sequence + 9-decimal rounding →

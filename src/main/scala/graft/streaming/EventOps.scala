@@ -126,6 +126,50 @@ object EventOps {
       windowSeconds: Long = attributionWindowSeconds): DataFrame =
     attributionJoin(viewsOf(ev), purchasesOf(ev), windowSeconds)
 
+  /** Per-user rolling features over event time: previous value, 3-event
+    * moving sum/average, running total, and the event index — the lag /
+    * moving-window feature block of a sequence model's training table.
+    *
+    * Window sums accumulate through DECIMAL(18,4) (exact, order-free);
+    * averages are one double division of exact inputs — bit-identical in
+    * the DuckDB oracle without rounding. Scale shape: ONE shuffle on
+    * user_id and one sort per partition serves all five windows (same
+    * partitioning + ordering → a single Window exec), state bounded by
+    * the frame, never the history.
+    */
+  def rollingFeatures(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val w3 = w.rowsBetween(-2, Window.currentRow)
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val v4 = col("value").cast("decimal(18,4)")
+    ev.select(
+      col("event_id"), col("user_id"), col("ts"),
+      v4.cast("double").as("value"),
+      row_number().over(w).cast("long").as("event_index"),
+      lag(v4, 1).over(w).cast("double").as("prev_value"),
+      sum(v4).over(w3).cast("double").as("sum_3"),
+      (sum(v4).over(w3).cast("double") /
+        count(v4).over(w3).cast("double")).as("avg_3"),
+      sum(v4).over(cum).cast("double").as("cum_value"))
+  }
+
+  /** Cohort retention: users grouped by their first-seen day, counted on
+    * each later active day (the day-offset retention matrix). The
+    * distinct (user, day) pre-aggregate makes the final count a plain
+    * `count(*)` — no count_distinct Expand; both aggregations cluster so
+    * the user-day dedup and the first-day min share one shuffle on
+    * user_id, and the cohort matrix is at most |users| × horizon rows.
+    */
+  def cohorts(ev: DataFrame): DataFrame = {
+    val days = ev.select(col("user_id"), col("ts").cast("date").as("day"))
+      .distinct()
+    val first = days.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+    days.join(first, "user_id")
+      .groupBy(col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).cast("long").as("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   /** Per-user recency/frequency over event history — the events-table
     * variant of the feature A2/A5 family.
     */

@@ -1,0 +1,60 @@
+package graft
+
+import java.sql.Timestamp
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.EventOps
+
+class EventOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private val ev = Seq(
+    (1L, ts("2024-01-01 10:00:00"), 100L, "click", 1.0, ""),
+    (2L, ts("2024-01-01 10:05:00"), 100L, "click", 2.0, ""),
+    (3L, ts("2024-01-01 10:10:00"), 100L, "view", 4.0, ""),
+    (4L, ts("2024-01-01 10:15:00"), 100L, "view", 8.0, ""),
+    (5L, ts("2024-01-02 09:00:00"), 200L, "click", 5.0, "")
+  ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+
+  test("rollingFeatures: lag, 3-event window, running total, index") {
+    val out = EventOps.rollingFeatures(ev).collect()
+      .map(r => r.getAs[Long]("event_id") -> r).toMap
+    def f(id: Long, c: String) = Option(out(id).getAs[java.lang.Double](c))
+    assert(out(1L).getAs[Long]("event_index") == 1L)
+    assert(f(1L, "prev_value").isEmpty && f(2L, "prev_value") == Some(1.0))
+    assert(f(3L, "sum_3") == Some(7.0))   // 1 + 2 + 4
+    assert(f(4L, "sum_3") == Some(14.0))  // 2 + 4 + 8
+    assert(f(4L, "avg_3") == Some(14.0 / 3.0))
+    assert(f(4L, "cum_value") == Some(15.0))
+    assert(f(5L, "sum_3") == Some(5.0) && out(5L).getAs[Long]("event_index") == 1L)
+  }
+
+  test("rollingFeatures: all five windows share one shuffle and one Window") {
+    val qe = EventOps.rollingFeatures(ev).queryExecution
+    qe.executedPlan.execute().count() // finalize AQE on THIS plan instance
+    val p = qe.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(p.sliding("Exchange".length).count(_ == "Exchange") == 1, p)
+    assert(p.sliding("Window".length).count(_ == "Window") == 1, p)
+  }
+
+  test("cohorts: first-seen day by day offset, distinct users") {
+    val out = EventOps.cohorts(ev).collect()
+      .map(r => (r.getAs[java.sql.Date]("cohort_day").toString,
+        r.getAs[Long]("day_offset")) -> r.getAs[Long]("n_users")).toMap
+    // user 100 is a 2024-01-01 cohort active only that day; user 200
+    // first appears 2024-01-02
+    assert(out == Map(
+      ("2024-01-01", 0L) -> 1L,
+      ("2024-01-02", 0L) -> 1L))
+    // a user active on a later day lands in the offset cell
+    val ev2 = ev.union(Seq(
+      (6L, ts("2024-01-03 10:00:00"), 100L, "click", 1.0, ""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val out2 = EventOps.cohorts(ev2).collect()
+      .map(r => (r.getAs[java.sql.Date]("cohort_day").toString,
+        r.getAs[Long]("day_offset")) -> r.getAs[Long]("n_users")).toMap
+    assert(out2(("2024-01-01", 2L)) == 1L)
+  }
+}
