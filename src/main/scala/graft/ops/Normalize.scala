@@ -47,12 +47,15 @@ object Normalize {
     val mm = when(col("__mx") > col("__mn"),
       round((col("__v4") - col("__mn")).cast("double") /
         (col("__mx") - col("__mn")).cast("double"), 9))
+    val left = df.select((keepCols ++ groupCols).map(col) :+ v4.as("__v4"): _*)
+    // Null-safe group match (<=>): a null group is a group, not a row to
+    // silently drop — the same IS NOT DISTINCT FROM convention the
+    // quality-gate oracles use.
+    val cond = groupCols.map(c => left(c) <=> stats(c)).reduce(_ && _)
     val out: Seq[Column] =
-      keepCols.map(col) ++ groupCols.map(col) :+
+      keepCols.map(left(_)) ++ groupCols.map(left(_)) :+
         vD.as("value") :+ z.as("value_z") :+ mm.as("value_minmax")
-    df.select((keepCols ++ groupCols).map(col) :+ v4.as("__v4"): _*)
-      .join(stats, groupCols)
-      .select(out: _*)
+    left.join(stats, cond).select(out: _*)
   }
 
   /** The identical arithmetic as DuckDB SQL (oracle rendering) for a
@@ -82,6 +85,6 @@ object Normalize {
        |  CASE WHEN t.mx > t.mn
        |    THEN round(CAST(d.v4 - t.mn AS DOUBLE) / CAST(t.mx - t.mn AS DOUBLE), 9)
        |  END AS value_minmax
-       |FROM v d JOIN stats t ON d.$groupCol = t.$groupCol""".stripMargin
+       |FROM v d JOIN stats t ON d.$groupCol IS NOT DISTINCT FROM t.$groupCol""".stripMargin
   }
 }

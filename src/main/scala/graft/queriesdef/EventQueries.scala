@@ -155,6 +155,16 @@ object EventQueries {
       Some(graft.ops.Normalize.perGroupSql(
         "events", "event_type", "value", Seq("event_id")))),
 
+    // Per-group winsorization: clip value to the [p05, p95] band of its
+    // event_type (sort-based exact percentiles, 9-decimal-rounded cuts).
+    Entry(
+      "events_winsorized",
+      (s, dir) => graft.ops.Winsorize.perGroup(
+        EventOps.events(s, dir), Seq("event_type"), "value",
+        keepCols = Seq("event_id")),
+      Some(graft.ops.Winsorize.perGroupSql(
+        "events", "event_type", "value", Seq("event_id")))),
+
     // Per-user activity summary (events-table A2/A5 family).
     Entry(
       "user_activity",

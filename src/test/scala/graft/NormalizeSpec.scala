@@ -27,6 +27,19 @@ class NormalizeSpec extends AnyFunSuite {
     assert(out(6L) == ((None, None)))
   }
 
+  test("a null group is a group, not a dropped row") {
+    val df = Seq(
+      (1L, Option("a"), 1.0), (2L, Option("a"), 3.0),
+      (3L, Option.empty[String], 1.0), (4L, Option.empty[String], 3.0)
+    ).toDF("id", "grp", "value")
+    val out = Normalize.perGroup(df, Seq("grp"), "value", Seq("id"))
+      .collect().map(r => r.getAs[Long]("id") ->
+        Option(r.getAs[java.lang.Double]("value_z"))).toMap
+    assert(out.size == 4)
+    // the null group normalizes within itself, same stats as group a
+    assert(out(3L) == out(1L) && out(4L) == out(2L))
+  }
+
   test("null values are excluded from moments, not zero-filled") {
     val df = Seq(
       (1L, "a", Some(1.0)), (2L, "a", Some(3.0)), (3L, "a", None)
