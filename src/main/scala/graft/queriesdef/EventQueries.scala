@@ -155,6 +155,32 @@ object EventQueries {
       Some(graft.ops.Normalize.perGroupSql(
         "events", "event_type", "value", Seq("event_id")))),
 
+    // Ordered conversion funnel view → click → purchase: earliest
+    // strictly-increasing chain per user (greedy = exact), k−1 user-keyed
+    // joins, no window sort over history.
+    Entry(
+      "funnel_stages",
+      (s, dir) => EventOps.funnel(EventOps.events(s, dir),
+        Seq("view", "click", "purchase")),
+      Some(s"""WITH $evCte,
+        |s1 AS (SELECT user_id, MIN(ts) AS step1_ts FROM ev
+        |       WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, MIN(e.ts) AS step2_ts
+        |       FROM ev e JOIN s1 ON e.user_id = s1.user_id
+        |       WHERE e.event_type = 'click' AND e.ts > s1.step1_ts
+        |       GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, MIN(e.ts) AS step3_ts
+        |       FROM ev e JOIN s2 ON e.user_id = s2.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts > s2.step2_ts
+        |       GROUP BY e.user_id)
+        |SELECT s1.user_id, s1.step1_ts, s2.step2_ts, s3.step3_ts,
+        |  CAST(1 + CASE WHEN s2.user_id IS NOT NULL THEN 1 ELSE 0 END
+        |         + CASE WHEN s3.user_id IS NOT NULL THEN 1 ELSE 0 END
+        |    AS BIGINT) AS reached_stage
+        |FROM s1
+        |LEFT JOIN s2 ON s1.user_id = s2.user_id
+        |LEFT JOIN s3 ON s1.user_id = s3.user_id""".stripMargin)),
+
     // Per-group winsorization: clip value to the [p05, p95] band of its
     // event_type (sort-based exact percentiles, 9-decimal-rounded cuts).
     Entry(

@@ -170,6 +170,41 @@ object EventOps {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** Ordered conversion funnel: for each user, the earliest chain of
+    * `steps` event types where every step happens STRICTLY after the
+    * previous one (the greedy earliest chain — if any ordered chain
+    * exists, the earliest-first one does too, so "reached stage k" is
+    * exact, not heuristic). Users who never perform step 1 are absent;
+    * unreached stages are null; `reached_stage` counts the chain length.
+    *
+    * Scale shape: step 1 is one user-keyed min aggregate; each later
+    * step is a user-keyed join of that step's events against the
+    * previous frontier (map-side-combinable min after an equi-join on
+    * user) — k−1 small joins, no window sort over full history, no
+    * per-user event collection. All timestamps are exact min aggregates,
+    * so the DuckDB oracle matches without float conventions.
+    */
+  def funnel(ev: DataFrame, steps: Seq[String]): DataFrame = {
+    require(steps.size >= 2, s"funnel: need at least 2 steps, got $steps")
+    val first = ev.filter(col("event_type") === steps.head)
+      .groupBy("user_id").agg(min(col("ts")).as("step1_ts"))
+    val stages = steps.tail.zipWithIndex.foldLeft(first) {
+      case (acc, (step, i)) =>
+        val prev = s"step${i + 1}_ts"
+        val cur = s"step${i + 2}_ts"
+        val nxt = ev.filter(col("event_type") === step)
+          .select(col("user_id"), col("ts"))
+          .join(acc.select(col("user_id"), col(prev)), "user_id")
+          .filter(col("ts") > col(prev))
+          .groupBy("user_id").agg(min(col("ts")).as(cur))
+        acc.join(nxt, Seq("user_id"), "left_outer")
+    }
+    val reached = steps.indices.tail.foldLeft(lit(1L)) { (acc, i) =>
+      acc + when(col(s"step${i + 1}_ts").isNotNull, 1L).otherwise(0L)
+    }
+    stages.withColumn("reached_stage", reached)
+  }
+
   /** Per-user recency/frequency over event history — the events-table
     * variant of the feature A2/A5 family.
     */

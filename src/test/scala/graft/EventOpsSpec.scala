@@ -39,6 +39,32 @@ class EventOpsSpec extends AnyFunSuite {
     assert(p.sliding("Window".length).count(_ == "Window") == 1, p)
   }
 
+  test("funnel: earliest strictly-ordered chain, stage gating") {
+    val fev = Seq(
+      // user 100: full chain, and a decoy click BEFORE the first view
+      (1L, ts("2024-01-01 09:00:00"), 100L, "click", 0.0, ""),
+      (2L, ts("2024-01-01 10:00:00"), 100L, "view", 0.0, ""),
+      (3L, ts("2024-01-01 10:30:00"), 100L, "click", 0.0, ""),
+      (4L, ts("2024-01-01 11:00:00"), 100L, "purchase", 0.0, ""),
+      // user 200: view then purchase but never a click → stage 1 only
+      (5L, ts("2024-01-01 10:00:00"), 200L, "view", 0.0, ""),
+      (6L, ts("2024-01-01 11:00:00"), 200L, "purchase", 0.0, ""),
+      // user 300: click+purchase but no view → absent from the funnel
+      (7L, ts("2024-01-01 10:00:00"), 300L, "click", 0.0, ""),
+      (8L, ts("2024-01-01 11:00:00"), 300L, "purchase", 0.0, "")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = EventOps.funnel(fev, Seq("view", "click", "purchase"))
+      .collect().map(r => r.getAs[Long]("user_id") -> r).toMap
+    assert(out.keySet == Set(100L, 200L))
+    assert(out(100L).getAs[Long]("reached_stage") == 3L)
+    // the decoy 09:00 click is ignored: step 2 is the 10:30 click
+    assert(out(100L).getAs[Timestamp]("step2_ts") == ts("2024-01-01 10:30:00"))
+    assert(out(200L).getAs[Long]("reached_stage") == 1L)
+    assert(out(200L).isNullAt(out(200L).fieldIndex("step2_ts")))
+    // stage 3 requires stage 2: the purchase alone does not count
+    assert(out(200L).isNullAt(out(200L).fieldIndex("step3_ts")))
+  }
+
   test("cohorts: first-seen day by day offset, distinct users") {
     val out = EventOps.cohorts(ev).collect()
       .map(r => (r.getAs[java.sql.Date]("cohort_day").toString,
