@@ -25,13 +25,14 @@ import org.apache.spark.sql.functions._
   * approximations of `c_s` (exact proportions would need a global sort;
   * a content-hash threshold is the scale-correct trade).
   *
-  * Scale shape: one count aggregate over the listed sources (map-side
-  * partial, #sources groups) collected as a control table (≤ the number
-  * of sources, not data-sized), then a second scan with the per-row
-  * literal-baked predicate — filter pushdown eligible, no shuffle, no
-  * state. Rows whose source is not listed in `parts` are dropped;
-  * null keys hash to null and are dropped (same convention as
-  * [[HashSplit.stratified]]).
+  * Scale shape — and fully lazy (constructing the DataFrame runs no
+  * jobs): one count aggregate over the listed sources (map-side partial,
+  * #sources groups) left-joined onto the broadcast parts table (an
+  * absent source keeps a 0 count and forces `T = 0`), a 1-row global
+  * min for `T`, and two broadcast joins back onto the data — per-row
+  * work thereafter, no extra shuffle. Rows whose source is not listed
+  * in `parts` are dropped; null keys hash to null and are dropped (same
+  * convention as [[HashSplit.stratified]]).
   *
   * (The reference has no mixing step — its corpus is single-source; this
   * is part of the training-data surface beyond the reference, like
@@ -50,41 +51,49 @@ object MixSources {
     require(parts.nonEmpty, "MixSources.mix: parts must be non-empty")
     require(parts.values.forall(_ > 0),
       s"MixSources.mix: mixture parts must be positive, got $parts")
+    val spark = df.sparkSession
+    import spark.implicits._
     val sources = parts.keys.toSeq.sorted
     val in = df.filter(col(sourceCol).isin(sources: _*))
-    // Control-table collect: one row per listed source, never data-sized.
-    val counts: Map[String, Long] = in.groupBy(sourceCol).count()
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val units: Long =
-      sources.map(s => counts.getOrElse(s, 0L) / parts(s)).min
-    val bucket = HashSplit.bucket(col(keyCol), buckets)
-    val keep = sources.map { s =>
-      val n = counts.getOrElse(s, 0L)
-      val target = parts(s) * units
-      col(sourceCol) === s && bucket * lit(n) < lit(target * buckets)
-    }.reduce(_ || _)
-    in.filter(keep)
+    val partsDf = parts.toSeq.sortBy(_._1).toDF("__src", "__w")
+    val counts = in.groupBy(col(sourceCol).as("__csrc"))
+      .agg(count(lit(1)).as("__cn"))
+    // absent source → no counts row → COALESCE to 0 → T = 0 (fail-empty)
+    val stats = broadcast(partsDf)
+      .join(counts, col("__src") === col("__csrc"), "left_outer")
+      .select(col("__src"), col("__w"),
+        coalesce(col("__cn"), lit(0L)).as("__n"))
+    val units = stats.agg(min(expr("__n div __w")).as("__t"))
+    in.join(broadcast(stats), col(sourceCol) === col("__src"))
+      .crossJoin(broadcast(units))
+      .filter(HashSplit.bucket(col(keyCol), buckets) * col("__n") <
+        col("__w") * col("__t") * lit(buckets.toLong))
+      .select(in.columns.map(col).toSeq: _*)
   }
 
   /** The same mix as a DuckDB query (oracle rendering): recomputes the
-    * per-source counts, the unit minimum, and the bucket predicate in
-    * SQL with the identical integer arithmetic.
+    * per-source counts, the unit minimum (absent sources included, as a
+    * 0 count), and the bucket predicate in SQL with the identical
+    * integer arithmetic.
     */
   def mixSql(table: String, keyExpr: String, sourceExpr: String,
       selectCols: Seq[String], parts: Map[String, Int],
       buckets: Int = 1000000): String = {
+    def q(s: String) = s.replace("'", "''")
     val partRows = parts.toSeq.sortBy(_._1)
-      .map { case (s, w) => s"('$s', $w)" }.mkString(", ")
+      .map { case (s, w) => s"('${q(s)}', $w)" }.mkString(", ")
     val cols = selectCols.map("s." + _).mkString(", ")
     s"""WITH p AS (SELECT * FROM (VALUES $partRows) v(src, w)
        |), src AS (SELECT * FROM $table WHERE $sourceExpr IN (SELECT src FROM p)
-       |), counts AS (SELECT $sourceExpr AS src, COUNT(*) AS n FROM src GROUP BY 1
-       |), units AS (SELECT MIN(c.n // p.w) AS t FROM counts c JOIN p ON c.src = p.src)
+       |), counts AS (SELECT $sourceExpr AS csrc, COUNT(*) AS cn FROM src GROUP BY 1
+       |), stats AS (
+       |  SELECT p.src, p.w, COALESCE(c.cn, 0) AS n
+       |  FROM p LEFT JOIN counts c ON p.src = c.csrc
+       |), units AS (SELECT MIN(n // w) AS t FROM stats)
        |SELECT $cols FROM src s
-       |JOIN counts c ON s.$sourceExpr = c.src
-       |JOIN p ON s.$sourceExpr = p.src
+       |JOIN stats st ON s.$sourceExpr = st.src
        |CROSS JOIN units u
-       |WHERE ${HashSplit.bucketSql(s"s.$keyExpr", buckets)} * c.n
-       |      < (p.w * u.t) * $buckets""".stripMargin
+       |WHERE ${HashSplit.bucketSql(s"s.$keyExpr", buckets)} * st.n
+       |      < (st.w * u.t) * $buckets""".stripMargin
   }
 }

@@ -48,10 +48,7 @@ object Normalize {
       round((col("__v4") - col("__mn")).cast("double") /
         (col("__mx") - col("__mn")).cast("double"), 9))
     val left = df.select((keepCols ++ groupCols).map(col) :+ v4.as("__v4"): _*)
-    // Null-safe group match (<=>): a null group is a group, not a row to
-    // silently drop — the same IS NOT DISTINCT FROM convention the
-    // quality-gate oracles use.
-    val cond = groupCols.map(c => left(c) <=> stats(c)).reduce(_ && _)
+    val cond = GroupKeys.nullSafeCond(left, stats, groupCols)
     val out: Seq[Column] =
       keepCols.map(left(_)) ++ groupCols.map(left(_)) :+
         vD.as("value") :+ z.as("value_z") :+ mm.as("value_minmax")

@@ -33,7 +33,7 @@ object Winsorize {
         round(col("__phi"), 9).as("__phi"): _*)
     val left = df.select((keepCols ++ groupCols).map(col) :+
       col(valueCol).cast("double").as("value"): _*)
-    val cond = groupCols.map(c => left(c) <=> cuts(c)).reduce(_ && _)
+    val cond = GroupKeys.nullSafeCond(left, cuts, groupCols)
     val v = col("value")
     left.join(cuts, cond, "left_outer").select(
       keepCols.map(left(_)) ++ groupCols.map(left(_)) ++ Seq(

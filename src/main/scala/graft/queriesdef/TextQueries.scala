@@ -540,22 +540,22 @@ object TextQueries {
         |    CASE WHEN doc_id % 11 = 0 THEN ' call 555-867-5309 today'
         |      ELSE '' END AS text
         |  FROM documents),
-        |e AS (
+        |u AS (
         |  SELECT doc_id, text,
-        |    regexp_replace(text, '${TextAnalysis.emailPattern}', '<EMAIL>', 'g')
+        |    regexp_replace(text, '${TextAnalysis.urlPattern}', '<URL>', 'g')
         |      AS t1
         |  FROM inj),
-        |u AS (
-        |  SELECT *, regexp_replace(t1, '${TextAnalysis.urlPattern}', '<URL>', 'g')
+        |e AS (
+        |  SELECT *, regexp_replace(t1, '${TextAnalysis.emailPattern}', '<EMAIL>', 'g')
         |      AS t2
-        |  FROM e)
+        |  FROM u)
         |SELECT doc_id,
-        |  ${reCount("text", TextAnalysis.emailPattern)} AS n_emails,
-        |  ${reCount("t1", TextAnalysis.urlPattern)} AS n_urls,
+        |  ${reCount("t1", TextAnalysis.emailPattern)} AS n_emails,
+        |  ${reCount("text", TextAnalysis.urlPattern)} AS n_urls,
         |  ${reCount("t2", TextAnalysis.phonePattern)} AS n_phones,
         |  regexp_replace(t2, '${TextAnalysis.phonePattern}', '<PHONE>', 'g')
         |    AS text_clean
-        |FROM u""".stripMargin)),
+        |FROM e""".stripMargin)),
 
     // Deterministic corpus mixing: keep src0:src1:src2:src3 in a 5:3:2:1
     // ratio (other sources dropped), membership a pure function of

@@ -208,32 +208,39 @@ object TextAnalysis {
           .cast("long"))
   }
 
-  /** PII scrubbing: replace emails, URLs, and phone-shaped digit runs
+  /** PII scrubbing: replace URLs, emails, and phone-shaped digit runs
     * with typed placeholders, and count what was redacted (the audit
     * signal a curation run reports). Pure per-row `regexp_replace` /
     * `regexp_count` — codegen'd, no shuffle, and the patterns stay
-    * within the regex subset Java and RE2 evaluate identically
-    * (character classes, bounded repetition, alternation, `\b`).
+    * within the regex subset Java and RE2 evaluate identically:
+    * character classes, bounded repetition, alternation, `\b` — and NO
+    * `\s`/`\S` shorthand in a negated class (Java's `\s` includes
+    * vertical tab `\x0B`, RE2's does not; the URL terminator below
+    * spells the whitespace set out so both engines stop at the same
+    * character).
     *
-    * Order matters and is part of the contract: emails before URLs
-    * (so `http://a@b.c` URLs survive as one `<URL>`, not a torn email),
-    * URLs before phones (so digits inside a URL path are gone before
-    * the phone pass).
+    * Order matters and is part of the contract: URLs are redacted
+    * FIRST, so a URL with userinfo (`http://user@example.com`) is ONE
+    * `<URL>` — not an email torn out of it and double-counted in the
+    * audit; phones run last, so digits inside a URL path never count
+    * as a phone. Each count is taken on the text the corresponding
+    * pass actually sees (`n_urls` on the raw text, `n_emails` after
+    * URL removal, `n_phones` after both).
     */
   val emailPattern = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
-  val urlPattern = """https?://[^\s]+"""
+  val urlPattern = """https?://[^\t\n\f\r \x0B]+"""
   val phonePattern = """\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b"""
 
   def redactPii(docs: DataFrame): DataFrame = {
     val t = col("text")
-    val afterEmail = regexp_replace(t, emailPattern, "<EMAIL>")
-    val afterUrl = regexp_replace(afterEmail, urlPattern, "<URL>")
-    val clean = regexp_replace(afterUrl, phonePattern, "<PHONE>")
+    val afterUrl = regexp_replace(t, urlPattern, "<URL>")
+    val afterEmail = regexp_replace(afterUrl, emailPattern, "<EMAIL>")
+    val clean = regexp_replace(afterEmail, phonePattern, "<PHONE>")
     docs.select(
       col("doc_id"),
-      regexp_count(t, lit(emailPattern)).cast("long").as("n_emails"),
-      regexp_count(afterEmail, lit(urlPattern)).cast("long").as("n_urls"),
-      regexp_count(afterUrl, lit(phonePattern)).cast("long").as("n_phones"),
+      regexp_count(afterUrl, lit(emailPattern)).cast("long").as("n_emails"),
+      regexp_count(t, lit(urlPattern)).cast("long").as("n_urls"),
+      regexp_count(afterEmail, lit(phonePattern)).cast("long").as("n_phones"),
       clean.as("text_clean"))
   }
 }

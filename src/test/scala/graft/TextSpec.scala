@@ -81,7 +81,8 @@ class TextSpec extends AnyFunSuite {
       (1L, "call 555-123-4567 or 555 123 4567 now"),
       (2L, "digits in url https://x.y/555-123-4567 are not a phone"),
       (3L, "clean text"),
-      (4L, null.asInstanceOf[String])
+      (4L, null.asInstanceOf[String]),
+      (5L, "see http://user@example.com now")
     ).toDF("doc_id", "text")
     val out = TextAnalysis.redactPii(d).collect()
       .map(r => r.getAs[Long]("doc_id") -> r).toMap
@@ -98,6 +99,11 @@ class TextSpec extends AnyFunSuite {
     assert(out(2L).getAs[Long]("n_phones") == 0L)
     assert(out(3L).getAs[String]("text_clean") == "clean text")
     assert(out(4L).isNullAt(out(4L).fieldIndex("text_clean")))
+    // the URL pass runs first: userinfo URLs are ONE <URL>, not a torn
+    // email — and the audit counts it once, not twice
+    assert(out(5L).getAs[String]("text_clean") == "see <URL> now")
+    assert(out(5L).getAs[Long]("n_urls") == 1L &&
+      out(5L).getAs[Long]("n_emails") == 0L)
   }
 
   test("fingerprints: md5 is content-determined") {
