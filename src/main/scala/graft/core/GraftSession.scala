@@ -36,6 +36,15 @@ object GraftSession {
       // its classes are compiled+JIT'd; a cache sized for the whole
       // suite keeps that warm state shareable across queries.
       .config("spark.sql.codegen.cache.maxEntries", "4000")
+      // Whole-stage codegen deactivates above 100 plan fields by default
+      // — which silently drops the ~420-col feature aggregates and the
+      // ~1,270-col training-set assembly to interpreted projections.
+      // Measured at sf0.1 (warm): training_set 27.8→15.5s,
+      // household_commodity_features 15.0→5.7s once the wide operators
+      // stay codegen'd. 1600 covers the widest plan (assembly + keys)
+      // with headroom; compile cost of the bigger classes lands in the
+      // bench warm-up like every other codegen cost.
+      .config("spark.sql.codegen.maxFields", "1600")
       // events.parquet carries TIMESTAMP_NANOS, which Spark's parquet
       // reader rejects outright unless surfaced as raw BIGINT nanos;
       // EventOps owns the ns→timestamp conversion. Must be set before
