@@ -76,7 +76,8 @@ object FeatureBuilder {
       referenceExact: Boolean = false): DataFrame = {
     val (_, cur) = knownBounds.getOrElse(bounds(fact))
     val wins = WindowSpec.windows(cur)
-    val aggs = wins.flatMap(w => MetricDefs.aggsFor(w, approxDistinct, referenceExact))
+    val aggs = wins.flatMap(w =>
+      MetricDefs.aggsFor(w, approxDistinct, referenceExact, precomputed = true))
     val posts = wins.flatMap(MetricDefs.ratiosFor)
 
     // Pre-filter to the union of all windows: lets parquet skip row groups
@@ -89,9 +90,26 @@ object FeatureBuilder {
     // null-rejecting equality) consistent with the approx single-pass.
     val oldest = wins.map(_.start).min(Ordering.by((d: LocalDate) => d.toEpochDay))
     val keyCols = grain.keys.map(col)
+    // Hoist every expression the ~430 aggregates share into ONE physical
+    // column each (the `precomputed = true` contract of
+    // MetricDefs.aggsFor): 4 window-membership booleans, 4 flag
+    // positivity booleans, 6 decimal money copies. The aggregate update
+    // loop then reads a column instead of re-evaluating the expression —
+    // the DOUBLE→DECIMAL cast in particular allocates per evaluation and
+    // previously ran at 24 cast sites per row (4 windows × 6 metrics).
+    val pre =
+      WindowSpec.windows(cur).map(w =>
+        col("day").between(
+          lit(java.sql.Date.valueOf(w.start)), lit(java.sql.Date.valueOf(w.end)))
+          .as(MetricDefs.winFlagCol(w))) ++
+      MetricDefs.flagMetrics.map(m =>
+        (col(m) > 0.0).as(MetricDefs.posFlagCol(m))) ++
+      MetricDefs.moneyMetrics.map(m =>
+        col(m).cast("decimal(18,4)").as(MetricDefs.decCol(m)))
     val prefiltered = fact.filter(
       col("day").between(lit(java.sql.Date.valueOf(oldest)), lit(java.sql.Date.valueOf(cur))) &&
         grain.keys.map(col(_).isNotNull).reduce(_ && _))
+      .select(fact.columns.map(col).toSeq ++ pre: _*)
 
     val agged =
       if (approxDistinct) {

@@ -69,20 +69,40 @@ object MetricDefs {
     * chain — one logical aggregation for all windows (scale redesign,
     * SURVEY.md §4).
     */
+  /** Names of the precomputed per-row helper columns the builder's
+    * pre-projection adds when `precomputed = true` (see
+    * [[graft.features.FeatureBuilder.build]]): one boolean per window,
+    * one boolean per flag metric, one DECIMAL(18,4) copy per money
+    * metric. Hoisting them into physical columns evaluates each ONCE per
+    * row instead of once per referencing aggregate — the money cast in
+    * particular allocates per evaluation (24 window×metric cast sites
+    * collapse to 6 casts/row).
+    */
+  def winFlagCol(w: WindowDef): String = s"__w_${w.name}"
+  def posFlagCol(m: String): String = s"__pos_$m"
+  def decCol(m: String): String = s"__dec_$m"
+
   def aggsFor(w: WindowDef, approxDistinct: Boolean = false,
-      referenceExact: Boolean = false): Seq[AggDef] = {
+      referenceExact: Boolean = false,
+      precomputed: Boolean = false): Seq[AggDef] = {
     // the approx variant swaps exact distinct counts for HLL sketches —
     // the 100 TB escape hatch that keeps everything in ONE pass with no
     // Expand and no per-entity restructuring; not oracle-exact, so only
     // non-oracle callers set it
     def cdist(c: Column) =
       if (approxDistinct) approx_count_distinct(c) else countDistinct(c)
-    val inWin = col("day").between(dlit(w.start), dlit(w.end))
+    val inWin =
+      if (precomputed) col(winFlagCol(w))
+      else col("day").between(dlit(w.start), dlit(w.end))
+    def pos(m: String): Column =
+      if (precomputed) col(posFlagCol(m)) else col(m) > 0.0
+    def moneyDec(m: String): Column =
+      if (precomputed) col(decCol(m)) else col(m).cast("decimal(18,4)")
     val inWinSql = s"day BETWEEN ${w.startSql} AND ${w.endSql}"
     val s = w.name
     def distinctOf(entity: String, extra: Option[String]): AggKind.DistinctOf =
       AggKind.DistinctOf(entity,
-        extra.fold(inWin)(m => inWin && col(m) > 0.0))
+        extra.fold(inWin)(m => inWin && pos(m)))
 
     // A2: base multi-aggregates (`04a:183-199`). Deliberate departure,
     // made OPT-OUT by `referenceExact`: the reference's `products` is a
@@ -119,7 +139,7 @@ object MetricDefs {
     // A2: money sums (exact decimal accumulation)
     val money = moneyMetrics.map { m =>
       AggDef(s"${m}_$s",
-        sum(when(inWin, col(m)).cast("decimal(18,4)")).cast("double"),
+        sum(when(inWin, moneyDec(m))).cast("double"),
         s"CAST(SUM(CAST(CASE WHEN $inWinSql THEN $m END AS DECIMAL(18,4))) AS DOUBLE)")
     }
 
@@ -129,7 +149,7 @@ object MetricDefs {
       Seq("day" -> "days", "basket_id" -> "baskets", "product_id" -> "products")
         .map { case (k, kn) =>
           AggDef(s"${kn}_with_${m}_$s",
-            cdist(when(inWin && col(m) > 0.0, col(k))),
+            cdist(when(inWin && pos(m), col(k))),
             s"COUNT(DISTINCT CASE WHEN $inWinSql AND $m > 0.0 THEN $k END)",
             distinctOf(k, Some(m)))
         }
@@ -138,7 +158,7 @@ object MetricDefs {
     // A4: conditional counts (`04a:243-255`: `line_items_with_<metric>`)
     val condCount = flagMetrics.map { m =>
       AggDef(s"line_items_with_${m}_$s",
-        count(when(inWin && col(m) > 0.0, lit(1))),
+        count(when(inWin && pos(m), lit(1))),
         s"COUNT(CASE WHEN $inWinSql AND $m > 0.0 THEN 1 END)")
     }
 
@@ -169,7 +189,7 @@ object MetricDefs {
         s"MIN(CASE WHEN $inScanSql THEN $ddSql END)") +:
         flagMetrics.map { m =>
           AggDef(s"days_since_${m}_$s",
-            min(when(inScan, when(col(m) > 0.0, dd).otherwise(sinceFloor))),
+            min(when(inScan, when(pos(m), dd).otherwise(sinceFloor))),
             s"MIN(CASE WHEN $inScanSql THEN (CASE WHEN $m > 0.0 THEN $ddSql ELSE $sinceFloorSql END) END)")
         }
 
