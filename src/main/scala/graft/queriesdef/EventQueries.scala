@@ -191,6 +191,44 @@ object EventQueries {
       Some(graft.ops.Winsorize.perGroupSql(
         "events", "event_type", "value", Seq("event_id")))),
 
+    // Bucketized interval-containment join (no equi-key): each error
+    // event opens a 5-minute incident window; count the traffic inside
+    // every window. Large×large range join — graft.ops.RangeJoin's
+    // bucket-explode shape (one shuffle per side on the bucket id, exact
+    // containment re-checked inside the join), not a nested loop. The
+    // oracle is DuckDB's native inequality join over the same windows.
+    Entry(
+      "interval_join_errors",
+      (s, dir) => {
+        val ev = EventOps.events(s, dir)
+          .withColumn("ep", unix_timestamp(col("ts")))
+        val points = ev.select(col("event_id"), col("ep"),
+          col("event_type"), col("value"), col("user_id"))
+        val wins = ev.filter(col("event_type") === "error")
+          .select(col("event_id").as("window_id"), col("ep").as("w_start"),
+            (col("ep") + 300L).as("w_end"))
+        graft.ops.RangeJoin
+          .pointInInterval(points, wins, "ep", "w_start", "w_end", bucketWidth = 300L)
+          .groupBy(col("window_id"), col("w_start"))
+          .agg(
+            count(lit(1)).as("n_events"),
+            countDistinct(col("user_id")).as("n_users"),
+            count(when(col("event_type") === "purchase", lit(1))).as("n_purchases"),
+            sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+      },
+      Some(s"""WITH $evCte,
+        |e AS (SELECT event_id, CAST(epoch(ts) AS BIGINT) AS ep,
+        |        event_type, value, user_id FROM ev),
+        |w AS (SELECT event_id AS window_id, ep AS w_start, ep + 300 AS w_end
+        |      FROM e WHERE event_type = 'error')
+        |SELECT w.window_id, w.w_start,
+        |  COUNT(*) AS n_events,
+        |  COUNT(DISTINCT e.user_id) AS n_users,
+        |  COUNT(CASE WHEN e.event_type = 'purchase' THEN 1 END) AS n_purchases,
+        |  ${Oracle.dsum("e.value", "sum_value")}
+        |FROM e JOIN w ON e.ep BETWEEN w.w_start AND w.w_end
+        |GROUP BY w.window_id, w.w_start""".stripMargin)),
+
     // Per-user activity summary (events-table A2/A5 family).
     Entry(
       "user_activity",

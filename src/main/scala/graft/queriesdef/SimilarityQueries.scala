@@ -26,6 +26,29 @@ object SimilarityQueries {
 
   def entries: Seq[Entry] = Seq(
 
+    // Per-label centroid + per-coordinate variance, long form (one row
+    // per label × dimension): posexplode → one hash aggregate, sums
+    // through DECIMAL(27,6) so the result is row-order independent on
+    // both engines.
+    Entry(
+      "embedding_centroids",
+      (s, dir) => Similarity.labelCentroids(Catalog.table(s, dir, "embeddings")),
+      Some("""WITH x AS (
+        |  SELECT e.label, g.i - 1 AS pos, CAST(e.embedding[g.i] AS DOUBLE) AS v
+        |  FROM embeddings e JOIN generate_series(1, 64) AS g(i)
+        |    ON g.i <= len(e.embedding)),
+        |a AS (
+        |  SELECT label, pos, COUNT(*) AS n_vectors,
+        |    SUM(CAST(v AS DECIMAL(27,6))) AS s,
+        |    SUM(CAST(v * v AS DECIMAL(27,6))) AS s2
+        |  FROM x GROUP BY label, pos)
+        |SELECT label, pos, n_vectors,
+        |  CAST(s AS DOUBLE) / n_vectors AS centroid,
+        |  GREATEST(CAST(s2 AS DOUBLE) / n_vectors -
+        |    (CAST(s AS DOUBLE) / n_vectors) * (CAST(s AS DOUBLE) / n_vectors),
+        |    0.0) AS variance
+        |FROM a""".stripMargin)),
+
     // Per-vector norms — the embedding hygiene check.
     Entry(
       "embedding_norms",

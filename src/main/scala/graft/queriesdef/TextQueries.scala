@@ -570,6 +570,21 @@ object TextQueries {
         "documents", "doc_id", "source", Seq("doc_id", "source"),
         Map("src0" -> 5, "src1" -> 3, "src2" -> 2, "src3" -> 1)))),
 
+    // Deterministic repeat-factor resampling (UP-sampling included):
+    // src0 ×2.5, src1 ×1, src2 ×0.4, src3 ×1.75 — multiplicity a pure
+    // function of md5(doc_id), exact ppm integer arithmetic on both
+    // engines (temperature reweighting materialized into an epoch).
+    Entry(
+      "resample_sources",
+      (s, dir) => graft.ops.Resample.byFactors(
+        docs(s, dir).select("doc_id", "source"), "source", "doc_id",
+        Map("src0" -> 2500000L, "src1" -> 1000000L,
+          "src2" -> 400000L, "src3" -> 1750000L)),
+      Some(graft.ops.Resample.byFactorsSql(
+        "documents", "doc_id", "source", Seq("doc_id", "source"),
+        Map("src0" -> 2500000L, "src1" -> 1000000L,
+          "src2" -> 400000L, "src3" -> 1750000L)))),
+
     // Multimodal plumbing: batched stub feature extraction (rows-only).
     Entry(
       "multimodal_features",

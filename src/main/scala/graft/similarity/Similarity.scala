@@ -297,4 +297,44 @@ object Similarity {
         .distinct() // a pair sharing both probed cells appears twice
     }
   }
+
+  /** Per-group centroid and dispersion of an embedding column, long-form:
+    * one row per (group, dimension) with the mean and variance of that
+    * coordinate — the class-prototype / cluster-statistics primitive
+    * (quality monitoring of an embedding space, nearest-centroid
+    * labeling, drift detection between corpus snapshots).
+    *
+    * Shape: `posexplode` (dim× row blow-up — a constant factor, like the
+    * IVF probe fan-out) then ONE hash aggregate on (group, pos) —
+    * map-side combinable, no joins, no window. Long form deliberately:
+    * re-assembling arrays would need an order-sensitive collect per
+    * group; downstream consumers (nearest-centroid = a dot against the
+    * pivoted centroid) can pivot the small result themselves.
+    *
+    * Determinism: per-coordinate sums go through DECIMAL(27,6) (float →
+    * exact DOUBLE → decimal at 6 dp ≈ float's own precision), so the
+    * result is independent of row order on either engine — the same
+    * convention as the money sums (queriesdef.Oracle). Variance is the
+    * E[v²]−mean² form over two decimal sums, computed in DOUBLE after
+    * both sums are exact — deterministic, and never negative beyond a
+    * last-ulp (clamped at 0).
+    */
+  def labelCentroids(vectors: DataFrame, groupCol: String = "label"): DataFrame = {
+    val v = col("v").cast("double")
+    vectors
+      .select(col(groupCol), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col(groupCol), col("pos").cast("long").as("pos"))
+      .agg(
+        count(lit(1)).as("n_vectors"),
+        sum(v.cast("decimal(27,6)")).as("__s"),
+        sum((v * v).cast("decimal(27,6)")).as("__s2"))
+      .select(
+        col(groupCol), col("pos"), col("n_vectors"),
+        (col("__s").cast("double") / col("n_vectors")).as("centroid"),
+        greatest(
+          col("__s2").cast("double") / col("n_vectors") -
+            (col("__s").cast("double") / col("n_vectors")) *
+            (col("__s").cast("double") / col("n_vectors")),
+          lit(0.0)).as("variance"))
+  }
 }

@@ -139,4 +139,21 @@ class SimilaritySpec extends AnyFunSuite {
     val recall = (exact & approx).size.toDouble / exact.size
     assert(recall >= 0.9, s"near-dup candidate recall too low: $recall")
   }
+
+  test("labelCentroids: hand-checked means/variances, long form") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, Seq(1.0f, 0.0f), 0),
+      (2L, Seq(3.0f, 0.0f), 0),
+      (3L, Seq(5.0f, 2.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.labelCentroids(d).collect()
+      .map(r => (r.getInt(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(out.size == 4) // 2 labels × 2 dims
+    assert(out((0, 0L)) == ((2L, 2.0, 1.0)))  // mean(1,3)=2, var=1
+    assert(out((0, 1L)) == ((2L, 0.0, 0.0)))
+    assert(out((1, 0L)) == ((1L, 5.0, 0.0)))  // singleton: var clamps at 0
+    assert(out((1, 1L)) == ((1L, 2.0, 0.0)))
+  }
 }
