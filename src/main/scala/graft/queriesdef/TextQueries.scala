@@ -570,6 +570,36 @@ object TextQueries {
         "documents", "doc_id", "source", Seq("doc_id", "source"),
         Map("src0" -> 5, "src1" -> 3, "src2" -> 2, "src3" -> 1)))),
 
+    // Bigram-LM fluency score: avg negative log-prob of each document's
+    // bigrams under an add-1 model trained on the same corpus. Counts
+    // are engine-identical integers; ln values go through DECIMAL(18,9)
+    // (order-independent sums) and the average is rounded to 6 dp.
+    Entry(
+      "lm_score",
+      (s, dir) => TextAnalysis.lmScore(docs(s, dir)),
+      Some("""WITH tok AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS w
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT doc_id, w[g.i] AS w1, w[g.i + 1] AS w2
+        |  FROM tok JOIN generate_series(1, 511) AS g(i) ON g.i <= len(w) - 1),
+        |c12 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+        |        FROM pairs GROUP BY 1, 2),
+        |c1 AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM c12 GROUP BY 1),
+        |u AS (SELECT CAST(COUNT(DISTINCT t) AS BIGINT) AS v
+        |      FROM (SELECT unnest(w) AS t FROM tok)),
+        |lp AS (
+        |  SELECT p.doc_id,
+        |    CAST(ln(CAST(c.c12 + 1 AS DOUBLE) / CAST(c1.c1 + u.v AS DOUBLE))
+        |      AS DECIMAL(18,9)) AS lp
+        |  FROM pairs p
+        |  JOIN c12 c ON p.w1 = c.w1 AND p.w2 = c.w2
+        |  JOIN c1 ON p.w1 = c1.w1
+        |  CROSS JOIN u)
+        |SELECT doc_id, COUNT(*) AS n_bigrams,
+        |  ROUND(-CAST(SUM(lp) AS DOUBLE) / COUNT(*), 6) AS avg_nll
+        |FROM lp GROUP BY doc_id""".stripMargin)),
+
     // Deterministic repeat-factor resampling (UP-sampling included):
     // src0 ×2.5, src1 ×1, src2 ×0.4, src3 ×1.75 — multiplicity a pure
     // function of md5(doc_id), exact ppm integer arithmetic on both

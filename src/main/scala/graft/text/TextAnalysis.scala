@@ -208,6 +208,57 @@ object TextAnalysis {
           .cast("long"))
   }
 
+  /** Corpus bigram language model → per-document fluency score: average
+    * negative log-probability of the document's word bigrams under an
+    * add-1-smoothed bigram model trained on the SAME corpus — the
+    * classic perplexity-style quality signal (gibberish and boilerplate
+    * score high/low outliers; KenLM-shaped pipelines do exactly this
+    * with a bigger n). Tokens are the module's shared word tokenization
+    * ([[wordNgrams]]); documents with fewer than two tokens have no
+    * bigrams and are excluded, as in the oracle.
+    *
+    * Model: P(w₂|w₁) = (c(w₁,w₂) + 1) / (c(w₁) + V), context counts
+    * summed from the bigram table itself (no second corpus pass), V =
+    * distinct token types, riding in as a 1-row broadcast like tfidf's
+    * corpus size.
+    *
+    * Determinism: counts are identical integers on both engines, so each
+    * P is the identical double; per-pair ln values are rounded into
+    * DECIMAL(18,9) before the per-document sum (row-order independence —
+    * the money-sum convention), and the final average is rounded to 6
+    * decimals so a last-ulp `ln` difference between engines cannot
+    * surface.
+    *
+    * Scale shape: explode → two clustered aggregates for the model
+    * (bigram counts shuffle once on (w₁,w₂); context counts reuse that
+    * table, bounded by observed vocabulary², not corpus size) → one join
+    * of pairs onto the model (broadcast when the model is small, AQE
+    * decides) → per-doc aggregate clustered by doc_id.
+    */
+  def lmScore(docs: DataFrame): DataFrame = {
+    val w = filter(split(col("text"), " "), t => length(t) > 0)
+    val pairs = docs
+      .select(col("doc_id"), w.as("w"), size(w).as("nw"))
+      .filter(col("nw") >= 2)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), col("nw") - 2),
+          i => struct(col("w")(i).as("w1"), col("w")(i + 1).as("w2")))).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val c12 = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val c1 = c12.groupBy("w1").agg(sum(col("c12")).as("c1"))
+    val v = wordNgrams(docs, 1, "t").agg(countDistinct(col("t")).as("v"))
+    pairs
+      .join(c12.join(c1, Seq("w1")), Seq("w1", "w2"))
+      .crossJoin(broadcast(v))
+      .select(col("doc_id"),
+        log((col("c12") + 1).cast("double") / (col("c1") + col("v")).cast("double"))
+          .cast("decimal(18,9)").as("lp"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        round((-sum(col("lp")).cast("double")) / count(lit(1)), 6).as("avg_nll"))
+  }
+
   /** PII scrubbing: replace URLs, emails, and phone-shaped digit runs
     * with typed placeholders, and count what was redacted (the audit
     * signal a curation run reports). Pure per-row `regexp_replace` /

@@ -106,6 +106,26 @@ class TextSpec extends AnyFunSuite {
       out(5L).getAs[Long]("n_emails") == 0L)
   }
 
+  test("lmScore: hand-computed add-1 bigram NLL") {
+    val d = Seq(
+      (1L, "a b a b"),   // pairs: ab, ba, ab
+      (2L, "a b"),       // pairs: ab
+      (3L, "solo"),      // < 2 tokens: excluded
+      (4L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.lmScore(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // V = {a, b, solo} = 3 — vocabulary counts ALL token types, including
+    // doc 3's unpaired one. c(ab)=3, c(ba)=1, c1(a)=3, c1(b)=1
+    // P(b|a)=(3+1)/(3+3)=2/3  P(a|b)=(1+1)/(1+3)=1/2
+    // lp rounded to 9dp: -0.405465108, -0.693147181
+    assert(out.keySet == Set(1L, 2L))
+    assert(out(1L)._1 == 3L)
+    assert(out(1L)._2 == BigDecimal((0.405465108 * 2 + 0.693147181) / 3)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(out(2L) == ((1L, 0.405465))) // doc 2's only bigram is "a b"
+  }
+
   test("fingerprints: md5 is content-determined") {
     val fp = TextAnalysis.fingerprints(docs).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("content_md5")).toMap
