@@ -128,4 +128,24 @@ object GraftProps extends Properties("graft") {
       val sessions = graft.streaming.EventOps.sessionize(df)
       sessions.agg(sum(col("n_events"))).head().getLong(0) == evs.size.toLong
     }
+
+  property("range join: bucketization never changes the matched pair set") =
+    forAll(
+      Gen.nonEmptyListOf(Gen.chooseNum(-500L, 500L)).map(_.take(30)),
+      Gen.nonEmptyListOf(
+        for { s <- Gen.chooseNum(-500L, 500L); len <- Gen.chooseNum(0L, 200L) }
+          yield (s, s + len)).map(_.take(15)),
+      Gen.oneOf(1L, 7L, 100L, 1000L)) { (pts, ivs, w) =>
+      val p = pts.zipWithIndex.map { case (x, i) => (i.toLong, x) }.toDF("pid", "x")
+      val v = ivs.zipWithIndex.map { case ((s, e), i) => (i.toLong, s, e) }
+        .toDF("iid", "s", "e")
+      val got = graft.ops.RangeJoin.pointInInterval(p, v, "x", "s", "e", w)
+        .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = pts.zipWithIndex.flatMap { case (x, i) =>
+        ivs.zipWithIndex.collect { case ((s, e), j) if s <= x && x <= e =>
+          (i.toLong, j.toLong)
+        }
+      }.toSet
+      got == want
+    }
 }
