@@ -1,0 +1,73 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Edit-distance similarity self-join via symmetric deletion keys — the
+  * record-linkage / typo-clustering primitive (entity resolution on
+  * names, token normalization over a corpus vocabulary) that the
+  * reference lacks entirely (SURVEY.md §2.8: "no string-similarity
+  * functions"; its only fuzzy-ish op is the sanitation regexp, `02:61-62`).
+  *
+  * Candidate generation is the SymSpell symmetric-delete scheme: each
+  * string emits itself plus every single-character deletion. For strings
+  * s, t with Levenshtein distance ≤ 1 the key sets ALWAYS intersect:
+  *
+  *   - s = t: share the identity key;
+  *   - substitution at position i: deleting i from each yields the same
+  *     string, so both emit it;
+  *   - t = s with character i deleted: t is s's deletion key at i, and
+  *     t's own identity key — intersection at t (insertion symmetric).
+  *
+  * So an equi-join on the keys followed by an exact `levenshtein` verify
+  * is provably complete at τ = 1 — no recall loss, unlike prefix/first-
+  * char blocking (a single edit can change any one position, including
+  * the first). FuzzyJoinSpec property-tests the claim against the naive
+  * all-pairs join on random strings.
+  *
+  * Scale shape (100 TB): per-row fan-out is len+1 keys — linear, no n².
+  * The join shuffles on md5(key) (16-byte fixed-width shuffle key instead
+  * of arbitrary-length strings), candidates collapse through `distinct`
+  * partial-aggregation map-side, and the verify is a codegen'd
+  * `levenshtein` on the survivors only. Hot keys (a deletion shared by
+  * many strings, e.g. very short tokens) fan out quadratically WITHIN the
+  * key — bounded by requiring `minLen` (default 3: below that τ=1 makes
+  * everything match everything anyway), the same guard as the
+  * stop-shingle cap in [[graft.dedup.Dedup.ngramJaccardPairs]].
+  */
+object FuzzyJoin {
+
+  /** Identity + all single-deletion variants of `s`, as an array column.
+    * Element 0 is `s` itself; element i (1-based) deletes character i.
+    */
+  def deletionKeys(s: Column): Column =
+    transform(sequence(lit(0), length(s)), i =>
+      when(i === 0, s).otherwise(
+        concat(substring(s, lit(1), i - 1),
+          substring(s, i + 1, length(s) - i))))
+
+  /** All pairs of distinct values of `df(col)` with levenshtein ≤ 1,
+    * ordered (name_a < name_b), with the exact distance. Input rows with
+    * null or shorter-than-`minLen` values are dropped (a τ=1 match on a
+    * 1-2 char token is noise, and the key fan-in is unbounded there).
+    */
+  def selfJoin(df: DataFrame, column: String, minLen: Int = 3): DataFrame = {
+    val names = df.select(col(column).as("name"))
+      .filter(col("name").isNotNull && length(col("name")) >= minLen)
+      .distinct()
+    // md5 the variable-length deletion key into a fixed 16-byte shuffle
+    // key; the join carries the name alongside for the exact verify.
+    val keyed = names.select(col("name"),
+        explode(deletionKeys(col("name"))).as("delkey"))
+      .select(col("name"), md5(col("delkey")).as("k"))
+      .distinct()
+    val l = keyed.alias("l")
+    val r = keyed.alias("r")
+    l.join(r, col("l.k") === col("r.k") && col("l.name") < col("r.name"))
+      .select(col("l.name").as("name_a"), col("r.name").as("name_b"))
+      .distinct()
+      .filter(levenshtein(col("name_a"), col("name_b")) <= 1)
+      .select(col("name_a"), col("name_b"),
+        levenshtein(col("name_a"), col("name_b")).cast("long").as("dist"))
+  }
+}

@@ -1,0 +1,72 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Global equi-depth bucketing with SQL `ntile` semantics, without the
+  * single-partition window `ntile(b) OVER (ORDER BY …)` plans to — the
+  * feature-discretization / cohort-binning primitive (decile scores,
+  * equal-sized experiment arms) done the way a 100 TB table needs it.
+  *
+  * A global `ntile` requires a total order. The naive window collapses
+  * the whole input into ONE task; this operator gets the same ranks from
+  * a range-partitioned sort plus per-partition offsets:
+  *
+  *   repartitionByRange(sort key) → row_number within each partition
+  *     (window PARTITIONED by `spark_partition_id()`, so every task ranks
+  *     only its own slice) → add the broadcast-joined cumulative count of
+  *     the partitions before it → global rank → ntile's bucket formula.
+  *
+  * The per-partition count table is |shuffle partitions| rows — a
+  * control-table-sized frame whose own cumulative window is free — and
+  * the two consumers of the range exchange (counts + ranks) reuse one
+  * shuffle (ReuseExchange; the subplans are identical). Range
+  * partitioning keeps equal keys on one side of each boundary, so
+  * within-partition ranks + offsets compose to exactly the global
+  * `row_number`; NtileSpec pins equality against the single-partition
+  * window on randomized data.
+  *
+  * Callers must pass a TOTAL order (break ties — e.g. append the key
+  * column) or ranks at boundary duplicates would be partitioning-
+  * dependent.
+  */
+object Ntile {
+
+  /** Append `outCol` = the 1-based ntile bucket of each row under
+    * `orderBy`, `buckets` buckets. SQL ntile semantics: first `n % b`
+    * buckets get one extra row.
+    */
+  def global(df: DataFrame, orderBy: Seq[Column], buckets: Int,
+      outCol: String = "bucket"): DataFrame = {
+    require(buckets >= 1, s"Ntile.global: buckets must be >= 1, got $buckets")
+    require(orderBy.nonEmpty, "Ntile.global: at least one sort column")
+    val parted = df.repartitionByRange(orderBy: _*)
+      .withColumn("__pid", spark_partition_id())
+    // Tiny per-partition frame: counts, exclusive running offset, total.
+    val offsets = parted.groupBy("__pid").agg(count(lit(1)).as("__cnt"))
+      .withColumn("__off", coalesce(
+        sum(col("__cnt")).over(
+          Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .withColumn("__n", sum(col("__cnt")).over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select("__pid", "__off", "__n")
+    val ranked = parted
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("__pid")).orderBy(orderBy: _*)))
+      .join(broadcast(offsets), Seq("__pid"))
+      .withColumn("__r", col("__off") + col("__rn"))
+    // ntile: sizeSmall = n div b, the first n % b buckets take one extra
+    // row. Integral `div` (not `/`, which is double division in Spark and
+    // can truncate off-by-one near 2^53) keeps the formula exact at any n.
+    ranked
+      .withColumn("__ss", expr(s"__n div ${buckets}L"))
+      .withColumn("__nb", col("__n") % buckets.toLong)
+      .withColumn("__span", col("__nb") * (col("__ss") + 1L))
+      .withColumn(outCol, expr(
+        """CASE WHEN __r <= __span THEN (__r - 1) div (__ss + 1)
+          |ELSE __nb + (__r - __span - 1) div __ss END + 1""".stripMargin))
+      .drop("__pid", "__rn", "__off", "__n", "__r", "__ss", "__nb", "__span")
+  }
+}

@@ -237,6 +237,47 @@ object CoreQueries {
           approx_count_distinct(col("product_id")).as("approx_products")),
       None),
 
+    // Record linkage: edit-distance-1 similarity self-join over customer
+    // names via SymSpell deletion keys (provably complete candidates +
+    // exact levenshtein verify — no n² pass; FuzzyJoin scaladoc has the
+    // proof, FuzzyJoinSpec the property test). Oracle is the naive
+    // all-pairs levenshtein join, so recall is hash-verified too.
+    Entry(
+      "fuzzy_name_pairs",
+      (s, dir) => graft.ops.FuzzyJoin.selfJoin(
+        Catalog.table(s, dir, "customer"), "c_name"),
+      Some("""WITH names AS (SELECT DISTINCT c_name FROM customer
+        |  WHERE c_name IS NOT NULL AND length(c_name) >= 3)
+        |SELECT a.c_name AS name_a, b.c_name AS name_b,
+        |  CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+        |FROM names a JOIN names b
+        |  ON a.c_name < b.c_name
+        | AND abs(length(a.c_name) - length(b.c_name)) <= 1
+        |WHERE levenshtein(a.c_name, b.c_name) <= 1""".stripMargin)),
+
+    // Equi-depth decile bucketing of households by total spend — global
+    // ntile WITHOUT the single-partition window (range-partitioned rank +
+    // broadcast offsets; Ntile scaladoc). Oracle is DuckDB's native ntile
+    // over the same total order, so the bucket formula is hash-verified.
+    Entry(
+      "spend_deciles",
+      (s, dir) => {
+        val spend = TransactionsAdj(s, dir)
+          .groupBy("household_key")
+          .agg(sum(col("amount_paid").cast("decimal(18,4)")).cast("double")
+            .as("spend"))
+        graft.ops.Ntile.global(spend,
+          Seq(col("spend").desc, col("household_key").asc), 10, "decile")
+      },
+      Some(s"""WITH ${Oracle.txAdjFull},
+        |sp AS (
+        |  SELECT household_key, ${Oracle.dsum("amount_paid", "spend")}
+        |  FROM tx GROUP BY household_key)
+        |SELECT household_key, spend,
+        |  CAST(ntile(10) OVER (ORDER BY spend DESC, household_key) AS BIGINT)
+        |    AS decile
+        |FROM sp""".stripMargin)),
+
     // One-pass column profiler (Deequ-style data-quality staple): per
     // column, row/null counts + typed min/max, long form. ONE algebraic
     // aggregation over the table; the pivot is a stack over the single

@@ -615,6 +615,35 @@ object TextQueries {
         Map("src0" -> 2500000L, "src1" -> 1000000L,
           "src2" -> 400000L, "src3" -> 1750000L)))),
 
+    // Passage-level exact-duplication exposure (Lee et al. 2021: strip
+    // repeated passages, not just repeated documents): non-overlapping
+    // 3-word chunks, boilerplate = chunk in ≥2 distinct docs, per-doc
+    // share. Boilerplate.clean (unit-tested) does the actual removal.
+    Entry(
+      "boilerplate_ratio",
+      (s, dir) => graft.text.Boilerplate.stats(docs(s, dir), p = 3, minDocs = 2),
+      Some("""WITH d AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, array_to_string(ws[(i*3+1):((i+1)*3)], ' ') AS passage
+        |  FROM (SELECT doc_id, ws,
+        |          unnest(generate_series(0,
+        |            CAST(ceil(len(ws) / 3.0) AS BIGINT) - 1)) AS i
+        |        FROM d WHERE len(ws) > 0) t),
+        |f AS (SELECT passage, count(DISTINCT doc_id) AS nd
+        |      FROM p GROUP BY passage),
+        |s AS (
+        |  SELECT p.doc_id, count(*) AS n_passages,
+        |    SUM(CASE WHEN f.nd >= 2 THEN 1 ELSE 0 END) AS n_boilerplate
+        |  FROM p JOIN f USING (passage) GROUP BY p.doc_id)
+        |SELECT doc_id, CAST(n_passages AS BIGINT) AS n_passages,
+        |  CAST(n_boilerplate AS BIGINT) AS n_boilerplate,
+        |  round(CAST(n_boilerplate AS DOUBLE) / CAST(n_passages AS DOUBLE), 9)
+        |    AS boilerplate_ratio
+        |FROM s""".stripMargin)),
+
     // Multimodal plumbing: batched stub feature extraction (rows-only).
     Entry(
       "multimodal_features",
