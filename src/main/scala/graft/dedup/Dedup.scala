@@ -22,6 +22,40 @@ object Dedup {
       .agg(min(col("doc_id")).as("canonical_doc_id"),
         count(lit(1)).as("n_copies"))
 
+  /** Incremental dedup of a NEW batch against an accepted-corpus index —
+    * the shape a continuously-fed 100 TB pipeline actually runs: the
+    * corpus is never re-scanned, only its persisted hash index
+    * ([[exactIndex]]) is probed. Every batch doc is labeled
+    * `dup_corpus` (content already accepted), `dup_batch` (an earlier
+    * doc in this batch has it; the min-doc_id copy is canonical), or
+    * `new`. After accepting a batch, the next run's index is
+    * `index ∪ exactIndex(accepted)`.
+    *
+    * Scale: both joins are equi-joins on the 16-byte md5. The index side
+    * is the big one — store it bucketed by `content_md5` so the probe
+    * shuffles only the batch; the in-batch canonicalization is a
+    * map-side-combinable min over the same key.
+    */
+  def incrementalExact(batch: DataFrame, index: DataFrame): DataFrame = {
+    val b = batch.select(col("doc_id"),
+      md5(col("text").cast("binary")).as("content_md5"))
+    val canon = b.groupBy("content_md5").agg(min(col("doc_id")).as("__canonical"))
+    val seen = index.select(col("content_md5")).distinct()
+      .withColumn("__in_corpus", lit(true))
+    b.join(canon, Seq("content_md5"))
+      .join(seen, Seq("content_md5"), "left_outer")
+      .select(col("doc_id"), col("content_md5"),
+        when(col("__in_corpus"), "dup_corpus")
+          .when(col("doc_id") =!= col("__canonical"), "dup_batch")
+          .otherwise("new").as("status"))
+  }
+
+  /** The persisted corpus-index relation [[incrementalExact]] probes:
+    * one row per distinct content hash.
+    */
+  def exactIndex(docs: DataFrame): DataFrame =
+    docs.select(md5(col("text").cast("binary")).as("content_md5")).distinct()
+
   /** Streaming twin of [[exact]] for ingestion pipelines: first-seen doc
     * per content hash survives, later duplicates are dropped as they
     * arrive. `dropDuplicatesWithinWatermark` bounds the dedup state to

@@ -21,11 +21,14 @@ import org.apache.spark.sql.functions._
   * The per-partition count table is |shuffle partitions| rows — a
   * control-table-sized frame whose own cumulative window is free — and
   * the two consumers of the range exchange (counts + ranks) reuse one
-  * shuffle (ReuseExchange; the subplans are identical). Range
-  * partitioning keeps equal keys on one side of each boundary, so
-  * within-partition ranks + offsets compose to exactly the global
-  * `row_number`; NtileSpec pins equality against the single-partition
-  * window on randomized data.
+  * shuffle (ReuseExchange; the subplans are identical). The rank window
+  * itself demands hash clustering on the partition id, so the plan adds
+  * one more exchange — but of the already-reduced frame, moving each
+  * range partition wholesale (no fan-out, no single-task collapse, the
+  * thing this operator exists to avoid). Range partitioning keeps equal
+  * keys on one side of each boundary, so within-partition ranks +
+  * offsets compose to exactly the global `row_number`; NtileSpec pins
+  * equality against the single-partition window on randomized data.
   *
   * Callers must pass a TOTAL order (break ties — e.g. append the key
   * column) or ranks at boundary duplicates would be partitioning-

@@ -237,6 +237,29 @@ object CoreQueries {
           approx_count_distinct(col("product_id")).as("approx_products")),
       None),
 
+    // The general form of spend_rollup: GROUPING SETS with grouping()
+    // markers (commodity totals, weekly totals, grand total in one pass —
+    // Catalyst plans one Expand + one aggregate, not three scans).
+    Entry(
+      "spend_grouping_sets",
+      (s, dir) => {
+        graft.features.FeatureBuilder.txWithCommodity(s, dir)
+          .select("commodity_desc", "week_no", "amount_paid")
+          .createOrReplaceTempView("graft_gsets_in")
+        s.sql("""SELECT commodity_desc, week_no,
+                |  CAST(grouping(commodity_desc) AS BIGINT) AS g_comm,
+                |  CAST(grouping(week_no) AS BIGINT) AS g_week,
+                |  CAST(SUM(CAST(amount_paid AS DECIMAL(18,4))) AS DOUBLE) AS spend
+                |FROM graft_gsets_in
+                |GROUP BY GROUPING SETS ((commodity_desc), (week_no), ())""".stripMargin)
+      },
+      Some(s"""WITH ${Oracle.txCommodity}
+        |SELECT commodity_desc, week_no,
+        |  CAST(grouping(commodity_desc) AS BIGINT) AS g_comm,
+        |  CAST(grouping(week_no) AS BIGINT) AS g_week,
+        |  ${Oracle.dsum("amount_paid", "spend")}
+        |FROM txc GROUP BY GROUPING SETS ((commodity_desc), (week_no), ())""".stripMargin)),
+
     // Record linkage: edit-distance-1 similarity self-join over customer
     // names via SymSpell deletion keys (provably complete candidates +
     // exact levenshtein verify — no n² pass; FuzzyJoin scaladoc has the

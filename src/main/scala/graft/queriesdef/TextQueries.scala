@@ -615,6 +615,34 @@ object TextQueries {
         Map("src0" -> 2500000L, "src1" -> 1000000L,
           "src2" -> 400000L, "src3" -> 1750000L)))),
 
+    // Incremental ingestion dedup: the src0 batch probed against the
+    // hash index of the already-accepted corpus (everything else) —
+    // corpus text is never re-read, only its persisted 16-byte index.
+    Entry(
+      "dedup_incremental",
+      (s, dir) => {
+        val d = docs(s, dir)
+        Dedup.incrementalExact(
+          d.filter(col("source") === "src0"),
+          Dedup.exactIndex(d.filter(col("source") =!= "src0")))
+      },
+      Some("""WITH batch AS (
+        |  SELECT doc_id, md5(text) AS content_md5
+        |  FROM documents WHERE source = 'src0'),
+        |corpus AS (
+        |  SELECT DISTINCT md5(text) AS content_md5
+        |  FROM documents WHERE source <> 'src0'),
+        |canon AS (
+        |  SELECT content_md5, min(doc_id) AS canonical
+        |  FROM batch GROUP BY content_md5)
+        |SELECT b.doc_id, b.content_md5,
+        |  CASE WHEN c.content_md5 IS NOT NULL THEN 'dup_corpus'
+        |       WHEN b.doc_id <> canon.canonical THEN 'dup_batch'
+        |       ELSE 'new' END AS status
+        |FROM batch b
+        |JOIN canon ON b.content_md5 = canon.content_md5
+        |LEFT JOIN corpus c ON b.content_md5 = c.content_md5""".stripMargin)),
+
     // Passage-level exact-duplication exposure (Lee et al. 2021: strip
     // repeated passages, not just repeated documents): non-overlapping
     // 3-word chunks, boilerplate = chunk in ≥2 distinct docs, per-doc

@@ -57,4 +57,26 @@ class DedupSpec extends AnyFunSuite {
     assert(ham(s(0L), s(1L)) == 0)
     assert(ham(s(0L), s(2L)) < ham(s(0L), s(3L)))
   }
+
+  test("incremental: corpus dups, in-batch dups, and news labeled; accepted batch re-probes as dup_corpus") {
+    import spark.implicits._
+    val corpus = Seq((100L, "old text")).toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, "old text"),   // already in corpus
+      (2L, "fresh text"), // new, canonical in batch
+      (3L, "fresh text"), // in-batch dup of 2
+      (4L, "other")       // new
+    ).toDF("doc_id", "text")
+    val idx = Dedup.exactIndex(corpus)
+    val got = Dedup.incrementalExact(batch, idx).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(got == Map(1L -> "dup_corpus", 2L -> "new",
+      3L -> "dup_batch", 4L -> "new"))
+    // accept the batch: union its hashes into the index → a re-run of the
+    // same batch is all dup_corpus (idempotent ingestion)
+    val idx2 = idx.unionByName(Dedup.exactIndex(batch)).distinct()
+    val again = Dedup.incrementalExact(batch, idx2).collect()
+      .map(_.getString(2)).toSet
+    assert(again == Set("dup_corpus"))
+  }
 }
