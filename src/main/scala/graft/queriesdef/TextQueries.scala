@@ -570,6 +570,35 @@ object TextQueries {
         "documents", "doc_id", "source", Seq("doc_id", "source"),
         Map("src0" -> 5, "src1" -> 3, "src2" -> 2, "src3" -> 1)))),
 
+    // Token-budgeted mixture selection: docs per source in content-hash
+    // order until each source's TOKEN budget is reached (how mixtures
+    // are really specified), src3 unbudgeted → dropped. The engine runs
+    // the sharded two-phase running sum (no one-task-per-source window);
+    // the oracle is the single-window definition — hash equality proves
+    // the decomposition.
+    Entry(
+      "token_budget_mix",
+      (s, dir) => graft.ops.TokenBudget.select(
+        TextAnalysis.stats(docs(s, dir)).select("doc_id", "source", "n_tokens"),
+        "doc_id", "source", "n_tokens",
+        Map("src0" -> 6000L, "src1" -> 3000L, "src2" -> 1500L)),
+      Some(s"""WITH t AS (
+        |  SELECT doc_id, source,
+        |    ${reCount("trim(text)", """\S+""")} AS n_tokens,
+        |    ${graft.ops.HashSplit.bucketSql("doc_id", 1000)} AS bucket
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    COALESCE(SUM(n_tokens) OVER (PARTITION BY source
+        |      ORDER BY bucket, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS tokens_before,
+        |    CASE source WHEN 'src0' THEN 6000 WHEN 'src1' THEN 3000
+        |      WHEN 'src2' THEN 1500 END AS budget
+        |  FROM t)
+        |SELECT doc_id, source, n_tokens, tokens_before
+        |FROM c WHERE budget IS NOT NULL AND tokens_before < budget""".stripMargin)),
+
     // Bigram-LM fluency score: avg negative log-prob of each document's
     // bigrams under an add-1 model trained on the same corpus. Counts
     // are engine-identical integers; ln values go through DECIMAL(18,9)
