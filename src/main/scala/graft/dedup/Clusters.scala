@@ -131,4 +131,48 @@ object Clusters {
     connectedComponents(docs, pairs)
       .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
   }
+
+  /** Keep-best survivor selection — what a dedup pipeline actually SHIPS:
+    * one representative per duplicate cluster, chosen by a quality policy
+    * (highest `scoreCol`, ties to the smallest doc_id), every other
+    * member dropped. "Canonical = min doc_id" ([[resolve]]) identifies a
+    * cluster; it does not pick the member worth keeping — keep-longest /
+    * keep-highest-quality is the standard corpus policy.
+    *
+    * Scale shape: the per-cluster argmax is `max(struct(score, -doc_id))`
+    * — partial-aggregable (map-side combine), so the shuffle carries one
+    * narrow row per cluster, never a per-cluster sort and never a window
+    * over the corpus. The survivor map joins back on cluster_id (the same
+    * hash partitioning the agg just produced, so AQE/exchange reuse keeps
+    * it one effective shuffle of (doc_id, cluster_id, score) triples).
+    * Singletons cost nothing extra: their argmax is themselves.
+    *
+    * A null score loses to any non-null score in BOTH engines (Spark
+    * struct ordering puts the null field lowest under max; the oracle's
+    * `ORDER BY score DESC` puts nulls last) — an all-null cluster falls
+    * back to min doc_id via the tiebreak.
+    *
+    * Output: (doc_id, cluster_id, survivor_id, kept) for every corpus
+    * row — the caller filters `kept` to materialize the deduped corpus,
+    * or keeps the full table as the dedup audit log.
+    */
+  def survivorsFrom(docs: DataFrame, assignment: DataFrame,
+      scoreCol: String): DataFrame = {
+    val scored = docs.select(col("doc_id"), col(scoreCol).as("__score"))
+      .join(assignment.select("doc_id", "cluster_id"), Seq("doc_id"))
+    val best = scored.groupBy("cluster_id")
+      .agg(max(struct(col("__score"), (-col("doc_id")).as("__nid"))).as("__b"))
+      .select(col("cluster_id"), (-col("__b.__nid")).as("survivor_id"))
+    scored.join(best, Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"), col("survivor_id"),
+        (col("doc_id") === col("survivor_id")).as("kept"))
+  }
+
+  /** [[survivorsFrom]] over [[resolve]]'s Jaccard clustering. Any other
+    * candidate generator (LSH, SimHash, embedding near-dup) plugs in by
+    * calling [[connectedComponents]] + [[survivorsFrom]] directly.
+    */
+  def survivors(docs: DataFrame, scoreCol: String,
+      threshold: Double = 0.5, n: Int = 5): DataFrame =
+    survivorsFrom(docs, resolve(docs, threshold, n), scoreCol)
 }

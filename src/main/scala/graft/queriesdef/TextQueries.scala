@@ -32,10 +32,11 @@ object TextQueries {
     s"CASE WHEN $best > 0 THEN $firstAtMax ELSE 'und' END"
   }
 
-  /** Word-5-gram Jaccard pair CTEs (defines relation `jpairs` with
-    * doc_a, doc_b, n_common, size_a, size_b, jaccard at threshold 0.5).
+  /** Distinct word-5-gram CTEs (defines relation `sh(doc_id, shingle)`)
+    * — the shared inverted-index input for the Jaccard pair and corpus
+    * commonness oracles.
     */
-  private val jaccardCtes: String =
+  private val shingleCtes: String =
     """ws AS (
       |  SELECT doc_id, w FROM (
       |    SELECT doc_id,
@@ -47,7 +48,13 @@ object TextQueries {
       |  FROM (SELECT doc_id, w,
       |          unnest(generate_series(1, len(w) - 4)) AS i
       |        FROM ws) t),
-      |sh AS (SELECT DISTINCT doc_id, shingle FROM sh0),
+      |sh AS (SELECT DISTINCT doc_id, shingle FROM sh0)""".stripMargin
+
+  /** Word-5-gram Jaccard pair CTEs (defines relation `jpairs` with
+    * doc_a, doc_b, n_common, size_a, size_b, jaccard at threshold 0.5).
+    */
+  private val jaccardCtes: String =
+    s"""$shingleCtes,
       |sz AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id),
       |co AS (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
@@ -204,6 +211,39 @@ object TextQueries {
         |  COALESCE(cc.cluster_id, d.doc_id) AS cluster_id,
         |  (COALESCE(cc.cluster_id, d.doc_id) = d.doc_id) AS is_canonical
         |FROM documents d LEFT JOIN cc ON d.doc_id = cc.doc_id""".stripMargin)),
+
+    // Keep-best survivor per duplicate cluster — the row set a dedup
+    // pipeline ships: longest member survives (ties → min doc_id), the
+    // rest are dropped. Engine runs a partial-aggregable
+    // max(struct(score, -doc_id)) per cluster (no window, no per-cluster
+    // sort); the oracle is the ROW_NUMBER definition — hash equality
+    // proves the argmax decomposition.
+    Entry(
+      "dedup_survivors",
+      (s, dir) => graft.dedup.Clusters.survivors(docs(s, dir), "n_chars"),
+      Some(s"""WITH RECURSIVE $jaccardCtes,
+        |edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM jpairs
+        |  UNION
+        |  SELECT doc_b AS src, doc_a AS dst FROM jpairs),
+        |reach(a, b) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+        |cc AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a),
+        |assigned AS (
+        |  SELECT d.doc_id, COALESCE(cc.cluster_id, d.doc_id) AS cluster_id,
+        |    d.n_chars
+        |  FROM documents d LEFT JOIN cc ON d.doc_id = cc.doc_id),
+        |best AS (
+        |  SELECT cluster_id, doc_id AS survivor_id FROM (
+        |    SELECT cluster_id, doc_id,
+        |      ROW_NUMBER() OVER (PARTITION BY cluster_id
+        |        ORDER BY n_chars DESC, doc_id) AS rn
+        |    FROM assigned) WHERE rn = 1)
+        |SELECT a.doc_id, a.cluster_id, b.survivor_id,
+        |  (a.doc_id = b.survivor_id) AS kept
+        |FROM assigned a JOIN best b USING (cluster_id)""".stripMargin)),
 
     // MinHash signatures (the sketch operator). The md5-derived base hash
     // and shared affine constants render to DuckDB, so the signatures are
@@ -444,6 +484,27 @@ object TextQueries {
         |  COALESCE(hit.c, 0) > 0 AS contaminated
         |FROM documents d LEFT JOIN hit ON d.doc_id = hit.doc_id
         |WHERE d.source NOT IN ('src0', 'src1')""".stripMargin)),
+
+    // Corpus n-gram commonness: per doc, the share of its distinct word
+    // 5-grams that appear in >= 2 documents — the boilerplate /
+    // memorization-risk score. One inverted-index shuffle, no self-join;
+    // too-short docs report 0 shingles and a null ratio.
+    Entry(
+      "ngram_commonness",
+      (s, dir) => graft.text.Curation.ngramCommonness(docs(s, dir), n = 5),
+      Some(s"""WITH $shingleCtes,
+        |dfreq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+        |perdoc AS (
+        |  SELECT sh.doc_id, count(*) AS n_shingles,
+        |    sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS n_shared
+        |  FROM sh JOIN dfreq USING (shingle) GROUP BY sh.doc_id)
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(p.n_shingles, 0) AS BIGINT) AS n_shingles,
+        |  CAST(COALESCE(p.n_shared, 0) AS BIGINT) AS n_shared,
+        |  CASE WHEN p.n_shingles > 0 THEN
+        |    round(CAST(p.n_shared AS DOUBLE) / CAST(p.n_shingles AS DOUBLE), 9)
+        |  END AS shared_ratio
+        |FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id""".stripMargin)),
 
     // RAG-style chunking: 200-char chunks, 50-char overlap (stride 150);
     // per-row explode, no shuffle.

@@ -137,6 +137,44 @@ object Curation {
         Seq(col("quality_score"), col("cutoff")): _*)
   }
 
+  /** Corpus n-gram commonness: for each document, how much of it is
+    * boilerplate the REST of the corpus also contains — n_shingles
+    * (distinct word-n-grams), n_shared (those appearing in ≥ 2 docs), and
+    * shared_ratio. High ratio = template/mirror/quote-heavy content (the
+    * memorization-risk signal used to downweight or drop near-boilerplate
+    * docs); the per-doc complement of pair-producing near-dup detection,
+    * and corpus-level where [[graft.text.TextAnalysis]] repetition is
+    * within-doc.
+    *
+    * Scale shape: the SAME inverted-index shuffle as
+    * [[graft.dedup.Dedup.ngramJaccardPairs]] minus its self-join — one
+    * shingle explode whose distinct() Exchange is reused by both the
+    * doc-frequency aggregate and the join back (co-partitioned on
+    * shingle, so no second shuffle of the exploded set), then a doc_id
+    * aggregate. Nothing is ever quadratic in docs sharing a shingle —
+    * ultra-frequent shingles cost one counter row here, vs. the pair
+    * join's fan-out (no stop-shingle cap needed).
+    *
+    * Documents too short to have an n-gram report 0 shingles and a null
+    * ratio (not 0.0 — "no evidence" is not "fully novel").
+    */
+  def ngramCommonness(docs: DataFrame, n: Int = 5): DataFrame = {
+    val sh = graft.dedup.Dedup.shingles(docs, n)
+    val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val perDoc = sh.join(dfreq, Seq("shingle"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_shared"))
+    docs.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        when(col("n_shingles") > 0,
+          round(col("n_shared").cast("double") /
+            col("n_shingles").cast("double"), 9)).as("shared_ratio"))
+  }
+
   /** Shared quality score: stopword ratio (prose-likeness), rounded to
     * 9 decimals before any ranking/thresholding so engine division ulps
     * cannot reorder or flip a comparison.

@@ -44,6 +44,31 @@ class ClustersAndSkewSpec extends AnyFunSuite {
     assert(out(2L) == ((2L, true)))
   }
 
+  test("survivors: best score kept, ties to min doc_id, null score loses") {
+    val docs = Seq(0L, 1L, 2L, 3L, 4L, 5L).toDF("doc_id")
+      .withColumn("q", when(col("doc_id") === 1L, 9L)
+        .when(col("doc_id") === 4L, lit(null).cast("long"))
+        .otherwise(lit(5L)))
+    // clusters {0,1,2} (1 has top score), {3,4} (4's null loses → 3), {5}
+    val assignment = Seq(
+      (0L, 0L), (1L, 0L), (2L, 0L), (3L, 3L), (4L, 3L), (5L, 5L)
+    ).toDF("doc_id", "cluster_id")
+    val out = Clusters.survivorsFrom(docs, assignment, "q").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("survivor_id"), r.getAs[Boolean]("kept"))).toMap
+    assert(out.size == 6)
+    assert(out(0L) == ((1L, false)) && out(1L) == ((1L, true)) &&
+      out(2L) == ((1L, false)))
+    assert(out(3L) == ((3L, true)) && out(4L) == ((3L, false)))
+    assert(out(5L) == ((5L, true)))
+    // tie on score → smallest doc_id survives
+    val tied = Clusters.survivorsFrom(
+      Seq(7L, 8L).toDF("doc_id").withColumn("q", lit(5L)),
+      Seq((7L, 7L), (8L, 7L)).toDF("doc_id", "cluster_id"), "q")
+      .filter(col("kept")).collect()
+    assert(tied.map(_.getAs[Long]("doc_id")).toSeq == Seq(7L))
+  }
+
   test("salted sums equal direct sums bit-for-bit") {
     val df = (1 to 1000).map(i => ("hot", i * 0.37)).toDF("k", "v")
       .unionByName(Seq(("cold", 1.5), ("cold", 2.5)).toDF("k", "v"))

@@ -32,6 +32,23 @@ class CurationSpec extends AnyFunSuite {
     assert(row.getLong(1) == 1L) // "a b" appears 3x in train, counts once
   }
 
+  test("ngramCommonness: shared grams counted, short doc gets null ratio") {
+    val docs = Seq(
+      (1L, "a b c d e f"),            // grams: "a b c d e", "b c d e f"
+      (2L, "a b c d e zz"),           // shares "a b c d e" with doc 1
+      (3L, "p q r s t u"),            // all unique
+      (4L, "too short")               // < 5 words: no grams
+    ).toDF("doc_id", "text")
+    val out = Curation.ngramCommonness(docs, n = 5).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), Option(r.get(3)))).toMap
+    assert(out(1L)._1 == 2L && out(1L)._2 == 1L &&
+      out(1L)._3 == Some(0.5))
+    assert(out(2L) == ((2L, 1L, Some(0.5))))
+    assert(out(3L) == ((2L, 0L, Some(0.0))))
+    assert(out(4L) == ((0L, 0L, None)))
+  }
+
   test("chunk: short doc yields one chunk; empty doc yields one empty chunk") {
     val docs = Seq((1L, "short"), (2L, "")).toDF("doc_id", "text")
     val out = Curation.chunk(docs, chunkSize = 10, overlap = 3)
