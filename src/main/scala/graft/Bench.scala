@@ -156,14 +156,38 @@ object Bench {
       val ts = passTimes.map(_(name)).filter(_ >= 0)
       if (ts.isEmpty) (name, -1.0, false) else (name, ts.min, true)
     }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    // a failed query reports -1 in `queries` and its name in `errors`;
-    // only successful timings count toward the headline total
-    val errors = results.collect { case (k, _, false) => s"\"$k\"" }
-      .mkString("[", ",", "]")
+    // The driver records only the LAST 2000 characters of this process's
+    // output (observed across rounds 1-5: the JSON line was always longer,
+    // got front-truncated in that window, and `parsed` came back null every
+    // round). So the stdout contract line must FIT: per-query seconds are
+    // rounded to 3 decimals, `errors` is emitted only when non-empty, and
+    // if the line still exceeds the budget the FASTEST queries are dropped
+    // from the map (reported as "omitted":N) — the total always covers the
+    // full suite, and the full-precision per-query map goes to stderr.
     val total = results.collect { case (_, v, true) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}""")
+    val errs = results.collect { case (k, _, false) => s"\"$k\"" }
+    val errorsPart =
+      if (errs.isEmpty) "" else errs.mkString(""","errors":[""", ",", "]")
+    System.err.println("[bench] full precision: " + results
+      .map { case (k, v, _) => s"\"$k\":$v" }.mkString("{", ",", "}"))
+    val lineBudget = 1800
+    def render(kept: Seq[(String, Double)], omitted: Int): String = {
+      val qs = kept.sortBy(_._1)
+        .map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+      val om = if (omitted == 0) "" else s""","omitted":$omitted"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs$errorsPart$om,"sf":"$sfDir"}"""
+    }
+    // drop from the fastest end until the line fits (failed queries keep
+    // their -1 marker and are never dropped — they must stay visible)
+    val byTime = results.map { case (k, v, _) => (k, v) }
+      .sortBy { case (_, v) => if (v < 0) Double.MaxValue else v }
+    var kept = byTime
+    var line = render(kept, 0)
+    while (line.length > lineBudget && kept.size > 1) {
+      kept = kept.drop(1)
+      line = render(kept, byTime.size - kept.size)
+    }
+    println(line)
     spark.stop()
   }
 }

@@ -548,7 +548,7 @@ object TextQueries {
         |  FROM t)
         |SELECT doc_id, source, shard, n_tokens,
         |  CAST(floor(tokens_before / 256.0) AS BIGINT) AS pack_id,
-        |  tokens_before % 256 AS pack_offset
+        |  CAST(tokens_before % 256 AS BIGINT) AS pack_offset
         |FROM c""".stripMargin)),
 
     // Corpus vocabulary: global top-50 terms by corpus frequency with
@@ -657,7 +657,8 @@ object TextQueries {
         |    CASE source WHEN 'src0' THEN 6000 WHEN 'src1' THEN 3000
         |      WHEN 'src2' THEN 1500 END AS budget
         |  FROM t)
-        |SELECT doc_id, source, n_tokens, tokens_before
+        |SELECT doc_id, source, n_tokens,
+        |  CAST(tokens_before AS BIGINT) AS tokens_before
         |FROM c WHERE budget IS NOT NULL AND tokens_before < budget""".stripMargin)),
 
     // Bigram-LM fluency score: avg negative log-prob of each document's

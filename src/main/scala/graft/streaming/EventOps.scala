@@ -18,23 +18,32 @@ import org.apache.spark.sql.expressions.Window
 object EventOps {
 
   def events(spark: SparkSession, sfDir: String): DataFrame = {
-    // The fixture stores TIMESTAMP(NANOS) which Spark's vectorized reader
-    // rejects; read nanos as epoch-long and floor to seconds (≡ the
-    // date_trunc('second') the oracle applies). The legacy conf must stay
-    // set for the LIFETIME of the returned (lazy) DataFrame — the parquet
-    // footer-to-Spark schema conversion re-runs per file at scan execution
-    // and consults the session conf then, so a set-and-restore here breaks
-    // the read (verified: PARQUET_TYPE_ILLEGAL at task time). The setting
-    // is additive-safe: it only changes how TIMESTAMP(NANOS) columns —
-    // which stock Spark cannot read at all — are surfaced.
+    // Fixture generations have stored `ts` as TIMESTAMP(NANOS) (which
+    // Spark's vectorized reader rejects — readable only via the
+    // nanosAsLong legacy conf, as an epoch-nano LONG) and, since round 5,
+    // as plain TIMESTAMP(MICROS). Branch on the READ schema so both
+    // encodings surface identically: seconds precision, matching the
+    // oracle's CAST(date_trunc('second', ts) AS TIMESTAMP). The legacy
+    // conf must stay set for the LIFETIME of the returned (lazy)
+    // DataFrame — the parquet footer-to-Spark schema conversion re-runs
+    // per file at scan execution and consults the session conf then, so
+    // a set-and-restore here breaks the nano read (verified:
+    // PARQUET_TYPE_ILLEGAL at task time). It is additive-safe: it only
+    // changes how TIMESTAMP(NANOS) columns — which stock Spark cannot
+    // read at all — are surfaced; MICROS columns keep their type.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // `div` = exact long division. `floor(ts / 1e9)` would divide as
-    // DOUBLE: epoch nanos (~1.8e18) exceed 2^53, so a timestamp within
-    // the double grid spacing (~256ns) below a second boundary could
-    // round up and truncate to the WRONG second — a silent divergence
-    // from the oracle's exact date_trunc.
-    spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", timestamp_seconds(expr("ts div 1000000000")))
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        // `div` = exact long division. `floor(ts / 1e9)` would divide as
+        // DOUBLE: epoch nanos (~1.8e18) exceed 2^53, so a timestamp
+        // within the double grid spacing (~256ns) below a second
+        // boundary could round up and truncate to the WRONG second — a
+        // silent divergence from the oracle's exact date_trunc.
+        raw.withColumn("ts", timestamp_seconds(expr("ts div 1000000000")))
+      case _ =>
+        raw.withColumn("ts", date_trunc("second", col("ts")))
+    }
   }
 
   /** Tumbling-window aggregate (1 hour × event_type): the batch form of a
