@@ -572,6 +572,38 @@ object TextQueries {
         |SELECT term, tf, df, CAST(rank AS BIGINT) AS rank
         |FROM ranked WHERE rank <= 50""".stripMargin)),
 
+    // Sampled-candidates top-k: candidate terms from a 30% content-hash
+    // DOCUMENT sample, exact tf/df re-count of candidates only (broadcast
+    // semi-prune before the shuffle) — the scale path where the exact
+    // vocabulary shuffle is too wide. Same definition in both engines, so
+    // the sampling + re-verify decomposition is hash-verified.
+    Entry(
+      "vocab_topk_sampled",
+      (s, dir) => TextAnalysis.vocabularySampled(docs(s, dir), k = 50),
+      Some(s"""WITH words AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+        |  FROM documents),
+        |smp AS (
+        |  SELECT term FROM words
+        |  WHERE ${graft.ops.HashSplit.bucketSql("doc_id", 1000)} < 300),
+        |cand AS (
+        |  SELECT term FROM (
+        |    SELECT term, COUNT(*) AS stf FROM smp GROUP BY term)
+        |  ORDER BY stf DESC, term LIMIT 200),
+        |pd AS (
+        |  SELECT w.term, w.doc_id, COUNT(*) AS c
+        |  FROM words w JOIN cand USING (term) GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT term, CAST(SUM(c) AS BIGINT) AS tf, COUNT(*) AS df
+        |  FROM pd GROUP BY term),
+        |ranked AS (
+        |  SELECT term, tf, df,
+        |    ROW_NUMBER() OVER (ORDER BY tf DESC, term) AS rank
+        |  FROM agg)
+        |SELECT term, tf, df, CAST(rank AS BIGINT) AS rank
+        |FROM ranked WHERE rank <= 50""".stripMargin)),
+
     // PII scrubbing: the fixture corpus carries no PII, so the entry
     // deterministically injects synthetic emails/URLs/phones into a
     // doc_id-keyed subset first (pure string concat, identical in both
@@ -617,6 +649,59 @@ object TextQueries {
         |  regexp_replace(t2, '${TextAnalysis.phonePattern}', '<PHONE>', 'g')
         |    AS text_clean
         |FROM e""".stripMargin)),
+
+    // Per-host crawl statistics: the fixture corpus carries no URLs, so
+    // the entry injects deterministic doc_id-keyed URLs first (13 .org
+    // hosts via doc_id%3, 4 CDN hosts via doc_id%5 — some docs carry two
+    // URLs, hosts collide across docs); the host extraction + twin host
+    // aggregates then do real work, oracle-verified engine-exact.
+    Entry(
+      "host_stats",
+      (s, dir) => {
+        val injected = docs(s, dir).select(col("doc_id"), concat(
+          col("text"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit(" see https://h"), (col("doc_id") % 13).cast("string"),
+              lit(".example.org/d/"), col("doc_id").cast("string"),
+              lit(" ok"))).otherwise(""),
+          when(col("doc_id") % 5 === 0,
+            concat(lit(" mirror http://cdn"), (col("doc_id") % 4).cast("string"),
+              lit(".example-cdn.net/x?y="), col("doc_id").cast("string")))
+            .otherwise("")).as("text"))
+        graft.text.Curation.hostStats(injected)
+      },
+      Some(s"""WITH inj AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 3 = 0 THEN ' see https://h' ||
+        |      CAST(doc_id % 13 AS VARCHAR) || '.example.org/d/' ||
+        |      CAST(doc_id AS VARCHAR) || ' ok' ELSE '' END ||
+        |    CASE WHEN doc_id % 5 = 0 THEN ' mirror http://cdn' ||
+        |      CAST(doc_id % 4 AS VARCHAR) || '.example-cdn.net/x?y=' ||
+        |      CAST(doc_id AS VARCHAR) ELSE '' END AS text
+        |  FROM documents),
+        |t AS (
+        |  SELECT doc_id, text,
+        |    ${reCount("trim(text)", """\S+""")} AS n_tokens
+        |  FROM inj),
+        |u AS (
+        |  SELECT doc_id, n_tokens,
+        |    unnest(regexp_extract_all(text, '${TextAnalysis.urlPattern}'))
+        |      AS url
+        |  FROM t),
+        |h AS (
+        |  SELECT doc_id, n_tokens,
+        |    regexp_extract(url, '${graft.text.Curation.hostPattern}', 1) AS host
+        |  FROM u),
+        |hu AS (SELECT host, COUNT(*) AS n_urls FROM h GROUP BY host),
+        |hd AS (
+        |  SELECT host, COUNT(*) AS n_docs,
+        |    CAST(SUM(n_tokens) AS BIGINT) AS sum_doc_tokens
+        |  FROM (SELECT DISTINCT host, doc_id, n_tokens FROM h)
+        |  GROUP BY host)
+        |SELECT hu.host, hu.n_urls, hd.n_docs, hd.sum_doc_tokens,
+        |  round(CAST(hd.sum_doc_tokens AS DOUBLE) /
+        |    CAST(hd.n_docs AS DOUBLE), 9) AS tokens_per_doc
+        |FROM hu JOIN hd USING (host)""".stripMargin)),
 
     // Deterministic corpus mixing: keep src0:src1:src2:src3 in a 5:3:2:1
     // ratio (other sources dropped), membership a pure function of

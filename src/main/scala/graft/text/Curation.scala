@@ -175,6 +175,51 @@ object Curation {
             col("n_shingles").cast("double"), 9)).as("shared_ratio"))
   }
 
+  /** URL authority (host[:port]) capture group — the URL pattern's prefix
+    * with the first path/query/fragment delimiter as the stop set,
+    * whitespace spelled out like [[TextAnalysis.urlPattern]] (no `\s`
+    * shorthand: Java and RE2 disagree on `\x0B`).
+    */
+  val hostPattern: String = """https?://([^/?#\t\n\f\r \x0B]+)"""
+
+  /** Per-host crawl statistics: for every host appearing in a document
+    * URL — urls seen, documents touched, and the token mass of those
+    * documents. This is the aggregate behind per-domain curation
+    * decisions (C4/RefinedWeb-style host allow/block lists, per-domain
+    * caps, "is this domain boilerplate or content" triage) — the
+    * curation signal is per-HOST, not per-document, so it needs its own
+    * grouping grain.
+    *
+    * Scale shape: URL extraction is per-row codegen'd regex (no
+    * shuffle); the per-(host, doc) distinct and both host aggregates
+    * combine map-side, so a host appearing a billion times crosses the
+    * wire once per partition, not once per URL. Host keys are Zipfian
+    * in a real crawl (one mega-host can dominate) — the groupBy tolerates
+    * that via AQE skew handling, and a caller capping domains applies
+    * [[graft.ops.CapPerGroup]] downstream of this table, which is tiny
+    * (|hosts|, not |urls|).
+    *
+    * `tokens_per_doc` is rounded to 9 decimals (module convention) so
+    * engine division ulps cannot flip a downstream threshold.
+    */
+  def hostStats(docs: DataFrame): DataFrame = {
+    val urls = docs
+      .select(col("doc_id"), TextAnalysis.tokensWs(col("text")).as("n_tokens"),
+        explode(regexp_extract_all(col("text"),
+          lit(TextAnalysis.urlPattern), lit(0))).as("url"))
+      .withColumn("host", regexp_extract(col("url"), hostPattern, 1))
+    val perHostUrls = urls.groupBy("host")
+      .agg(count(lit(1)).as("n_urls"))
+    val perHostDocs = urls.select("host", "doc_id", "n_tokens").distinct()
+      .groupBy("host")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast("long").as("sum_doc_tokens"))
+    perHostUrls.join(perHostDocs, Seq("host"))
+      .select(col("host"), col("n_urls"), col("n_docs"), col("sum_doc_tokens"),
+        round(col("sum_doc_tokens").cast("double") /
+          col("n_docs").cast("double"), 9).as("tokens_per_doc"))
+  }
+
   /** Shared quality score: stopword ratio (prose-likeness), rounded to
     * 9 decimals before any ranking/thresholding so engine division ulps
     * cannot reorder or flip a comparison.

@@ -208,6 +208,49 @@ object TextAnalysis {
           .cast("long"))
   }
 
+  /** Sampled-candidates corpus top-k — the 100 TB shape of [[vocabulary]].
+    *
+    * The exact operator shuffles EVERY distinct term of the corpus to
+    * compute global counts, then keeps k of them; at web-crawl scale the
+    * vocabulary shuffle (hundreds of billions of distinct long-tail
+    * tokens) dwarfs the answer. This variant runs two cheap passes
+    * instead: (1) candidate generation — exact term counts over a
+    * deterministic `samplePerMille` content-hash sample of DOCUMENTS
+    * ([[graft.ops.HashSplit]]: membership is a pure function of doc_id,
+    * so the sample is identical across engines, partitionings, and
+    * reruns — no seeded-RNG drift), keeping the top `k × candidateFactor`
+    * sample terms; (2) exact re-count — global tf/df for the candidate
+    * terms ONLY, the candidate set broadcast so the term stream is pruned
+    * map-side before any shuffle. A frequent term missing from a 30%
+    * document sample's top-4k is vanishingly unlikely (Chernoff on
+    * per-document Bernoulli inclusion), but the contract is honest:
+    * the result is "top-k by EXACT count among sampled candidates", and
+    * the oracle computes that same definition, so correctness is
+    * hash-verified rather than assumed. Reported tf/df are exact counts,
+    * never scaled sample estimates.
+    */
+  def vocabularySampled(docs: DataFrame, k: Int = 50,
+      samplePerMille: Int = 300, candidateFactor: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sample = docs.filter(
+      graft.ops.HashSplit.bucket(col("doc_id"), 1000) < samplePerMille)
+    val candidates = wordNgrams(sample, 1, "term")
+      .groupBy("term").agg(count(lit(1)).as("stf"))
+      .orderBy(col("stf").desc, col("term").asc)
+      .limit(k * candidateFactor)
+      .select("term")
+    val perDoc = wordNgrams(docs, 1, "term")
+      .join(broadcast(candidates), Seq("term"))
+      .groupBy("term", "doc_id").agg(count(lit(1)).as("c"))
+    val agg = perDoc.groupBy("term").agg(
+      sum(col("c")).cast("long").as("tf"),
+      count(lit(1)).as("df"))
+    agg.orderBy(col("tf").desc, col("term").asc).limit(k)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("tf").desc, col("term").asc))
+          .cast("long"))
+  }
+
   /** Corpus bigram language model → per-document fluency score: average
     * negative log-probability of the document's word bigrams under an
     * add-1-smoothed bigram model trained on the SAME corpus — the

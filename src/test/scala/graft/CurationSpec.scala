@@ -104,6 +104,26 @@ class CurationSpec extends AnyFunSuite {
     assert(rows.map(r => r.getLong(5)).toSeq == Seq(0L, 100L, 200L, 44L, 144L))
   }
 
+  test("hostStats: url counts per host, doc stats distinct per doc") {
+    val docs = Seq(
+      (1L, "intro https://a.example/x more http://b.example/y end"),
+      (2L, "again https://a.example/z and https://a.example/w tail"),
+      (3L, "no urls at all here"),
+      (4L, "port https://a.example:8080/q kept distinct")
+    ).toDF("doc_id", "text")
+    val out = Curation.hostStats(docs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // a.example: 3 urls across docs 1 and 2; whitespace tokens 5 + 5
+    assert(out("a.example").getLong(1) == 3L)
+    assert(out("a.example").getLong(2) == 2L)
+    assert(out("a.example").getLong(3) == 10L)
+    assert(out("a.example").getDouble(4) == 5.0)
+    assert(out("b.example").getLong(1) == 1L)
+    // authority keeps the port → a different host key
+    assert(out.contains("a.example:8080"))
+    assert(!out.contains(""))
+  }
+
   test("pack: sharding keeps per-shard streams independent and deterministic") {
     val docs = (1L to 40L).map(i =>
       (i, s"src${i % 2}", s"tok$i word$i")).toDF("doc_id", "source", "text")

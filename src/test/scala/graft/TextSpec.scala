@@ -137,4 +137,26 @@ class TextSpec extends AnyFunSuite {
       .map("%02x".format(_)).mkString
     assert(fp(0L) == expected)
   }
+
+  test("vocabularySampled: exact counts, partitioning-invariant, and " +
+      "recall of the exact top-k on the fixture corpus") {
+    val corpus = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val exact = TextAnalysis.vocabulary(corpus, k = 20).collect()
+      .map(r => (r.getAs[String]("term"), r.getAs[Long]("tf"),
+        r.getAs[Long]("df"), r.getAs[Long]("rank")))
+    val sampled = TextAnalysis.vocabularySampled(corpus, k = 20).collect()
+      .map(r => (r.getAs[String]("term"), r.getAs[Long]("tf"),
+        r.getAs[Long]("df"), r.getAs[Long]("rank")))
+    // tf/df are EXACT global counts (never sample-scaled), so any term in
+    // both results must carry identical counts; on this corpus the 30%
+    // sample's candidates cover the true top-20 entirely.
+    assert(sampled.toSeq == exact.toSeq)
+    // membership is a pure function of doc_id content hash → identical
+    // result under a different physical partitioning
+    val repart = TextAnalysis.vocabularySampled(corpus.repartition(7), k = 20)
+      .collect().map(r => (r.getAs[String]("term"), r.getAs[Long]("tf"),
+        r.getAs[Long]("df"), r.getAs[Long]("rank")))
+    assert(repart.toSeq == sampled.toSeq)
+  }
 }
