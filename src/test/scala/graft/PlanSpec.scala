@@ -70,6 +70,32 @@ class PlanSpec extends AnyFunSuite {
     // survives when stats are absent or the side is big-but-bounded)
   }
 
+  test("sampled vocabulary broadcasts the candidate set into the exact pass") {
+    val corpus = spark.read.parquet(s"$sf/documents.parquet")
+    val p = plan(graft.text.TextAnalysis.vocabularySampled(corpus, k = 20))
+    // the exact re-count must semi-prune the term stream with a broadcast
+    // of the (tiny) candidate table, never shuffle the full vocabulary
+    assert(p.contains("BroadcastHashJoin"),
+      s"expected broadcast candidate join:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"expected top-k operator, not a global sort:\n$p")
+  }
+
+  test("edit-distance verify stays inside whole-stage codegen") {
+    // parquet-backed input: a LocalRelation would be constant-folded by
+    // ConvertToLocalRelation and leave no Filter to audit
+    graft.functions.StringOps.register(spark)
+    val df = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("lang").as("a"), col("source").as("b"))
+      .filter(graft.functions.StringOps.edit_within(col("a"), col("b"), 1))
+    val p = plan(df)
+    // the predicate compiles into the codegen'd Filter ("*(n) Filter"),
+    // not a CodegenFallback wrapper around an interpreted expression
+    assert("\\*\\(\\d+\\) Filter".r.findAllIn(p).nonEmpty,
+      s"expected codegen'd filter:\n$p")
+    df.count() // executes the generated code path
+  }
+
   test("silver projection is a single codegen'd Project over the scan") {
     val df = graft.silver.TransactionsAdj(spark, sf)
     val qe = df.queryExecution
