@@ -37,14 +37,19 @@ object GraftSession {
       // suite keeps that warm state shareable across queries.
       .config("spark.sql.codegen.cache.maxEntries", "4000")
       // Whole-stage codegen deactivates above 100 plan fields by default
-      // — which silently drops the ~420-col feature aggregates and the
-      // ~1,270-col training-set assembly to interpreted projections.
-      // Measured at sf0.1 (warm): training_set 27.8→15.5s,
-      // household_commodity_features 15.0→5.7s once the wide operators
-      // stay codegen'd. 1600 covers the widest plan (assembly + keys)
-      // with headroom; compile cost of the bigger classes lands in the
-      // bench warm-up like every other codegen cost.
-      .config("spark.sql.codegen.maxFields", "1600")
+      // — which silently drops the ~420-col feature aggregates to
+      // interpreted projections. Measured at sf0.1 (warm): training_set
+      // 27.8→15.5s, household_commodity_features 15.0→5.7s once the wide
+      // aggregates stay codegen'd. The cap is 600, NOT "high enough for
+      // everything": the ~1,270-col training-set assembly spans (759 and
+      // 1,147 fields) EXCEED janino's 64 KB method limit — with a higher
+      // cap they enter codegen, fail to compile (uncached: fresh expr ids
+      // per execution), and fall back interpreted anyway, paying ~1s of
+      // wasted janino per execution (measured: min 5.98s vs 6.97s for the
+      // assembly with/without the doomed attempts). 600 keeps every span
+      // that CAN compile (widest observed ~450 fields) inside codegen and
+      // routes the impossible ones straight to the interpreted path.
+      .config("spark.sql.codegen.maxFields", "600")
       // events.parquet carries TIMESTAMP_NANOS, which Spark's parquet
       // reader rejects outright unless surfaced as raw BIGINT nanos;
       // EventOps owns the ns→timestamp conversion. Must be set before
