@@ -229,6 +229,34 @@ object EventQueries {
         |FROM e JOIN w ON e.ep BETWEEN w.w_start AND w.w_end
         |GROUP BY w.window_id, w.w_start""".stripMargin)),
 
+    // Semi-structured payload extraction: events carry a JSON `props`
+    // column (as real event logs do); pull `$.k` out per row
+    // (get_json_object — per-row codegen'd path evaluation, no shuffle)
+    // and aggregate per type. Missing keys surface as NULL in both
+    // engines and are counted, not dropped.
+    Entry(
+      "events_json_props",
+      (s, dir) => EventOps.events(s, dir)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"),
+          max(col("k")).as("max_k"),
+          count(when(col("k").isNull, lit(1))).as("n_missing")),
+      Some("""SELECT event_type,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+        |    AS sum_k,
+        |  CAST(MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+        |    AS min_k,
+        |  CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+        |    AS max_k,
+        |  COUNT(CASE WHEN json_extract(props, '$.k') IS NULL THEN 1 END)
+        |    AS n_missing
+        |FROM events GROUP BY event_type""".stripMargin)),
+
     // Per-user activity summary (events-table A2/A5 family).
     Entry(
       "user_activity",
