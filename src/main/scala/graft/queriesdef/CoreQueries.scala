@@ -237,6 +237,37 @@ object CoreQueries {
           approx_count_distinct(col("product_id")).as("approx_products")),
       None),
 
+    // Mergeable-sketch distinct counting: per-day HLL partials
+    // (hll_sketch_agg) unioned per commodity (hll_union_agg) — the
+    // incremental pattern for distinct metrics at 100 TB: a daily job
+    // stores KB-sized sketches, any window's distinct count is a merge
+    // of partials at read time, and the fact table is never rescanned.
+    // The result carries the estimate NEXT TO the exact count with the
+    // relative error, so the accuracy contract is visible in the output
+    // and pinned by SketchSpec; sketch internals have no SQL twin →
+    // rows-only driver check, like ann_ivf.
+    Entry(
+      "sketch_distinct_merge",
+      (s, dir) => {
+        val txc = graft.features.FeatureBuilder.txWithCommodity(s, dir)
+        val daily = txc.groupBy(col("commodity_desc"), col("day"))
+          .agg(hll_sketch_agg(col("household_key")).as("sk"))
+        val merged = daily.groupBy(col("commodity_desc"))
+          .agg(
+            hll_sketch_estimate(hll_union_agg(col("sk")))
+              .as("approx_households"),
+            count(lit(1)).as("n_days"))
+        val exact = txc.groupBy(col("commodity_desc"))
+          .agg(countDistinct(col("household_key")).as("exact_households"))
+        merged.join(exact, Seq("commodity_desc"))
+          .select(col("commodity_desc"), col("n_days"),
+            col("approx_households"), col("exact_households"),
+            round(abs(col("approx_households") - col("exact_households"))
+              .cast("double") / col("exact_households").cast("double"), 9)
+              .as("rel_err"))
+      },
+      None),
+
     // The general form of spend_rollup: GROUPING SETS with grouping()
     // markers (commodity totals, weekly totals, grand total in one pass —
     // Catalyst plans one Expand + one aggregate, not three scans).
