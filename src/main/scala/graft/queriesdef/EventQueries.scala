@@ -1,5 +1,6 @@
 package graft.queriesdef
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.QueryRegistry.Entry
 import graft.streaming.EventOps
@@ -228,6 +229,35 @@ object EventQueries {
         |  ${Oracle.dsum("e.value", "sum_value")}
         |FROM e JOIN w ON e.ep BETWEEN w.w_start AND w.w_end
         |GROUP BY w.window_id, w.w_start""".stripMargin)),
+
+    // Time-based trailing window (RANGE frame): per-user count/sum over
+    // the trailing HOUR of event time — row frames (user_rolling) cover
+    // a fixed number of events; range frames cover a wall-clock span
+    // regardless of event density (the rate-limiting / activity-burst
+    // feature). Same one-shuffle-one-sort execution as the row-frame
+    // windows; equal-timestamp peers are all in-frame in both engines,
+    // so the result is order-independent. Decimal sums keep the floats
+    // engine-exact.
+    Entry(
+      "user_trailing_1h",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ep"))
+          .rangeBetween(-3599L, 0L)
+        EventOps.events(s, dir)
+          .withColumn("ep", unix_timestamp(col("ts")))
+          .select(col("event_id"), col("user_id"), col("ts"), col("ep"),
+            count(lit(1)).over(w).as("n_1h"),
+            sum(col("value").cast("decimal(18,4)")).over(w)
+              .cast("double").as("sum_1h"))
+      },
+      Some(s"""WITH $evCte,
+        |e AS (SELECT *, CAST(epoch(ts) AS BIGINT) AS ep FROM ev)
+        |SELECT event_id, user_id, ts, ep,
+        |  COUNT(*) OVER w AS n_1h,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS sum_1h
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ep
+        |  RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)""".stripMargin)),
 
     // Semi-structured payload extraction: events carry a JSON `props`
     // column (as real event logs do); pull `$.k` out per row
