@@ -848,6 +848,35 @@ object TextQueries {
         |    AS boilerplate_ratio
         |FROM s""".stripMargin)),
 
+    // Boilerplate removal with document reconstruction: strip every
+    // corpus-repeated passage and reassemble the survivors in passage
+    // order (array_sort over per-doc structs — no window sort). The
+    // rewritten TEXT itself is hash-verified, not just the counts.
+    Entry(
+      "boilerplate_clean",
+      (s, dir) => graft.text.Boilerplate.clean(docs(s, dir), p = 3, minDocs = 2),
+      Some("""WITH d AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, i AS passage_idx,
+        |    array_to_string(ws[(i*3+1):((i+1)*3)], ' ') AS passage
+        |  FROM (SELECT doc_id, ws,
+        |          unnest(generate_series(0,
+        |            CAST(ceil(len(ws) / 3.0) AS BIGINT) - 1)) AS i
+        |        FROM d WHERE len(ws) > 0) t),
+        |f AS (SELECT passage, count(DISTINCT doc_id) AS nd
+        |      FROM p GROUP BY passage),
+        |k AS (SELECT p.doc_id, p.passage_idx, p.passage
+        |      FROM p JOIN f USING (passage) WHERE f.nd < 2)
+        |SELECT d0.doc_id,
+        |  COALESCE(string_agg(k.passage, ' ' ORDER BY k.passage_idx), '')
+        |    AS text_clean
+        |FROM (SELECT doc_id FROM documents) d0
+        |LEFT JOIN k ON d0.doc_id = k.doc_id
+        |GROUP BY d0.doc_id""".stripMargin)),
+
     // Multimodal plumbing: batched stub feature extraction (rows-only).
     Entry(
       "multimodal_features",
