@@ -98,6 +98,77 @@ object SimilarityQueries {
         |  FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id)
         |SELECT * FROM p WHERE cos >= 0.4""".stripMargin)),
 
+    // Hybrid retrieve-then-rerank (the RAG candidate-fusion shape):
+    // vector recall brings 10 candidates per query, then a fused score —
+    // 0.8·cosine + 0.2·document quality (stopword-ratio prose signal,
+    // embeddings align 1:1 with documents via vec_id = doc_id) — picks
+    // the final 5. Richer signals are only ever computed on the k
+    // candidates, never the corpus; the quality side is a doc-keyed
+    // broadcast join onto the tiny candidate set. Fused scores are
+    // rounded to 9 decimals BEFORE the re-rank on both engines so a
+    // last-ulp double cannot flip an ordering.
+    Entry(
+      "hybrid_rerank",
+      (s, dir) => {
+        val emb = Catalog.table(s, dir, "embeddings")
+        val cand = Similarity.bruteForceTopK(
+          emb.filter(col("vec_id") < 20), emb, k = 10)
+          .select(col("query_id"), col("neighbor_id"), col("cos"))
+        val docs = Catalog.table(s, dir, "documents")
+        val quality = docs.select(col("doc_id"),
+          graft.text.TextAnalysis.tokensWs(col("text")).as("tok"),
+          graft.text.TextAnalysis.wordHits(col("text"),
+            graft.text.TextAnalysis.stopwords).as("stop"))
+          .select(col("doc_id"),
+            when(col("tok") > 0,
+              round(col("stop").cast("double") / col("tok").cast("double"), 9))
+              .otherwise(0.0).as("quality"))
+        val fused = cand
+          .join(quality, cand("neighbor_id") === quality("doc_id"))
+          .select(col("query_id"), col("neighbor_id"), col("cos"),
+            col("quality"),
+            round(lit(0.8) * col("cos") + lit(0.2) * col("quality"), 9)
+              .as("fused"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id"))
+          .orderBy(col("fused").desc, col("neighbor_id"))
+        fused.withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 5)
+      },
+      Some(s"""WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    ${cosSql("q", "c")} AS cos
+        |  FROM q, embeddings c WHERE q.vec_id <> c.vec_id),
+        |cand AS (
+        |  SELECT query_id, neighbor_id, cos FROM (
+        |    SELECT *, ROW_NUMBER() OVER (
+        |      PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS r0
+        |    FROM scored) WHERE r0 <= 10),
+        |qual AS (
+        |  SELECT doc_id,
+        |    CASE WHEN tok > 0
+        |      THEN round(CAST(stop AS DOUBLE) / CAST(tok AS DOUBLE), 9)
+        |      ELSE 0.0 END AS quality
+        |  FROM (
+        |    SELECT doc_id,
+        |      CAST(length(regexp_extract_all(trim(text), '\\S+')) AS BIGINT)
+        |        AS tok,
+        |      CAST(length(regexp_extract_all(text, '\\b(the|a)\\b')) AS BIGINT)
+        |        AS stop
+        |    FROM documents)),
+        |fused AS (
+        |  SELECT t.query_id, t.neighbor_id, t.cos, u.quality,
+        |    round(0.8 * t.cos + 0.2 * u.quality, 9) AS fused
+        |  FROM cand t JOIN qual u ON t.neighbor_id = u.doc_id),
+        |ranked AS (
+        |  SELECT *, CAST(ROW_NUMBER() OVER (
+        |    PARTITION BY query_id ORDER BY fused DESC, neighbor_id)
+        |    AS BIGINT) AS rank
+        |  FROM fused)
+        |SELECT query_id, neighbor_id, cos, quality, fused, rank
+        |FROM ranked WHERE rank <= 5""".stripMargin)),
+
     // IVF-bucketed ANN (scale path; approximate ⇒ rows-only, recall
     // covered by SimilaritySpec against brute force).
     Entry(
