@@ -5,6 +5,13 @@ package graft.queriesdef
   * Conventions that make hash-matching deterministic across engines:
   *  - integer outputs are BIGINT on both sides (DuckDB `count` is BIGINT,
   *    Spark `sum(long)`/`count` are LongType; anything else is cast),
+  *  - CAUTION: DuckDB `SUM` over any integer type — including window
+  *    SUMs — returns HUGEINT (INT128), which pandas surfaces as float64
+  *    and the driver's value hash then mismatches Spark's int64 even when
+  *    every value is equal (bit the round-5 pack_sequences /
+  *    token_budget_mix oracles; the local check.py compares with
+  *    check_dtype=False and will NOT catch it). Wrap every integer SUM —
+  *    plain or windowed — in CAST(... AS BIGINT),
   *  - money aggregates go through `SUM(CAST(x AS DECIMAL(18,4)))` then back
   *    to DOUBLE — decimal addition is exact so the result is independent of
   *    partial-aggregate combine order on either engine,
