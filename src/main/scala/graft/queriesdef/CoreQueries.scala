@@ -332,6 +332,73 @@ object CoreQueries {
         |    AS decile
         |FROM sp""".stripMargin)),
 
+    // Market-basket pair co-occurrence with support pruning and lift
+    // (Apriori passes 1-2 as one plan — see BasketPairs scaladoc for the
+    // scale shape). Integer products in the lift stay below 2^53 so the
+    // single double division is bit-identical across engines.
+    Entry(
+      "basket_pairs",
+      (s, dir) =>
+        graft.ops.BasketPairs.topPairs(TransactionsAdj(s, dir), 25, 100),
+      Some(s"""WITH ${Oracle.txAdj},
+        |items AS (
+        |  SELECT DISTINCT basket_id, product_id FROM transactions_adj),
+        |freq AS (
+        |  SELECT product_id, count(*) AS n_baskets
+        |  FROM items GROUP BY product_id HAVING count(*) >= 25),
+        |total AS (
+        |  SELECT COUNT(DISTINCT basket_id) AS n_total FROM items),
+        |pruned AS (
+        |  SELECT i.basket_id, i.product_id, f.n_baskets
+        |  FROM items i JOIN freq f ON i.product_id = f.product_id)
+        |SELECT a.product_id AS pa, b.product_id AS pb,
+        |  count(*) AS n_pair, a.n_baskets AS na, b.n_baskets AS nb,
+        |  (CAST(count(*) AS DOUBLE) * CAST(t.n_total AS DOUBLE)) /
+        |    (CAST(a.n_baskets AS DOUBLE) * CAST(b.n_baskets AS DOUBLE))
+        |    AS lift
+        |FROM pruned a
+        |JOIN pruned b
+        |  ON a.basket_id = b.basket_id AND a.product_id < b.product_id
+        |CROSS JOIN total t
+        |GROUP BY a.product_id, b.product_id, a.n_baskets, b.n_baskets,
+        |  t.n_total
+        |ORDER BY n_pair DESC, pa, pb LIMIT 100""".stripMargin)),
+
+    // W-family completion: percent_rank + cume_dist, PARTITIONED by
+    // commodity so no window sees more than one group's rows (a global
+    // ORDER BY window would funnel the whole table through one task at
+    // scale). The (spend, household_key) ordering is tie-free, so both
+    // rank functions are deterministic on both engines.
+    Entry(
+      "spend_percent_rank",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val products = Retail.products(s, dir)
+          .select("product_id", "commodity_desc")
+        val txc = TransactionsAdj(s, dir)
+          .join(broadcast(products), Seq("product_id"))
+        val spend = txc.groupBy("commodity_desc", "household_key")
+          .agg(sum(col("amount_paid").cast("decimal(18,4)")).cast("double")
+            .as("spend"))
+        val w = Window.partitionBy("commodity_desc")
+          .orderBy(col("spend"), col("household_key"))
+        spend.select(
+          col("commodity_desc"), col("household_key"), col("spend"),
+          percent_rank().over(w).as("spend_pr"),
+          cume_dist().over(w).as("spend_cd"))
+      },
+      Some(s"""WITH ${Oracle.txCommodity},
+        |sp AS (
+        |  SELECT commodity_desc, household_key,
+        |    ${Oracle.dsum("amount_paid", "spend")}
+        |  FROM txc GROUP BY commodity_desc, household_key)
+        |SELECT commodity_desc, household_key, spend,
+        |  percent_rank() OVER (PARTITION BY commodity_desc
+        |    ORDER BY spend, household_key) AS spend_pr,
+        |  cume_dist() OVER (PARTITION BY commodity_desc
+        |    ORDER BY spend, household_key) AS spend_cd
+        |FROM sp""".stripMargin)),
+
     // One-pass column profiler (Deequ-style data-quality staple): per
     // column, row/null counts + typed min/max, long form. ONE algebraic
     // aggregation over the table; the pivot is a stack over the single
