@@ -96,6 +96,23 @@ class PlanSpec extends AnyFunSuite {
     df.count() // executes the generated code path
   }
 
+  test("basket pairs: single-lineage plan, no self-join, broadcast supports") {
+    val tx = graft.silver.TransactionsAdj(spark, sf)
+    val df = graft.ops.BasketPairs.topPairs(tx, 2, 10)
+    df.queryExecution.toRdd.count() // finalize AQE stages
+    // the AQE toString appends an "== Initial Plan ==" copy; audit Final only
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // pair generation is the per-basket explode, not a basket_id self-join
+    assert(!p.contains("SortMergeJoin"), s"unexpected self-join:\n$p")
+    // support counts and the basket total both arrive by broadcast
+    assert("BroadcastExchange".r.findAllIn(p).size >= 2,
+      s"expected broadcast supports + total:\n$p")
+    // the fact-level distinct (basket_id, product_id) exchange exists once
+    // per consumer (freq + sets = 2), never the 4 copies of a self-join plan
+    assert("hashpartitioning\\(basket_id#\\d+L, product_id".r
+      .findAllIn(p).size <= 2, s"distinct-items lineage duplicated:\n$p")
+  }
+
   test("silver projection is a single codegen'd Project over the scan") {
     val df = graft.silver.TransactionsAdj(spark, sf)
     val qe = df.queryExecution
