@@ -399,6 +399,49 @@ object CoreQueries {
         |    ORDER BY spend, household_key) AS spend_cd
         |FROM sp""".stripMargin)),
 
+    // Declarative data-quality gate (Deequ-style): named aggregate
+    // observations with acceptance bands, one aggregation pass, long-form
+    // report (see Expectations scaladoc). Oracle mirrors the observation
+    // expressions and the band logic per check via UNION ALL.
+    Entry(
+      "quality_expectations",
+      (s, dir) => {
+        import graft.ops.Expectations._
+        report(TransactionsAdj(s, dir), Seq(
+          size(100),
+          completeness("household_key", 1.0),
+          uniqueness(Seq("basket_id", "product_id"), 0.9),
+          minOf("amount_list", 0.0),
+          maxOf("units", 100.0)))
+      },
+      Some(s"""WITH ${Oracle.txAdj},
+        |one AS (
+        |  SELECT
+        |    CAST(count(*) AS DOUBLE) AS c0,
+        |    CAST(count(household_key) AS DOUBLE)
+        |      / CAST(count(*) AS DOUBLE) AS c1,
+        |    CAST(COUNT(DISTINCT (basket_id, product_id)) AS DOUBLE)
+        |      / CAST(count(*) AS DOUBLE) AS c2,
+        |    CAST(min(amount_list) AS DOUBLE) AS c3,
+        |    CAST(max(units) AS DOUBLE) AS c4
+        |  FROM transactions_adj),
+        |long AS (
+        |  SELECT 'size' AS check_name, c0 AS observed,
+        |    CAST(100.0 AS DOUBLE) AS lo, CAST(NULL AS DOUBLE) AS hi FROM one
+        |  UNION ALL SELECT 'completeness(household_key)', c1,
+        |    CAST(1.0 AS DOUBLE), CAST(1.0 AS DOUBLE) FROM one
+        |  UNION ALL SELECT 'uniqueness(basket_id,product_id)', c2,
+        |    CAST(0.9 AS DOUBLE), CAST(1.0 AS DOUBLE) FROM one
+        |  UNION ALL SELECT 'min(amount_list)', c3,
+        |    CAST(0.0 AS DOUBLE), CAST(NULL AS DOUBLE) FROM one
+        |  UNION ALL SELECT 'max(units)', c4,
+        |    CAST(NULL AS DOUBLE), CAST(100.0 AS DOUBLE) FROM one)
+        |SELECT check_name, observed, lo, hi,
+        |  observed IS NOT NULL
+        |    AND (lo IS NULL OR observed >= lo)
+        |    AND (hi IS NULL OR observed <= hi) AS pass
+        |FROM long""".stripMargin)),
+
     // One-pass column profiler (Deequ-style data-quality staple): per
     // column, row/null counts + typed min/max, long form. ONE algebraic
     // aggregation over the table; the pivot is a stack over the single

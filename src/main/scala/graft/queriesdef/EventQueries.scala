@@ -300,5 +300,45 @@ object EventQueries {
         |  max(ts) AS last_seen,
         |  CAST(datediff('day', CAST(max(ts) AS DATE),
         |    (SELECT max_day FROM gm)) AS BIGINT) AS days_since_last
-        |FROM ev GROUP BY user_id""".stripMargin)))
+        |FROM ev GROUP BY user_id""".stripMargin)),
+
+    // Snapshot reconciliation between two sliding activity windows —
+    // SINGLE conditional aggregation, no full-outer join (see
+    // SnapshotDiff scaladoc). Decimal-exact sums make the `changed`
+    // comparison engine-deterministic.
+    Entry(
+      "snapshot_diff",
+      (s, dir) => {
+        val ev = EventOps.events(s, dir)
+        val inA = col("ts") >= lit("2024-01-01").cast("timestamp") &&
+          col("ts") < lit("2024-01-03").cast("timestamp")
+        val inB = col("ts") >= lit("2024-01-02").cast("timestamp") &&
+          col("ts") < lit("2024-01-04").cast("timestamp")
+        graft.ops.SnapshotDiff.diff(ev, Seq("user_id"), col("value"), inA, inB)
+      },
+      Some(s"""WITH $evCte,
+        |t AS (
+        |  SELECT *,
+        |    ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-03'
+        |      AS in_a,
+        |    ts >= TIMESTAMP '2024-01-02' AND ts < TIMESTAMP '2024-01-04'
+        |      AS in_b
+        |  FROM ev)
+        |SELECT user_id,
+        |  COUNT(CASE WHEN in_a THEN 1 END) AS n_a,
+        |  CAST(SUM(CASE WHEN in_a THEN CAST(value AS DECIMAL(18,4)) END)
+        |    AS DOUBLE) AS amt_a,
+        |  COUNT(CASE WHEN in_b THEN 1 END) AS n_b,
+        |  CAST(SUM(CASE WHEN in_b THEN CAST(value AS DECIMAL(18,4)) END)
+        |    AS DOUBLE) AS amt_b,
+        |  CASE WHEN COUNT(CASE WHEN in_a THEN 1 END) = 0 THEN 'added'
+        |       WHEN COUNT(CASE WHEN in_b THEN 1 END) = 0 THEN 'removed'
+        |       WHEN COUNT(CASE WHEN in_a THEN 1 END)
+        |              <> COUNT(CASE WHEN in_b THEN 1 END)
+        |         OR CAST(SUM(CASE WHEN in_a THEN CAST(value AS DECIMAL(18,4)) END) AS DOUBLE)
+        |              <> CAST(SUM(CASE WHEN in_b THEN CAST(value AS DECIMAL(18,4)) END) AS DOUBLE)
+        |         THEN 'changed'
+        |       ELSE 'unchanged' END AS status
+        |FROM t WHERE in_a OR in_b
+        |GROUP BY user_id""".stripMargin)))
 }
