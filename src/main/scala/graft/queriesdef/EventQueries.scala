@@ -302,6 +302,55 @@ object EventQueries {
         |    (SELECT max_day FROM gm)) AS BIGINT) AS days_since_last
         |FROM ev GROUP BY user_id""".stripMargin)),
 
+    // SCD Type 2 build: per-user daily value tier collapsed into validity
+    // intervals (gaps-and-islands; see Scd scaladoc) — the dimension shape
+    // the as-of lookup (pit_asof_lookup) resolves against. Tier comes from
+    // a decimal-exact daily sum, so the threshold CASE is engine-stable.
+    Entry(
+      "scd2_tiers",
+      (s, dir) => {
+        val daily = EventOps.events(s, dir)
+          .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+          .agg(sum(col("value").cast("decimal(18,4)")).cast("double")
+            .as("daily_value"))
+          .withColumn("tier",
+            when(col("daily_value") >= 150, "high")
+              .when(col("daily_value") >= 60, "mid").otherwise("low"))
+        graft.ops.Scd.type2(
+          daily.select("user_id", "day", "tier"), Seq("user_id"), "day", "tier")
+      },
+      Some(s"""WITH $evCte,
+        |daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day,
+        |    ${Oracle.dsum("value", "daily_value")}
+        |  FROM ev GROUP BY user_id, CAST(ts AS DATE)),
+        |tiers AS (
+        |  SELECT user_id, day,
+        |    CASE WHEN daily_value >= 150 THEN 'high'
+        |         WHEN daily_value >= 60 THEN 'mid'
+        |         ELSE 'low' END AS tier
+        |  FROM daily),
+        |flagged AS (
+        |  SELECT *,
+        |    CASE WHEN ROW_NUMBER() OVER w = 1 THEN 1
+        |         WHEN tier IS NOT DISTINCT FROM LAG(tier) OVER w THEN 0
+        |         ELSE 1 END AS chg
+        |  FROM tiers
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY day)),
+        |islands AS (
+        |  SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY day
+        |    ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM flagged),
+        |runs AS (
+        |  SELECT user_id, island, min(tier) AS tier,
+        |    min(day) AS valid_from, count(*) AS n_obs
+        |  FROM islands GROUP BY user_id, island)
+        |SELECT user_id, tier, valid_from,
+        |  LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+        |    AS valid_to,
+        |  n_obs
+        |FROM runs""".stripMargin)),
+
     // Snapshot reconciliation between two sliding activity windows —
     // SINGLE conditional aggregation, no full-outer join (see
     // SnapshotDiff scaladoc). Decimal-exact sums make the `changed`
