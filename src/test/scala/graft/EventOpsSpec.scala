@@ -18,6 +18,41 @@ class EventOpsSpec extends AnyFunSuite {
     (5L, ts("2024-01-02 09:00:00"), 200L, "click", 5.0, "")
   ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
 
+  test("events reader surfaces both fixture ts encodings identically") {
+    // Fixture generations have drifted between TIMESTAMP(NANOS) (read as
+    // an epoch-nano LONG under the nanosAsLong conf) and TIMESTAMP(MICROS);
+    // the round-5 regeneration broke 11 queries. Pin both branches: the
+    // same instants written as micros timestamps and as nano longs must
+    // read back as the same second-truncated timestamps.
+    import org.apache.spark.sql.functions._
+    val base = java.time.Instant.parse("2024-01-01T10:00:00.123456Z")
+    val instants = (0 until 5).map(i => base.plusSeconds(i * 90))
+    def dirFor(name: String): String =
+      s"/tmp/graft-test-events-$name-${System.nanoTime()}"
+    val microsDir = dirFor("micros")
+    instants.zipWithIndex
+      .map { case (t, i) => (i.toLong, Timestamp.from(t), i.toLong,
+        "click", 1.0, "") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$microsDir/events.parquet")
+    val nanosDir = dirFor("nanos")
+    instants.zipWithIndex
+      .map { case (t, i) => (i.toLong,
+        t.getEpochSecond * 1000000000L + t.getNano, i.toLong,
+        "click", 1.0, "") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$nanosDir/events.parquet")
+    def read(dir: String): Seq[(Long, Timestamp)] =
+      EventOps.events(spark, dir).select("event_id", "ts")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1))).toSeq.sortBy(_._1)
+    val m = read(microsDir)
+    val n = read(nanosDir)
+    assert(m == n, s"micros=$m nanos=$n")
+    // second truncation: the .123456 fraction is gone
+    assert(m.head._2 == Timestamp.from(
+      java.time.Instant.parse("2024-01-01T10:00:00Z")))
+  }
+
   test("rollingFeatures: lag, 3-event window, running total, index") {
     val out = EventOps.rollingFeatures(ev).collect()
       .map(r => r.getAs[Long]("event_id") -> r).toMap
