@@ -450,7 +450,57 @@ object CoreQueries {
     Entry(
       "table_profile",
       (s, dir) => graft.ops.Profile.table(Catalog.table(s, dir, "lineitem")),
-      Some(graft.ops.Profile.oracleSql("lineitem", ProfileOracle.lineitemCols))))
+      Some(graft.ops.Profile.oracleSql("lineitem", ProfileOracle.lineitemCols))),
+
+    // Bloom-pruned semi join (ops.BloomPrune): the fact side is filtered
+    // by a sketch of the dim's keys BEFORE the join exchange, then an
+    // exact semi join removes false positives — so the oracle is the
+    // plain semi join (the Bloom pass is shuffle-volume engineering,
+    // invisible in the result). BloomPruneSpec pins the pre-exchange
+    // placement of the might_contain filter.
+    Entry(
+      "bloom_semi_prune",
+      (s, dir) => {
+        val small = Catalog.table(s, dir, "part")
+          .filter(col("p_size") >= 48).select("p_partkey")
+        graft.ops.BloomPrune.prunedSemiJoin(
+            Catalog.table(s, dir, "lineitem"), small,
+            "l_partkey", "p_partkey", expectedItems = 100000L)
+          .groupBy("l_returnflag")
+          .agg(
+            count(lit(1)).as("n_rows"),
+            sum(col("l_extendedprice").cast("decimal(18,4)")).cast("double")
+              .as("sum_price"))
+      },
+      Some(s"""SELECT l_returnflag, COUNT(*) AS n_rows,
+        |  ${Oracle.dsum("l_extendedprice", "sum_price")}
+        |FROM lineitem
+        |WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size >= 48)
+        |GROUP BY l_returnflag""".stripMargin)),
+
+    // Z-order layout key (ops.ZOrder): per-bucket envelope stats of the
+    // Morton-interleaved (ship-day, store) grid — each zbucket is a
+    // contiguous z-range (≈ one file of the sorted layout) and the
+    // min/max columns are the file-skipping statistics the layout buys.
+    // Day numbers are bounded by the fixture horizon (< 4096); store ids
+    // are folded into the 12-bit grid (documented grid mapping).
+    Entry(
+      "zorder_layout",
+      (s, dir) => {
+        val t = Catalog.table(s, dir, "lineitem").select(
+          datediff(to_date(col("l_shipdate")), lit("1995-01-01").cast("date"))
+            .cast("long").as("d_day"),
+          (col("l_suppkey") % 4096).as("d_supp"))
+        graft.ops.ZOrder.bucketStats(
+          t, Seq("d_day", "d_supp"), bits = 12, bucketBits = 8)
+      },
+      Some(s"""WITH t AS (
+        |  SELECT CAST(datediff('day', DATE '1995-01-01',
+        |      CAST(l_shipdate AS DATE)) AS BIGINT) AS d_day,
+        |    l_suppkey % 4096 AS d_supp
+        |  FROM lineitem)
+        |${graft.ops.ZOrder.bucketStatsSql("t", Seq("d_day", "d_supp"),
+             bits = 12, bucketBits = 8)}""".stripMargin)))
 }
 
 /** Fixture lineitem schema for the `table_profile` oracle (name, isNumeric);

@@ -55,6 +55,50 @@ object EventQueries {
         |  ${Oracle.dsum("value", "session_value")}
         |FROM s GROUP BY user_id, session_seq""".stripMargin)),
 
+    // Native session-window TVF: the same 30-minute-gap sessions via
+    // Spark's session_window() — the idiomatic form (and the one that
+    // runs unchanged under readStream with merging session state).
+    // Boundary semantics differ from the gaps-and-islands form by one
+    // instant: session_window merges while the next event starts BEFORE
+    // the current window's end (gap < 1800), i.e. breaks at diff >= 1800,
+    // and the session end is last_ts + gap — the oracle encodes exactly
+    // that. Execution is the same one-shuffle-one-sort per user_id as the
+    // window form; session state is bounded by the gap, not the history.
+    Entry(
+      "sessionize_native",
+      (s, dir) => EventOps.events(s, dir)
+        .groupBy(col("user_id"),
+          session_window(col("ts"), "30 minutes").as("w"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,4)")).cast("double")
+            .as("session_value"))
+        .select(col("user_id"),
+          col("w.start").as("session_start"),
+          col("w.end").as("session_end"),
+          col("n_events"), col("session_value")),
+      Some(s"""WITH $evCte,
+        |g AS (
+        |  SELECT *, CAST(epoch(ts) AS BIGINT) AS ep,
+        |    LAG(CAST(epoch(ts) AS BIGINT)) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id) AS pep
+        |  FROM ev),
+        |n AS (
+        |  SELECT *, CASE WHEN pep IS NULL OR ep - pep >= 1800
+        |    THEN 1 ELSE 0 END AS new_session
+        |  FROM g),
+        |s AS (
+        |  SELECT *, SUM(new_session) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS session_seq
+        |  FROM n)
+        |SELECT user_id,
+        |  min(ts) AS session_start,
+        |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+        |  COUNT(*) AS n_events,
+        |  ${Oracle.dsum("value", "session_value")}
+        |FROM s GROUP BY user_id, session_seq""".stripMargin)),
+
     // Sliding-window aggregate: 1-hour windows every 15 minutes — each
     // event lands in 4 overlapping windows (window(ts, '1 hour', '15 min')).
     // Oracle enumerates the same 4 epoch-aligned starts per event.
