@@ -66,7 +66,6 @@ object FuzzyJoin {
     graft.functions.StringOps.register(df.sparkSession)
     l.join(r, col("l.k") === col("r.k") && col("l.name") < col("r.name"))
       .select(col("l.name").as("name_a"), col("r.name").as("name_b"))
-      .distinct()
       // Verify with the bounded kernel, not `levenshtein(...) <= 1`: the
       // built-in runs the full O(|a|·|b|) DP (plus two array allocations)
       // per candidate pair, and this predicate IS the join's hot loop —
@@ -74,8 +73,17 @@ object FuzzyJoin {
       // (graft.functions.EditDistanceImpl). Survivors need no second
       // distance evaluation: name_a < name_b is strict, so name_a ≠
       // name_b ⇒ dist ≥ 1, and the predicate caps it at 1 ⇒ dist ≡ 1.
+      //
+      // Verify BEFORE the pair-distinct: a true pair appears once per
+      // shared deletion key (up to len+1 times), so the kernel runs on
+      // a few duplicate candidates — but the distinct then shuffles only
+      // TRUE pairs, not the whole candidate stream. Map-side CPU traded
+      // for exchange volume; the survivors' distinct collapses map-side
+      // anyway (partial aggregate), so the exchange carries near-final
+      // cardinality.
       .filter(graft.functions.StringOps.edit_within(
         col("name_a"), col("name_b"), 1))
+      .distinct()
       .select(col("name_a"), col("name_b"), lit(1L).as("dist"))
   }
 }
