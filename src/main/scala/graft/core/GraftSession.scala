@@ -21,6 +21,10 @@ object GraftSession {
   def builder(master: String, shufflePartitions: Int): SparkSession.Builder =
     SparkSession.builder()
       .master(master)
+      // custom Catalyst functions (graft_dot, graft_edit_within, bloom
+      // sketch/probe) injected at build time — part of the SQL surface,
+      // not an imperative afterthought (see GraftExtensions)
+      .config("spark.sql.extensions", classOf[GraftExtensions].getName)
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
