@@ -886,5 +886,86 @@ object TextQueries {
         out.toDF().select(col("asset_id"), col("media_type"),
           col("n_bytes"), col("n_frames_sampled"))
       },
-      None))
+      None),
+
+    // The full curation chain as ONE lineage — quality gate → exact-dedup
+    // survivors → eval-set decontamination (src3 held out) → per-source
+    // token budgets — the end-to-end shape a pre-training data pipeline
+    // actually runs, hash-verified against the same chain in DuckDB.
+    // Every stage stays lazy (semi joins on doc_id; no action between
+    // stages), so Catalyst plans the whole pipeline at once: the doc_id
+    // key-filters collapse onto the scan side, and the only wide
+    // exchanges are the three the stages inherently need (content-hash
+    // group, gram index join, per-source running sum).
+    Entry(
+      "corpus_pipeline",
+      (s, dir) => {
+        val d = docs(s, dir)
+        val q = TextAnalysis.qualityFiltered(d)
+          .filter(col("quality_pass")).select("doc_id")
+        val qd = d.join(q, Seq("doc_id"), "left_semi")
+        val canon = Dedup.exact(qd)
+          .select(col("canonical_doc_id").as("doc_id"))
+        val dd = qd.join(canon, Seq("doc_id"), "left_semi")
+        val train = dd.filter(col("source") =!= "src3")
+        val hold = d.filter(col("source") === "src3")
+        val clean = train.join(
+          graft.text.Curation.decontaminate(train, hold, n = 5)
+            .filter(!col("contaminated")).select("doc_id"),
+          Seq("doc_id"), "left_semi")
+        graft.ops.TokenBudget.select(
+          TextAnalysis.stats(clean).select("doc_id", "source", "n_tokens"),
+          "doc_id", "source", "n_tokens",
+          Map("src0" -> 4000L, "src1" -> 2500L, "src2" -> 1200L))
+      },
+      Some(s"""WITH st AS (
+        |  SELECT doc_id,
+        |    CAST(length(text) AS BIGINT) AS n_chars,
+        |    ${reCount("trim(text)", """\S+""")} AS n_tokens,
+        |    ${reCount("text", """\b(the|a)\b""")} AS n_stopwords
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id FROM st
+        |  WHERE n_tokens >= 20
+        |    AND CAST(n_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE) <= 12.0
+        |    AND CAST(n_stopwords AS DOUBLE) / CAST(n_tokens AS DOUBLE) >= 0.0),
+        |qd AS (SELECT d.* FROM documents d JOIN q USING (doc_id)),
+        |canon AS (
+        |  SELECT min(doc_id) AS doc_id FROM qd GROUP BY md5(text)),
+        |dd AS (SELECT qd.* FROM qd JOIN canon USING (doc_id)),
+        |trw AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+        |  FROM dd WHERE source <> 'src3'),
+        |trg AS (
+        |  SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS gram
+        |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 4)) AS i
+        |        FROM trw WHERE len(w) >= 5) t),
+        |evw AS (
+        |  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS w
+        |  FROM documents WHERE source = 'src3'),
+        |evg AS (
+        |  SELECT DISTINCT array_to_string(w[i:i+4], ' ') AS gram
+        |  FROM (SELECT w, unnest(generate_series(1, len(w) - 4)) AS i
+        |        FROM evw WHERE len(w) >= 5) t),
+        |contam AS (SELECT DISTINCT trg.doc_id FROM trg JOIN evg USING (gram)),
+        |clean AS (
+        |  SELECT dd.* FROM dd WHERE source <> 'src3'
+        |    AND doc_id NOT IN (SELECT doc_id FROM contam)),
+        |t AS (
+        |  SELECT doc_id, source,
+        |    ${reCount("trim(text)", """\S+""")} AS n_tokens,
+        |    ${graft.ops.HashSplit.bucketSql("doc_id", 1000)} AS bucket
+        |  FROM clean),
+        |c AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    COALESCE(CAST(SUM(n_tokens) OVER (PARTITION BY source
+        |      ORDER BY bucket, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+        |      AS tokens_before,
+        |    CASE source WHEN 'src0' THEN 4000 WHEN 'src1' THEN 2500
+        |      WHEN 'src2' THEN 1200 END AS budget
+        |  FROM t)
+        |SELECT doc_id, source, n_tokens,
+        |  CAST(tokens_before AS BIGINT) AS tokens_before
+        |FROM c WHERE budget IS NOT NULL AND tokens_before < budget""".stripMargin)))
 }
