@@ -892,29 +892,66 @@ object TextQueries {
     // survivors → eval-set decontamination (src3 held out) → per-source
     // token budgets — the end-to-end shape a pre-training data pipeline
     // actually runs, hash-verified against the same chain in DuckDB.
-    // Every stage stays lazy (semi joins on doc_id; no action between
-    // stages), so Catalyst plans the whole pipeline at once: the doc_id
-    // key-filters collapse onto the scan side, and the only wide
-    // exchanges are the three the stages inherently need (content-hash
-    // group, gram index join, per-source running sum).
+    //
+    // Structured for SINGLE-EXPANSION references: DataFrame lineage has
+    // no common-subexpression sharing, so the textbook composition
+    // (each stage semi-joining the previous stage's frame) re-expands
+    // the whole upstream chain at every reference — measured 26
+    // document scans / 25 joins for this 4-stage chain. Instead, every
+    // stage derives from ONE per-row base projection (quality flags are
+    // per-row; canonical and contaminated doc_id KEY SETS are computed
+    // once each) and the final pass filters base against the two key
+    // sets. Plan: 4 scans of `documents` (base ×3 consumers + the
+    // held-out gram side), one content-hash aggregate, one gram-index
+    // join, two key-set joins, the budget window — the same exchanges
+    // the stages inherently need, nothing re-derived.
     Entry(
       "corpus_pipeline",
       (s, dir) => {
         val d = docs(s, dir)
-        val q = TextAnalysis.qualityFiltered(d)
-          .filter(col("quality_pass")).select("doc_id")
-        val qd = d.join(q, Seq("doc_id"), "left_semi")
-        val canon = Dedup.exact(qd)
+        // per-row base retaining text (downstream stages need it for the
+        // content hash and the gram explode): quality formulas inlined
+        // from TextAnalysis.qualityFiltered's defaults, so each reference
+        // is exactly one scan + one codegen'd projection
+        val t = col("text")
+        val nTokens = TextAnalysis.tokensWs(t)
+        val nChars = length(t).cast("long")
+        val nStop = TextAnalysis.wordHits(t, TextAnalysis.stopwords)
+        val avgLen = when(nTokens > 0,
+          nChars.cast("double") / nTokens.cast("double")).otherwise(0.0)
+        val stopRatio = when(nTokens > 0,
+          nStop.cast("double") / nTokens.cast("double")).otherwise(0.0)
+        val qd = d
+          .select(col("doc_id"), col("source"), t, nTokens.as("n_tokens"),
+            (nTokens >= 20 && avgLen <= 12.0 && stopRatio >= 0.0)
+              .as("quality_pass"))
+          .filter(col("quality_pass"))
+        // key set 1: canonical (first doc per content hash, within the
+        // quality-passing set)
+        val canonIds = Dedup.exact(qd)
           .select(col("canonical_doc_id").as("doc_id"))
-        val dd = qd.join(canon, Seq("doc_id"), "left_semi")
-        val train = dd.filter(col("source") =!= "src3")
-        val hold = d.filter(col("source") === "src3")
-        val clean = train.join(
-          graft.text.Curation.decontaminate(train, hold, n = 5)
-            .filter(!col("contaminated")).select("doc_id"),
-          Seq("doc_id"), "left_semi")
-        graft.ops.TokenBudget.select(
-          TextAnalysis.stats(clean).select("doc_id", "source", "n_tokens"),
+        // key set 2: contaminated (per-doc property — computed over the
+        // quality set; only canonical members consume the flag). Inlined
+        // Curation.decontaminate's gram join, keeping qd referenced ONCE
+        // (decontaminate's train-side left join would re-expand it).
+        val trainGrams = TextAnalysis
+          .wordNgrams(qd.filter(col("source") =!= "src3"), n = 5).distinct()
+        val evalGrams = TextAnalysis
+          .wordNgrams(d.filter(col("source") === "src3"), n = 5)
+          .select("gram").distinct()
+        val contamIds = trainGrams.join(evalGrams, Seq("gram"))
+          .select("doc_id").distinct()
+        val clean = qd.filter(col("source") =!= "src3")
+          .select("doc_id", "source", "n_tokens")
+          .join(canonIds, Seq("doc_id"), "left_semi")
+          .join(contamIds, Seq("doc_id"), "left_anti")
+        // Materialize the curated set ONCE before packing (lazy local
+        // checkpoint: both of TokenBudget's references — the rows and the
+        // per-shard offset frame — share the same computed RDD, so the
+        // dedup aggregate and the gram join run once, not twice). The
+        // production analogue writes the curated corpus durably here
+        // anyway; the packing stage then reads a stable input.
+        graft.ops.TokenBudget.select(clean.localCheckpoint(eager = false),
           "doc_id", "source", "n_tokens",
           Map("src0" -> 4000L, "src1" -> 2500L, "src2" -> 1200L))
       },
