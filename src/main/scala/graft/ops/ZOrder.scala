@@ -82,6 +82,28 @@ object ZOrder {
       .agg(count(lit(1)).as("n_rows"), statCols: _*)
   }
 
+  /** Write `df` as a z-ordered parquet layout: range-partition on the
+    * z-key into `numFiles` contiguous z-ranges, sort each partition by
+    * it, write. Every output file then covers one z-range, so its
+    * parquet footer min/max are tight on EVERY interleaved dimension —
+    * the file-skipping property (a predicate on any dim prunes most
+    * files at planning time via partition/row-group stats).
+    * ZOrderSpec audits the per-file envelopes from the written files.
+    *
+    * Scale shape: one range exchange (sampled boundaries) + local sort —
+    * the same cost as any globally-sorted write; no extra pass for the
+    * key (per-row bit arithmetic, codegen'd).
+    */
+  def write(df: DataFrame, dims: Seq[String], bits: Int, path: String,
+      numFiles: Int): Unit = {
+    require(numFiles >= 1, s"ZOrder.write: numFiles $numFiles must be >= 1")
+    df.withColumn("__z", key(dims.map(col), bits))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** Matching per-bucket stats SQL over `table` (oracle rendering). */
   def bucketStatsSql(table: String, dims: Seq[String], bits: Int,
       bucketBits: Int): String = {

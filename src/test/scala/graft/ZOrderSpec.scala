@@ -66,6 +66,28 @@ class ZOrderSpec extends AnyFunSuite {
     assert(z <= 32.0, s"z-order avg y-envelope $z should be tight")
   }
 
+  test("write produces files with tight envelopes on BOTH dims") {
+    val grid = for (x <- 0L until 64L; y <- 0L until 64L) yield (x, y)
+    // shuffled input: clustering must come from the writer, not the input
+    val df = new scala.util.Random(11).shuffle(grid).toDF("x", "y")
+    val dir = java.nio.file.Files.createTempDirectory("zorder").toString
+    ZOrder.write(df, Seq("x", "y"), bits = 6, dir, numFiles = 16)
+    val perFile = spark.read.parquet(dir)
+      .groupBy(input_file_name().as("f"))
+      .agg((max("x") - min("x")).as("sx"), (max("y") - min("y")).as("sy"))
+      .agg(count(lit(1)), avg("sx"), avg("sy"))
+      .head()
+    val (nFiles, avgSx, avgSy) =
+      (perFile.getLong(0), perFile.getDouble(1), perFile.getDouble(2))
+    assert(nFiles == 16L)
+    // 16 z-range files over a 64x64 grid: ideal envelopes are 15/31 per
+    // dim (4x4 or 2x8 z-cells); range-boundary sampling can split cells,
+    // so allow slack — but both dims must be FAR below the 63 a
+    // single-column sort leaves on its trailing dim
+    assert(avgSx <= 40.0 && avgSy <= 40.0, s"envelopes $avgSx x $avgSy")
+    assert(avgSx + avgSy <= 70.0, s"combined envelope $avgSx + $avgSy")
+  }
+
   test("bucketStats covers all rows exactly once") {
     val df = (0L until 1000L).map(i => (i % 97, (i * 31) % 89)).toDF("a", "b")
     val stats = ZOrder.bucketStats(df, Seq("a", "b"), bits = 7, bucketBits = 5)
