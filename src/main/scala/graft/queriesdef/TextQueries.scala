@@ -888,6 +888,35 @@ object TextQueries {
       },
       None),
 
+    // Token-weighted sampling without replacement: 10 docs per source,
+    // inclusion ∝ n_tokens, membership a pure function of md5(doc_id)
+    // (Efraimidis-Spirakis priorities; see ops.WeightedSample). The rank
+    // filter pushes into WindowGroupLimit, so map tasks keep local
+    // top-10s before the exchange.
+    Entry(
+      "weighted_sample",
+      (s, dir) => graft.ops.WeightedSample.topKPerGroup(
+        TextAnalysis.stats(docs(s, dir))
+          .select("doc_id", "source", "n_tokens"),
+        Seq("source"), "doc_id", "n_tokens", k = 10),
+      Some(s"""WITH t AS (
+        |  SELECT doc_id, source,
+        |    ${reCount("trim(text)", """\S+""")} AS n_tokens
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    ${graft.ops.WeightedSample.prioritySql("doc_id", "n_tokens")}
+        |      AS priority
+        |  FROM t WHERE n_tokens > 0),
+        |r AS (
+        |  SELECT *, ROW_NUMBER() OVER (
+        |    PARTITION BY source ORDER BY priority DESC, doc_id)
+        |    AS sample_rank
+        |  FROM p)
+        |SELECT doc_id, source, n_tokens, priority,
+        |  CAST(sample_rank AS BIGINT) AS sample_rank
+        |FROM r WHERE sample_rank <= 10""".stripMargin)),
+
     // The full curation chain as ONE lineage — quality gate → exact-dedup
     // survivors → eval-set decontamination (src3 held out) → per-source
     // token budgets — the end-to-end shape a pre-training data pipeline
