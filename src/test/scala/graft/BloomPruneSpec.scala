@@ -53,6 +53,21 @@ class BloomPruneSpec extends AnyFunSuite {
       "bloom probe should be on the join's input (printed below it)")
   }
 
+  test("property: equals the plain semi join on random key sets") {
+    val rnd = new scala.util.Random(41)
+    (1 to 5).foreach { trial =>
+      // overlapping ranges with duplicates on both sides; tiny sketch
+      // (high fpp) to stress the exact-verify stage
+      val l = Seq.fill(800)(rnd.nextInt(500).toLong).toDF("k")
+      val r = Seq.fill(120)(rnd.nextInt(700).toLong).toDF("sk")
+      val got = BloomPrune.prunedSemiJoin(l, r, "k", "sk", 64L)
+        .select("k").as[Long].collect().sorted.toSeq
+      val want = l.join(r, col("k") === col("sk"), "left_semi")
+        .select("k").as[Long].collect().sorted.toSeq
+      assert(got == want, s"trial $trial")
+    }
+  }
+
   test("sketch is sketch-sized, not data-sized") {
     val bytes = BloomPrune.sketch(small, "sk", 1000L)
     assert(bytes.nonEmpty && bytes.length < 64 * 1024,

@@ -39,6 +39,20 @@ class ZOrderSpec extends AnyFunSuite {
     assert(zs.distinct.length == 1024 && zs.min == 0L && zs.max == 1023L)
   }
 
+  test("3-dim key matches the driver-side interleave") {
+    val rnd = new scala.util.Random(13)
+    val rows = Seq.fill(300)((rnd.nextInt(256).toLong,
+      rnd.nextInt(256).toLong, rnd.nextInt(256).toLong))
+    val got = rows.toDF("x", "y", "z")
+      .select(col("x"), col("y"), col("z"),
+        ZOrder.key(Seq(col("x"), col("y"), col("z")), 8).as("m"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getLong(3))
+      .toMap
+    rows.foreach { case (x, y, z) =>
+      assert(got((x, y, z)) == morton(Seq(x, y, z), 8), s"($x, $y, $z)")
+    }
+  }
+
   test("out-of-range and null values raise") {
     intercept[Exception] {
       Seq(1024L).toDF("x")
