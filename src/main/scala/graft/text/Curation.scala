@@ -28,6 +28,13 @@ object Curation {
     * pathological giant eval set degrades to a sort-merge join on gram,
     * still never all-pairs. The final left join keys on doc_id only
     * (contaminated docs carry their hit count, clean docs get 0).
+    *
+    * NOTE: `train` is referenced twice (the gram explode and the doc_id
+    * spine of the left join). DataFrame lineage has no common-subplan
+    * sharing, so a `train` with an expensive upstream recomputes it —
+    * pass a materialized/checkpointed frame, or, when only the flag is
+    * needed for a downstream filter, join the gram hits as a key set
+    * instead (see the corpus_pipeline entry, which inlines exactly that).
     */
   def decontaminate(train: DataFrame, eval: DataFrame, n: Int): DataFrame = {
     require(n >= 1, s"n-gram order must be >= 1, got $n")
