@@ -58,12 +58,14 @@ object EventQueries {
     // Native session-window TVF: the same 30-minute-gap sessions via
     // Spark's session_window() — the idiomatic form (and the one that
     // runs unchanged under readStream with merging session state).
-    // Boundary semantics differ from the gaps-and-islands form by one
-    // instant: session_window merges while the next event starts BEFORE
-    // the current window's end (gap < 1800), i.e. breaks at diff >= 1800,
-    // and the session end is last_ts + gap — the oracle encodes exactly
-    // that. Execution is the same one-shuffle-one-sort per user_id as the
-    // window form; session state is bounded by the gap, not the history.
+    // Merge semantics verified empirically (and caught by the sf0.1
+    // full-corpus oracle audit, where one event pair lands EXACTLY 1800s
+    // apart): sessions merge while the next start is AT OR BEFORE the
+    // current window's end — touching windows merge — so the break is
+    // diff > 1800, identical to the gaps-and-islands sessionizer; only
+    // the reported session end differs (last_ts + gap). Execution is the
+    // same one-shuffle-one-sort per user_id as the window form; session
+    // state is bounded by the gap, not the history.
     Entry(
       "sessionize_native",
       (s, dir) => EventOps.events(s, dir)
@@ -84,7 +86,7 @@ object EventQueries {
         |      (PARTITION BY user_id ORDER BY ts, event_id) AS pep
         |  FROM ev),
         |n AS (
-        |  SELECT *, CASE WHEN pep IS NULL OR ep - pep >= 1800
+        |  SELECT *, CASE WHEN pep IS NULL OR ep - pep > 1800
         |    THEN 1 ELSE 0 END AS new_session
         |  FROM g),
         |s AS (
