@@ -18,6 +18,7 @@ object QueryRegistry {
     queriesdef.CoreQueries.entries,
     queriesdef.FeatureQueries.entries,
     queriesdef.TrainScoreQueries.entries,
+    queriesdef.EvalQueries.entries,
     queriesdef.TextQueries.entries,
     queriesdef.SimilarityQueries.entries,
     queriesdef.EventQueries.entries)

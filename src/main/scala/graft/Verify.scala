@@ -4,8 +4,19 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    require(args.length == 2, "usage: Verify <sfDir> <outDir>")
-    val Array(sfDir, outDir) = args
+    require(args.length == 2 || args.length == 3,
+      "usage: Verify <sfDir> <outDir> [name1,name2,...]")
+    val sfDir = args(0); val outDir = args(1)
+    // dev-only selector (the driver always passes 2 args): restrict the
+    // dump — and the emitted oracle json — to the named queries
+    val selected: Map[String, (org.apache.spark.sql.SparkSession, String) =>
+        org.apache.spark.sql.DataFrame] =
+      if (args.length == 3) {
+        val names = args(2).split(",").map(_.trim).toSet
+        val missing = names -- SparkEntry.queries.keySet
+        require(missing.isEmpty, s"unknown queries: ${missing.mkString(",")}")
+        SparkEntry.queries.view.filterKeys(names).toMap
+      } else SparkEntry.queries
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = graft.core.GraftSession.builder(s"local[$cpus]", cpus.toInt)
       .getOrCreate()
@@ -14,7 +25,7 @@ object Verify {
     // one bucketed+pinned silver fact for the whole dump (values identical;
     // see core.SilverStore)
     graft.core.SilverStore.enable()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    selected.foreach { case (name, fn) =>
       // Remove any previous run's result FIRST: a query that now fails
       // must not leave its old (stale) parquet behind, or the compare
       // would silently report a false PASS for a broken query.
@@ -45,7 +56,7 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    val json = SparkEntry.oracleSql.view.filterKeys(selected.keySet)
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

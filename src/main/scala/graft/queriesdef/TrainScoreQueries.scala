@@ -17,14 +17,14 @@ import graft.train.TrainingSetBuilder
 object TrainScoreQueries {
 
   /** cts CTE: the to-score control table (reused across oracles). */
-  private val ctsCte =
+  private[queriesdef] val ctsCte =
     """cts AS (
       |  SELECT commodity_desc FROM (
       |    SELECT commodity_desc, COUNT(DISTINCT basket_id) AS baskets
       |    FROM txc GROUP BY commodity_desc
       |    ORDER BY baskets DESC, commodity_desc LIMIT 10) t)""".stripMargin
 
-  private val labelsCtes =
+  private[queriesdef] val labelsCtes =
     s"""gb AS (SELECT max(day) AS cur FROM txc),
        |$ctsCte,
        |households AS (SELECT DISTINCT household_key FROM txc),
