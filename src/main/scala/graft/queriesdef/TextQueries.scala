@@ -703,6 +703,55 @@ object TextQueries {
         |    CAST(hd.n_docs AS DOUBLE), 9) AS tokens_per_doc
         |FROM hu JOIN hd USING (host)""".stripMargin)),
 
+    // URL-frontier canonicalization: inject two spelling variants of the
+    // same logical URL (scheme/www/port/case/trailing-slash/utm noise vs
+    // the clean form — they MUST collapse to one canonical key) plus a
+    // per-doc unique URL; group mentions by canonical form. The oracle
+    // replays the full regex normalization chain in DuckDB/RE2.
+    Entry(
+      "url_frontier",
+      (s, dir) => {
+        val injected = docs(s, dir).select(col("doc_id"), concat(
+          col("text"),
+          when(col("doc_id") % 2 === 0,
+            concat(lit(" ref http://WWW.Example.org:80/p/"),
+              (col("doc_id") % 7).cast("string"), lit("/?utm_source=x&ref="),
+              (col("doc_id") % 3).cast("string"), lit("#frag")))
+            .otherwise(concat(lit(" ref https://example.org/p/"),
+              (col("doc_id") % 7).cast("string"), lit("?ref="),
+              (col("doc_id") % 3).cast("string"))),
+          when(col("doc_id") % 11 === 0,
+            concat(lit(" also https://u"), col("doc_id").cast("string"),
+              lit(".example.net/d/"), col("doc_id").cast("string")))
+            .otherwise("")).as("text"))
+        graft.text.Curation.urlFrontier(injected)
+      },
+      Some(s"""WITH inj AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 2 = 0 THEN ' ref http://WWW.Example.org:80/p/' ||
+        |      CAST(doc_id % 7 AS VARCHAR) || '/?utm_source=x&ref=' ||
+        |      CAST(doc_id % 3 AS VARCHAR) || '#frag'
+        |    ELSE ' ref https://example.org/p/' ||
+        |      CAST(doc_id % 7 AS VARCHAR) || '?ref=' ||
+        |      CAST(doc_id % 3 AS VARCHAR) END ||
+        |    CASE WHEN doc_id % 11 = 0 THEN ' also https://u' ||
+        |      CAST(doc_id AS VARCHAR) || '.example.net/d/' ||
+        |      CAST(doc_id AS VARCHAR) ELSE '' END AS text
+        |  FROM documents),
+        |u AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_extract_all(text, '${TextAnalysis.urlPattern}'))
+        |      AS url
+        |  FROM inj),
+        |c AS (
+        |  SELECT doc_id, url,
+        |    ${graft.text.Curation.canonicalUrlSql("url")} AS canonical_url
+        |  FROM u)
+        |SELECT canonical_url, COUNT(*) AS n_mentions,
+        |  COUNT(DISTINCT url) AS n_variants,
+        |  COUNT(DISTINCT doc_id) AS n_docs
+        |FROM c GROUP BY canonical_url""".stripMargin)),
+
     // Deterministic corpus mixing: keep src0:src1:src2:src3 in a 5:3:2:1
     // ratio (other sources dropped), membership a pure function of
     // md5(doc_id) — exact integer boundary arithmetic, verified

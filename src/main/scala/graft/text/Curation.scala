@@ -283,4 +283,86 @@ object Curation {
             .as("pack_id"),
           (col("tokens_before") % ctxTokens).as("pack_offset")): _*)
   }
+
+  /** URL canonicalization — the key a crawl frontier and a URL-level
+    * dedup both group by. Two syntactically different URLs that name the
+    * same resource ("HTTP://WWW.Example.com:80/a/?utm_source=x#top" vs
+    * "http://example.com/a") must collapse to one canonical form, or the
+    * frontier re-crawls and the corpus double-counts.
+    *
+    * Normalizations, in order: fragment stripped; scheme stripped (http
+    * vs https never distinguishes a document); host lowercased with any
+    * default :80/:443 port removed; leading `www.` dropped; tracking
+    * query parameters (`utm_*`, `fbclid`, `gclid`) removed wherever they
+    * sit in the query string; empty `?` and trailing `/` dropped. Path
+    * case is preserved (paths are case-sensitive per RFC 3986).
+    *
+    * Every step is a regex both Java regex (Spark codegen) and RE2
+    * (DuckDB) evaluate identically — no backreferences or lookaround
+    * (RE2 has neither), so the whole chain renders to an oracle twin.
+    * Pure per-row column algebra: no shuffle, codegen'd.
+    */
+  def canonicalUrl(url: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val noFragment = regexp_replace(url, "#.*$", "")
+    val noScheme = regexp_replace(noFragment, "^[hH][tT][tT][pP][sS]?://", "")
+    // host (everything before the first /?#) lowercased, default port off
+    val host = regexp_replace(
+      lower(regexp_extract(noScheme, "^([^/?#]*)", 1)), ":(80|443)$", "")
+    val rest = regexp_extract(noScheme, "^[^/?#]*(.*)$", 1)
+    val noWww = regexp_replace(host, "^www\\.", "")
+    // tracking params: mid-query (&k=v), leading-with-more (?k=v& → ?),
+    // then sole (?k=v → "") — three passes, no backreferences
+    val track = "(utm_[^=&#]*|fbclid|gclid)"
+    val q1 = regexp_replace(rest, s"&$track=[^&]*", "")
+    val q2 = regexp_replace(q1, s"\\?$track=[^&]*&", "?")
+    val q3 = regexp_replace(q2, s"\\?$track=[^&]*$$", "")
+    val noEmptyQ = regexp_replace(q3, "\\?$", "")
+    // trailing path slash: before the query string and at URL end
+    val noSlashQ = regexp_replace(noEmptyQ, "/+\\?", "?")
+    concat(noWww, regexp_replace(noSlashQ, "/+$", ""))
+  }
+
+  /** The same canonicalization as DuckDB SQL over a column expression
+    * (RE2 `regexp_replace` needs the explicit 'g' flag Spark defaults
+    * to; only the mid-query tracking-param pass relies on it).
+    */
+  def canonicalUrlSql(c: String): String = {
+    val track = "(utm_[^=&#]*|fbclid|gclid)"
+    val noScheme =
+      s"regexp_replace(regexp_replace($c, '#.*$$', ''), '^[hH][tT][tT][pP][sS]?://', '')"
+    val host = s"regexp_replace(lower(regexp_extract($noScheme, '^([^/?#]*)', 1)), ':(80|443)$$', '')"
+    val noWww = s"regexp_replace($host, '^www\\.', '')"
+    val rest = s"regexp_extract($noScheme, '^[^/?#]*(.*)$$', 1)"
+    val q = s"regexp_replace(regexp_replace(regexp_replace($rest, " +
+      s"'&$track=[^&]*', '', 'g'), '\\?$track=[^&]*&', '?'), " +
+      s"'\\?$track=[^&]*$$', '')"
+    s"concat($noWww, regexp_replace(regexp_replace(" +
+      s"regexp_replace($q, '\\?$$', ''), '/+\\?', '?'), '/+$$', ''))"
+  }
+
+  /** URL-frontier aggregation: every URL mentioned in the corpus, grouped
+    * by canonical form — mention count, distinct raw variants, distinct
+    * citing documents. The grain a crawler schedules on and a URL-level
+    * dedup keys on.
+    *
+    * Extraction reuses [[TextAnalysis.urlPattern]], which (like the
+    * corpus-wide URL counters sharing it) only matches lowercase
+    * `http(s)://` mentions; [[canonicalUrl]] itself normalizes any scheme
+    * case when fed URLs from a structured column.
+    *
+    * Scale shape: extraction is a per-row explode (output ∝ URL mentions,
+    * not docs²); the aggregate combines map-side on the canonical key.
+    * The variant/doc distincts are exact — bounded per key by crawl
+    * reality (a URL's spelling variants), not corpus size.
+    */
+  def urlFrontier(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), explode(regexp_extract_all(col("text"),
+        lit(TextAnalysis.urlPattern), lit(0))).as("url"))
+      .withColumn("canonical_url", canonicalUrl(col("url")))
+      .groupBy("canonical_url")
+      .agg(
+        count(lit(1)).as("n_mentions"),
+        countDistinct(col("url")).as("n_variants"),
+        countDistinct(col("doc_id")).as("n_docs"))
 }

@@ -142,4 +142,41 @@ class CurationSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("canonicalUrl: normalizes scheme/www/port/case/slash/tracking/fragment") {
+    val cases = Seq(
+      // every kind of noise at once → clean form (ref= is NOT tracking)
+      "HTTP://WWW.Example.org:80/p/3/?utm_source=x&ref=1#frag"
+        -> "example.org/p/3?ref=1",
+      "https://example.org/p/3?ref=1" -> "example.org/p/3?ref=1",
+      "https://example.com/" -> "example.com",
+      "http://example.com:443/a" -> "example.com/a",
+      "https://Example.com/CaseSensitivePath" -> "example.com/CaseSensitivePath",
+      "http://a.com/x?utm_a=1" -> "a.com/x",
+      "http://a.com/x?utm_a=1&k=2&utm_b=3" -> "a.com/x?k=2",
+      "http://a.com/x?k=2&fbclid=abc" -> "a.com/x?k=2",
+      "http://a.com/x?gclid=9" -> "a.com/x",
+      "http://a.com//deep//" -> "a.com//deep",
+      "http://www.a.com" -> "a.com")
+    val got = cases.map(_._1).toDF("url")
+      .select(Curation.canonicalUrl(col("url"))).collect().map(_.getString(0))
+    cases.zip(got).foreach { case ((in, want), g) =>
+      assert(g == want, s"canonicalUrl($in) = $g, want $want")
+    }
+    // the noisy and clean spellings of the same resource collapse
+    assert(got(0) == "example.org/p/3?ref=1" && got(1) == got(0))
+  }
+
+  test("urlFrontier groups mentions by canonical form") {
+    val docs = Seq(
+      (1L, "see http://WWW.A.org/x/?utm_source=s here"),
+      (2L, "see https://a.org/x and http://b.net/y"),
+      (3L, "see https://a.org/x?utm_b=2 again")).toDF("doc_id", "text")
+    val out = Curation.urlFrontier(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out("a.org/x") == ((3L, 3L, 3L))) // 3 mentions, 3 raw forms, 3 docs
+    assert(out("b.net/y") == ((1L, 1L, 1L)))
+    assert(out.size == 2)
+  }
 }
