@@ -268,6 +268,61 @@ object CoreQueries {
       },
       None),
 
+    // The quantile sibling of the sketch above, but fully deterministic
+    // (fixed-width histogram partials instead of HLL registers) — so this
+    // one IS oracle-verified end-to-end: daily (commodity, day, bin)
+    // counts merged across the whole horizon, p50/p95 interpolated from
+    // the merged histogram, compared against the exact percentiles. The
+    // incremental shape: KB-sized daily partials answer any date window
+    // without rescanning the fact; estimate error is bounded by binWidth.
+    Entry(
+      "sketch_quantile_merge",
+      (s, dir) => {
+        val txc = graft.features.FeatureBuilder.txWithCommodity(s, dir)
+        val partials = graft.ops.QuantileSketch.dailyPartials(
+          txc, Seq("commodity_desc"), "day", "amount_paid", binWidth = 5.0)
+        val est = graft.ops.QuantileSketch.quantiles(
+          partials, Seq("commodity_desc"), binWidth = 5.0,
+          Seq("est_p50" -> 0.5, "est_p95" -> 0.95))
+        val exact = graft.ops.ExactPercentiles.perGroup(
+          txc, Seq("commodity_desc"), "amount_paid",
+          Seq("p50" -> 0.5, "p95" -> 0.95))
+        est.join(exact, Seq("commodity_desc"))
+          .select(col("commodity_desc"), col("n"),
+            round(col("est_p50"), 6).as("est_p50"),
+            round(col("est_p95"), 6).as("est_p95"),
+            round(col("p50"), 6).as("exact_p50"),
+            round(col("p95"), 6).as("exact_p95"),
+            round(abs(round(col("est_p50"), 6) - round(col("p50"), 6)), 6)
+              .as("err_p50"),
+            round(abs(round(col("est_p95"), 6) - round(col("p95"), 6)), 6)
+              .as("err_p95"))
+      },
+      Some(s"""WITH ${Oracle.txCommodity},
+        |partials AS (
+        |  SELECT commodity_desc, day,
+        |    CAST(FLOOR(amount_paid / 5.0) AS BIGINT) AS bin,
+        |    COUNT(*) AS bin_rows
+        |  FROM txc WHERE amount_paid IS NOT NULL
+        |  GROUP BY commodity_desc, day, CAST(FLOOR(amount_paid / 5.0) AS BIGINT)),
+        |est AS (
+        |${graft.ops.QuantileSketch.quantilesSql("partials",
+            Seq("commodity_desc"), 5.0,
+            Seq("est_p50" -> 0.5, "est_p95" -> 0.95))}),
+        |exact AS (
+        |  SELECT commodity_desc,
+        |    round(quantile_cont(amount_paid, 0.5), 6) AS p50,
+        |    round(quantile_cont(amount_paid, 0.95), 6) AS p95
+        |  FROM txc GROUP BY commodity_desc)
+        |SELECT e.commodity_desc, e.n,
+        |  round(e.est_p50, 6) AS est_p50,
+        |  round(e.est_p95, 6) AS est_p95,
+        |  round(x.p50, 6) AS exact_p50,
+        |  round(x.p95, 6) AS exact_p95,
+        |  round(abs(round(e.est_p50, 6) - round(x.p50, 6)), 6) AS err_p50,
+        |  round(abs(round(e.est_p95, 6) - round(x.p95, 6)), 6) AS err_p95
+        |FROM est e JOIN exact x ON e.commodity_desc = x.commodity_desc""".stripMargin)),
+
     // The general form of spend_rollup: GROUPING SETS with grouping()
     // markers (commodity totals, weekly totals, grand total in one pass —
     // Catalyst plans one Expand + one aggregate, not three scans).

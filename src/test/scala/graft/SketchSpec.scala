@@ -41,4 +41,55 @@ class SketchSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(direct == merged)
   }
+
+  test("quantile sketch: interpolation exact on a uniform histogram") {
+    import graft.ops.QuantileSketch
+    // 0..99 over 10 bins of width 10: p50 position 49.5 → bin 4,
+    // est = 40 + 10·(49.5−40)/10 = 49.5 = quantile_cont's answer
+    val df = (0 until 100).map(i => ("g", i % 7 + 1, i.toDouble))
+      .toDF("g", "day", "v")
+    val partials = QuantileSketch.dailyPartials(df, Seq("g"), "day", "v", 10.0)
+    val q = QuantileSketch.quantiles(partials, Seq("g"), 10.0,
+      Seq("p50" -> 0.5, "p0" -> 0.0, "p100" -> 1.0)).head()
+    assert(q.getAs[Long]("n") == 100L)
+    assert(q.getAs[Double]("p50") == 49.5)
+    assert(q.getAs[Double]("p0") == 0.0)
+    // p100: position 99 → last bin, est = 90 + 10·(99−90)/10 = 99
+    assert(q.getAs[Double]("p100") == 99.0)
+  }
+
+  test("quantile sketch: merged partials track exact percentiles within binWidth") {
+    import graft.ops.QuantileSketch
+    val rnd = new scala.util.Random(5)
+    val w = 2.5
+    val rows = (1 to 5000).map { _ =>
+      val g = s"g${rnd.nextInt(3)}"
+      (g, rnd.nextInt(30) + 1, math.abs(rnd.nextGaussian()) * 20.0)
+    }
+    val df = rows.toDF("g", "day", "v").repartition(6)
+    val partials = QuantileSketch.dailyPartials(df, Seq("g"), "day", "v", w)
+    // partials stay tiny: ≤ groups × days × occupied bins
+    assert(partials.count() <= 3L * 30L *
+      (rows.map(_._3).max / w).toLong + 3L * 30L)
+    val est = QuantileSketch.quantiles(partials, Seq("g"), w,
+      Seq("p50" -> 0.5, "p95" -> 0.95))
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Double]("p50"), r.getAs[Double]("p95"))).toMap
+    val exact = graft.ops.ExactPercentiles.perGroup(df, Seq("g"), "v",
+      Seq("p50" -> 0.5, "p95" -> 0.95))
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Double]("p50"), r.getAs[Double]("p95"))).toMap
+    exact.foreach { case (g, (e50, e95)) =>
+      assert(math.abs(est(g)._1 - e50) <= w, s"$g p50 ${est(g)._1} vs $e50")
+      assert(math.abs(est(g)._2 - e95) <= w, s"$g p95 ${est(g)._2} vs $e95")
+    }
+    // day-sliced partials merged == one-shot histogram over all data
+    val oneShot = QuantileSketch.quantiles(
+      QuantileSketch.dailyPartials(
+        df.withColumn("day", lit(1)), Seq("g"), "day", "v", w),
+      Seq("g"), w, Seq("p50" -> 0.5, "p95" -> 0.95))
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Double]("p50"), r.getAs[Double]("p95"))).toMap
+    assert(oneShot == est)
+  }
 }
