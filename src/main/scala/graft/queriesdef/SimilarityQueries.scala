@@ -98,6 +98,36 @@ object SimilarityQueries {
         |  FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id)
         |SELECT * FROM p WHERE cos >= 0.4""".stripMargin)),
 
+    // Semantic decontamination: the embedding-space sibling of the n-gram
+    // `decontaminate` gate — an md5-bucketed ~5% of vectors stands in for
+    // the held-out eval suite, every train vector is scored against it
+    // (broadcast eval, no pair-space materialization), flagged at
+    // cosine ≥ 0.4. Catches the paraphrase leakage exact n-grams miss.
+    Entry(
+      "semantic_decontaminate",
+      (s, dir) => {
+        val emb = Catalog.table(s, dir, "embeddings")
+        val isEval = graft.ops.HashSplit.bucket(col("vec_id"), 100) < 5
+        Similarity.semanticDecontaminate(
+          emb.filter(!isEval), emb.filter(isEval), threshold = 0.4)
+      },
+      Some(s"""WITH ev AS (
+        |  SELECT * FROM embeddings
+        |  WHERE ${graft.ops.HashSplit.bucketSql("vec_id", 100)} < 5),
+        |tr AS (
+        |  SELECT * FROM embeddings
+        |  WHERE NOT (${graft.ops.HashSplit.bucketSql("vec_id", 100)} < 5)),
+        |p AS (
+        |  SELECT a.vec_id, ${cosSql("a", "b")} AS cos
+        |  FROM tr a, ev b)
+        |SELECT vec_id,
+        |  CAST(SUM(CASE WHEN cos >= 0.4 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_hits,
+        |  MAX(cos) AS max_cos,
+        |  (CAST(SUM(CASE WHEN cos >= 0.4 THEN 1 ELSE 0 END) AS BIGINT) > 0)
+        |    AS contaminated
+        |FROM p GROUP BY vec_id""".stripMargin)),
+
     // Hybrid retrieve-then-rerank (the RAG candidate-fusion shape):
     // vector recall brings 10 candidates per query, then a fused score —
     // 0.8·cosine + 0.2·document quality (stopword-ratio prose signal,

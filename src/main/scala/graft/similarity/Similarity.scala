@@ -337,4 +337,38 @@ object Similarity {
             (col("__s").cast("double") / col("n_vectors")),
           lit(0.0)).as("variance"))
   }
+
+  /** Semantic decontamination: flag every training vector whose cosine to
+    * ANY held-out/eval vector reaches `threshold` — the embedding-space
+    * sibling of the n-gram gate ([[graft.text.Curation.decontaminate]]).
+    * Exact n-gram overlap misses paraphrases and translations; an
+    * embedding match catches what the surface form hides (and is the gate
+    * published pipelines run beside the 13-gram rule).
+    *
+    * Output: one row per train vector — eval-hit count, max cosine
+    * (rounded to 9 decimals BEFORE the max, so the per-pair rounding
+    * convention makes the argmax engine-exact), contaminated flag.
+    *
+    * Scale shape: eval suites are MBs against a training corpus of TBs —
+    * the eval side is an explicit `broadcast`, so the data-sized pass is
+    * one map over train (|eval| dots per row, the codegen'd kernel) plus
+    * one map-side-combinable aggregation on vec_id. No train shuffle of
+    * the embedding payload beyond its own aggregation; no n² pair space
+    * is ever materialized.
+    */
+  def semanticDecontaminate(train: DataFrame, eval: DataFrame,
+      threshold: Double): DataFrame = {
+    ArrayOps.register(train.sparkSession)
+    val t = side(train, "vec_id", "tv", "nt")
+    val e = broadcast(side(eval, "eval_id", "ev", "ne")
+      .select(col("ev"), col("ne")))
+    t.crossJoin(e)
+      .select(col("vec_id"), pairCos("tv", "ev", "nt", "ne").as("cos"))
+      .groupBy("vec_id")
+      .agg(
+        sum(when(col("cos") >= threshold, 1L).otherwise(0L)).as("n_hits"),
+        max(col("cos")).as("max_cos"))
+      .select(col("vec_id"), col("n_hits"), col("max_cos"),
+        (col("n_hits") > 0L).as("contaminated"))
+  }
 }

@@ -156,4 +156,29 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out((1, 0L)) == ((1L, 5.0, 0.0)))  // singleton: var clamps at 0
     assert(out((1, 1L)) == ((1L, 2.0, 0.0)))
   }
+
+  test("semanticDecontaminate: hand-checked hits, eval side broadcast") {
+    import spark.implicits._
+    val train = Seq(
+      (1L, Seq(1.0f, 0.0f)),   // cos 1.0 to e1, 0 to e2 → 1 hit
+      (2L, Seq(1.0f, 1.0f)),   // cos √2/2 ≈ .707 to both → 2 hits
+      (3L, Seq(-1.0f, 0.0f)),  // cos −1 and 0 → clean
+      (4L, Seq(0.0f, 0.0f))    // zero vector: cos 0.0 by convention → clean
+    ).toDF("vec_id", "embedding")
+    val eval = Seq(
+      (100L, Seq(1.0f, 0.0f)), (101L, Seq(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.semanticDecontaminate(train, eval, threshold = 0.5)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), s"eval side not broadcast:\n$plan")
+    val m = out.collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getBoolean(3))).toMap
+    assert(m(1L) == ((1L, 1.0, true)))
+    assert(m(2L)._1 == 2L && m(2L)._3 && math.abs(m(2L)._2 - 0.707106781) < 1e-9)
+    assert(m(3L) == ((0L, 0.0, false)))
+    assert(m(4L) == ((0L, 0.0, false)))
+    assert(m.size == 4) // every train vector reported, clean ones included
+  }
 }
