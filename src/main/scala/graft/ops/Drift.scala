@@ -1,0 +1,117 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distribution-drift statistics between two slices of a dataset — the
+  * monitoring pass a production scoring pipeline runs on every batch
+  * (did this week's spend/score distribution move against the training
+  * baseline?). Complements the row-level gates ([[Expectations]],
+  * [[SnapshotDiff]]) with the two standard distribution tests:
+  *
+  *  - **PSI** (population stability index): Σ (pᵢ−qᵢ)·ln(pᵢ/qᵢ) over
+  *    fixed-width value bins; the industry alert thresholds are 0.1
+  *    (drifting) / 0.25 (major shift).
+  *  - **KS statistic**: max |CDF_a − CDF_b| over the same bins (the
+  *    binned Kolmogorov-Smirnov distance — exact if bin edges are, as
+  *    here, shared by both sides).
+  *
+  * Scale shape: ONE hash aggregation over the data per side — per
+  * (group, bin) counts with map-side combine — then all ratio/log/cdf
+  * arithmetic runs on the tiny bin table (window over bins per group,
+  * bounded by value range / binWidth). Counts are exact integers; every
+  * double expression has pinned association and rounds to 9 decimals,
+  * so both statistics are engine-exact and DuckDB-oracle-verifiable.
+  *
+  * Empty-bin convention: PSI's log diverges on zero probabilities, so
+  * both sides are Laplace-smoothed — (count + 1) / (n + bins) — the
+  * textbook fix, applied identically in the oracle.
+  */
+object Drift {
+
+  /** Per-group PSI + KS between the rows matching `isBaseline` and the
+    * rest. Output: group cols, baseline_rows, current_rows, psi, ks.
+    */
+  def perGroup(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      isBaseline: Column, binWidth: Double): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    val gs = groupCols.map(col)
+    val binned = df
+      .filter(col(valueCol).isNotNull)
+      .groupBy(gs :+
+        floor(col(valueCol) / binWidth).cast("long").as("bin"): _*)
+      .agg(
+        sum(when(isBaseline, 1L).otherwise(0L)).as("a"),
+        sum(when(isBaseline, 0L).otherwise(1L)).as("b"))
+    val whole = Window.partitionBy(gs: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val byBin = Window.partitionBy(gs: _*).orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val withTotals = binned
+      .withColumn("na", sum(col("a")).over(whole))
+      .withColumn("nb", sum(col("b")).over(whole))
+      .withColumn("nbins", count(lit(1)).over(whole))
+      .withColumn("cum_a", sum(col("a")).over(byBin))
+      .withColumn("cum_b", sum(col("b")).over(byBin))
+    // Laplace-smoothed probabilities: (cnt+1)/(n+bins) — exact-integer
+    // numerators/denominators, one double division each
+    val pa = (col("a") + 1L).cast("double") /
+      (col("na") + col("nbins")).cast("double")
+    val pb = (col("b") + 1L).cast("double") /
+      (col("nb") + col("nbins")).cast("double")
+    // ln is transcendental (last-ulp varies by libm): each term goes
+    // through DECIMAL(18,9) before the sum — the lm_score convention —
+    // so the total is combine-order independent and engine-exact to 9 dp;
+    // the KS gap rounds per bin before the (order-free) max, like pairCos
+    withTotals
+      .select(gs ++ Seq(
+        col("a"), col("b"), col("na"), col("nb"),
+        ((pa - pb) * log(pa / pb)).cast("decimal(18,9)").as("psi_term"),
+        round(abs(col("cum_a").cast("double") / col("na").cast("double") -
+          col("cum_b").cast("double") / col("nb").cast("double")), 9)
+          .as("cdf_gap")): _*)
+      .groupBy(gs: _*)
+      .agg(
+        max(col("na")).as("baseline_rows"),
+        max(col("nb")).as("current_rows"),
+        round(sum(col("psi_term")).cast("double"), 6).as("psi"),
+        max(col("cdf_gap")).as("ks"))
+  }
+
+  /** The matching DuckDB SQL over relation `rel` (must expose groupCols,
+    * a `v` value column, and an `is_base` boolean).
+    */
+  def perGroupSql(rel: String, groupCols: Seq[String],
+      binWidth: Double): String = {
+    val g = groupCols.mkString(", ")
+    s"""SELECT $g,
+       |  MAX(na) AS baseline_rows, MAX(nb) AS current_rows,
+       |  round(CAST(SUM(CAST((pa - pb) * ln(pa / pb) AS DECIMAL(18,9)))
+       |    AS DOUBLE), 6) AS psi,
+       |  MAX(round(abs(CAST(cum_a AS DOUBLE) / CAST(na AS DOUBLE)
+       |    - CAST(cum_b AS DOUBLE) / CAST(nb AS DOUBLE)), 9)) AS ks
+       |FROM (
+       |  SELECT $g, a, b, na, nb, cum_a, cum_b,
+       |    CAST(a + 1 AS DOUBLE) / CAST(na + nbins AS DOUBLE) AS pa,
+       |    CAST(b + 1 AS DOUBLE) / CAST(nb + nbins AS DOUBLE) AS pb
+       |  FROM (
+       |    SELECT $g, bin, a, b,
+       |      CAST(SUM(a) OVER (PARTITION BY $g) AS BIGINT) AS na,
+       |      CAST(SUM(b) OVER (PARTITION BY $g) AS BIGINT) AS nb,
+       |      COUNT(*) OVER (PARTITION BY $g) AS nbins,
+       |      CAST(SUM(a) OVER (PARTITION BY $g ORDER BY bin
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |        AS cum_a,
+       |      CAST(SUM(b) OVER (PARTITION BY $g ORDER BY bin
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |        AS cum_b
+       |    FROM (
+       |      SELECT $g, CAST(FLOOR(v / $binWidth) AS BIGINT) AS bin,
+       |        CAST(SUM(CASE WHEN is_base THEN 1 ELSE 0 END) AS BIGINT) AS a,
+       |        CAST(SUM(CASE WHEN is_base THEN 0 ELSE 1 END) AS BIGINT) AS b
+       |      FROM $rel WHERE v IS NOT NULL
+       |      GROUP BY $g, CAST(FLOOR(v / $binWidth) AS BIGINT))))
+       |GROUP BY $g""".stripMargin
+  }
+}

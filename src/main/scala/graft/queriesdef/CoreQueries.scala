@@ -323,6 +323,32 @@ object CoreQueries {
         |  round(abs(round(e.est_p95, 6) - round(x.p95, 6)), 6) AS err_p95
         |FROM est e JOIN exact x ON e.commodity_desc = x.commodity_desc""".stripMargin)),
 
+    // Distribution drift monitoring: PSI + binned KS of the per-commodity
+    // spend distribution, first half of the horizon (baseline) vs the
+    // second (current) — the batch-scoring health check (alert at PSI
+    // 0.1/0.25). One binned aggregation over the fact; all test
+    // arithmetic runs on the bin table.
+    Entry(
+      "spend_drift_psi",
+      (s, dir) => {
+        val txc = graft.features.FeatureBuilder.txWithCommodity(s, dir)
+        val (lo, cur) = graft.core.Retail.dayBounds(s, dir)
+        val mid = lo.plusDays(
+          java.time.temporal.ChronoUnit.DAYS.between(lo, cur) / 2)
+        graft.ops.Drift.perGroup(txc, Seq("commodity_desc"), "amount_paid",
+          col("day") <= lit(java.sql.Date.valueOf(mid)), binWidth = 5.0)
+      },
+      Some(s"""WITH ${Oracle.txCommodity},
+        |gb2 AS (SELECT min(day) AS lo, max(day) AS cur FROM txc),
+        |rel AS (
+        |  SELECT t.commodity_desc, t.amount_paid AS v,
+        |    t.day <= (SELECT lo + CAST((cur - lo) // 2 AS INT) FROM gb2)
+        |      AS is_base
+        |  FROM txc t),
+        |drift AS (
+        |${graft.ops.Drift.perGroupSql("rel", Seq("commodity_desc"), 5.0)})
+        |SELECT * FROM drift""".stripMargin)),
+
     // The general form of spend_rollup: GROUPING SETS with grouping()
     // markers (commodity totals, weekly totals, grand total in one pass —
     // Catalyst plans one Expand + one aggregate, not three scans).
