@@ -349,6 +349,61 @@ object CoreQueries {
         |${graft.ops.Drift.perGroupSql("rel", Seq("commodity_desc"), 5.0)})
         |SELECT * FROM drift""".stripMargin)),
 
+    // Frequent-items sketch (third sketch family member, after HLL
+    // distinct and histogram quantiles): daily exact top-8 product counts
+    // + per-day truncation threshold, merged into a global top-10 with
+    // provable [lb, ub] bounds — joined against the exact counts so the
+    // bound guarantee itself is oracle-checked (in_bounds must be true).
+    Entry(
+      "sketch_topk_merge",
+      (s, dir) => {
+        val txc = graft.features.FeatureBuilder.txWithCommodity(s, dir)
+        val partials = graft.ops.TopKSketch.dailyTopM(
+          txc, "day", "product_id", m = 8)
+        val merged = graft.ops.TopKSketch.mergeTopK(partials, "day", k = 10)
+        val exact = txc.groupBy(col("product_id").as("item"))
+          .agg(count(lit(1)).as("exact_cnt"))
+        merged.join(exact, Seq("item"))
+          .select(col("item"), col("lb"), col("ub"), col("n_days_present"),
+            col("exact"), col("exact_cnt"),
+            (col("exact_cnt") >= col("lb") && col("exact_cnt") <= col("ub"))
+              .as("in_bounds"))
+      },
+      Some(s"""WITH ${Oracle.txCommodity},
+        |counts AS (
+        |  SELECT day, product_id AS item, COUNT(*) AS cnt
+        |  FROM txc GROUP BY day, product_id),
+        |ranked AS (
+        |  SELECT day, item, cnt,
+        |    ROW_NUMBER() OVER (PARTITION BY day ORDER BY cnt DESC, item)
+        |      AS rn
+        |  FROM counts),
+        |th AS (SELECT day, cnt AS thresh FROM ranked WHERE rn = 9),
+        |dpart AS (
+        |  SELECT r.day, r.item, r.cnt, COALESCE(t.thresh, 0) AS thresh
+        |  FROM ranked r LEFT JOIN th t ON r.day = t.day
+        |  WHERE r.rn <= 8),
+        |tot AS (
+        |  SELECT CAST(SUM(thresh) AS BIGINT) AS total_thresh,
+        |    COUNT(*) AS n_days
+        |  FROM (SELECT DISTINCT day, thresh FROM dpart)),
+        |items AS (
+        |  SELECT item, CAST(SUM(cnt) AS BIGINT) AS lb,
+        |    CAST(SUM(thresh) AS BIGINT) AS pth,
+        |    COUNT(*) AS n_days_present
+        |  FROM dpart GROUP BY item),
+        |merged AS (
+        |  SELECT i.item, i.lb, i.lb + (tot.total_thresh - i.pth) AS ub,
+        |    i.n_days_present, i.n_days_present = tot.n_days AS exact
+        |  FROM items i, tot
+        |  ORDER BY i.lb DESC, i.item LIMIT 10),
+        |ex AS (
+        |  SELECT product_id AS item, COUNT(*) AS exact_cnt
+        |  FROM txc GROUP BY product_id)
+        |SELECT m.item, m.lb, m.ub, m.n_days_present, m.exact, x.exact_cnt,
+        |  (x.exact_cnt >= m.lb AND x.exact_cnt <= m.ub) AS in_bounds
+        |FROM merged m JOIN ex x ON m.item = x.item""".stripMargin)),
+
     // The general form of spend_rollup: GROUPING SETS with grouping()
     // markers (commodity totals, weekly totals, grand total in one pass —
     // Catalyst plans one Expand + one aggregate, not three scans).

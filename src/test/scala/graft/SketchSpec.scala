@@ -92,4 +92,45 @@ class SketchSpec extends AnyFunSuite {
         (r.getAs[Double]("p50"), r.getAs[Double]("p95"))).toMap
     assert(oneShot == est)
   }
+
+  test("top-k sketch: bounds always contain the exact count; every-day items exact") {
+    import graft.ops.TopKSketch
+    val rnd = new scala.util.Random(23)
+    // skewed item stream over 10 days: item i has weight ∝ 1/(i+1)
+    val rows = (1 to 6000).map { _ =>
+      val item = (math.pow(rnd.nextDouble(), 2.5) * 40).toInt.toLong
+      (rnd.nextInt(10) + 1, item)
+    }
+    val df = rows.toDF("day", "item_id").repartition(5)
+    val partials = TopKSketch.dailyTopM(df, "day", "item_id", m = 6)
+    // partials bounded: ≤ m rows per day
+    assert(partials.count() <= 60L)
+    val merged = TopKSketch.mergeTopK(partials, "day", k = 5).collect()
+    assert(merged.length == 5)
+    val exact = rows.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    merged.foreach { r =>
+      val (item, lb, ub, exactFlag) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(4))
+      assert(exact(item) >= lb && exact(item) <= ub,
+        s"item $item exact ${exact(item)} outside [$lb, $ub]")
+      if (exactFlag) assert(lb == ub && lb == exact(item),
+        s"item $item flagged exact but lb=$lb ub=$ub true=${exact(item)}")
+    }
+    // the heaviest true item (in every day's top-m by construction)
+    // must surface with an exact count
+    val top = exact.maxBy(_._2)._1
+    val topRow = merged.find(_.getLong(0) == top)
+    assert(topRow.exists(_.getBoolean(4)), s"heaviest item $top not exact")
+  }
+
+  test("top-k sketch: day with fewer items than m is lossless (thresh 0)") {
+    import graft.ops.TopKSketch
+    val df = Seq((1, 10L), (1, 10L), (1, 11L)).toDF("day", "item_id")
+    val p = TopKSketch.dailyTopM(df, "day", "item_id", m = 5).collect()
+    assert(p.forall(_.getAs[Long]("thresh") == 0L))
+    val m = TopKSketch.mergeTopK(
+      TopKSketch.dailyTopM(df, "day", "item_id", m = 5), "day", k = 10)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(m(10L) == ((2L, 2L)) && m(11L) == ((1L, 1L)))
+  }
 }
