@@ -36,14 +36,24 @@ object Drift {
   def perGroup(df: DataFrame, groupCols: Seq[String], valueCol: String,
       isBaseline: Column, binWidth: Double): DataFrame = {
     require(binWidth > 0, s"binWidth must be positive, got $binWidth")
-    val gs = groupCols.map(col)
     val binned = df
       .filter(col(valueCol).isNotNull)
-      .groupBy(gs :+
+      .groupBy(groupCols.map(col) :+
         floor(col(valueCol) / binWidth).cast("long").as("bin"): _*)
       .agg(
         sum(when(isBaseline, 1L).otherwise(0L)).as("a"),
         sum(when(isBaseline, 0L).otherwise(1L)).as("b"))
+    fromBins(binned, groupCols)
+  }
+
+  /** The statistics stage alone, over pre-binned per-(group, bin) counts
+    * (`a` = baseline rows, `b` = current rows). Separated so incremental
+    * maintainers ([[graft.streaming.DriftMonitor]]) can feed STORED bin
+    * tables — the whole point of binned drift is that the monitor never
+    * rescans either side's raw data.
+    */
+  def fromBins(binned: DataFrame, groupCols: Seq[String]): DataFrame = {
+    val gs = groupCols.map(col)
     val whole = Window.partitionBy(gs: _*)
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val byBin = Window.partitionBy(gs: _*).orderBy(col("bin"))

@@ -64,7 +64,7 @@ object IncrementalFeatures {
     * drop the new stream's first batches. A marker from a different
     * checkpoint is therefore ignored (treated as "nothing applied").
     */
-  private def lastAppliedBatch(table: FeatureTable, checkpoint: String): Long = {
+  private[streaming] def lastAppliedBatch(table: FeatureTable, checkpoint: String): Long = {
     val marker = java.nio.file.Paths.get(table.root, "_last_batch")
     if (!java.nio.file.Files.exists(marker)) -1L
     else java.nio.file.Files.readString(marker).split("\n", 2) match {
@@ -88,7 +88,7 @@ object IncrementalFeatures {
     }
   }
 
-  private def recordBatch(table: FeatureTable, checkpoint: String,
+  private[streaming] def recordBatch(table: FeatureTable, checkpoint: String,
       batchId: Long): Unit = {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(table.root))
     java.nio.file.Files.writeString(

@@ -67,4 +67,46 @@ class DriftSpec extends AnyFunSuite {
       assert(got(g)._1 > 0.05) // the injected shift is visible
     }
   }
+
+  test("streaming monitor report == batch drift over the same data") {
+    import java.nio.file.Files
+    import java.sql.Timestamp
+    import graft.streaming.{DriftMonitor, EventStreams}
+    import graft.features.FeatureTable
+    val rnd = new scala.util.Random(31)
+    def ev(id: Long, et: String, v: Double) =
+      (id, Timestamp.valueOf("2024-01-01 10:00:00"), id % 7, et, v, "")
+    val baseline = (1 to 300).map(i =>
+      ev(i, s"t${i % 2}", rnd.nextGaussian() * 3 + 10))
+    val current = (1 to 400).map(i =>
+      ev(i + 1000, s"t${i % 2}", rnd.nextGaussian() * 3 + 13))
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+    val baseDf = baseline.toDF(cols: _*)
+    val curDf = current.toDF(cols: _*)
+
+    val dir = Files.createTempDirectory("drift-stream").toString
+    curDf.write.mode("overwrite").parquet(dir)
+    val t = FeatureTable(
+      Files.createTempDirectory("drift-bins").toString + "/t",
+      Seq("event_type", "bin"))
+    val cp = Files.createTempDirectory("drift-cp").toString
+    DriftMonitor.run(spark, EventStreams.readEvents(spark, dir), t,
+      Seq("event_type"), "value", binWidth = 2.0, checkpoint = cp)
+
+    // bin-table state is bounded: ≤ groups × occupied bins, not |stream|
+    assert(t.read(spark).count() <= 2L * 40L)
+    val baseBins = DriftMonitor.bins(baseDf, Seq("event_type"), "value", 2.0)
+    val got = DriftMonitor.report(spark, t, baseBins, Seq("event_type"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    val want = graft.ops.Drift.perGroup(
+      baseDf.withColumn("ib", lit(true))
+        .unionByName(curDf.withColumn("ib", lit(false))),
+      Seq("event_type"), "value", col("ib"), binWidth = 2.0)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(got == want)
+    assert(got.keySet == Set("t0", "t1"))
+    assert(got.values.forall(_._3 > 0.05)) // the injected shift registers
+  }
 }
