@@ -422,6 +422,60 @@ object TrainScoreQueries {
         |FROM spine s ASOF LEFT JOIN snapshots f
         |  ON s.household_key = f.household_key AND s.day >= f.day""".stripMargin)),
 
+    // Staleness-bounded as-of: same snapshot table, but a third spine day
+    // (cutoff+20) whose only preceding snapshot is 20 days old — with a
+    // 10-day tolerance that match MUST come back null (the feature-
+    // freshness guard). Oracle: native ASOF then null-out past-tolerance
+    // matches — equivalent because the latest match is stale iff all are.
+    Entry(
+      "pit_asof_stale_guard",
+      (s, dir) => {
+        val tx = TransactionsAdj(s, dir)
+        val (_, cur) = graft.core.Retail.dayBounds(s, dir)
+        val fed = cur.minusDays(LabelBuilder.horizonDays)
+        val fedD = Date.valueOf(fed)
+        val midD = Date.valueOf(fed.plusDays(20))
+        val curD = Date.valueOf(cur)
+        def snap(df: org.apache.spark.sql.DataFrame, d: java.sql.Date) =
+          df.filter(col("day") <= lit(d)).groupBy("household_key").agg(
+            countDistinct(col("basket_id")).as("n_baskets"),
+            sum(col("amount_paid").cast("decimal(18,4)")).cast("double").as("sum_paid"))
+            .withColumn("day", lit(d))
+        val snapshots = snap(tx, fedD).unionByName(snap(tx, curD))
+        val households = tx.select("household_key").distinct()
+        val spine = households.withColumn("day", lit(fedD))
+          .unionByName(households.withColumn("day", lit(midD)))
+          .unionByName(households.withColumn("day", lit(curD)))
+        graft.train.AsOfLookup.lookupAsOf(spine, snapshots, Seq("household_key"),
+          maxStalenessDays = Some(10))
+      },
+      Some(s"""WITH ${Oracle.txAdjFull},
+        |gb AS (SELECT max(day) AS cur FROM tx),
+        |snap_fed AS (
+        |  SELECT household_key, COUNT(DISTINCT basket_id) AS n_baskets,
+        |    ${Oracle.dsum("amount_paid", "sum_paid")},
+        |    (SELECT cur - 30 FROM gb) AS day
+        |  FROM tx CROSS JOIN gb WHERE day <= (gb.cur - 30) GROUP BY household_key),
+        |snap_cur AS (
+        |  SELECT household_key, COUNT(DISTINCT basket_id) AS n_baskets,
+        |    ${Oracle.dsum("amount_paid", "sum_paid")},
+        |    (SELECT cur FROM gb) AS day
+        |  FROM tx GROUP BY household_key),
+        |snapshots AS (SELECT * FROM snap_fed UNION ALL SELECT * FROM snap_cur),
+        |households AS (SELECT DISTINCT household_key FROM tx),
+        |spine AS (
+        |  SELECT household_key, (SELECT cur - 30 FROM gb) AS day FROM households
+        |  UNION ALL
+        |  SELECT household_key, (SELECT cur - 10 FROM gb) AS day FROM households
+        |  UNION ALL
+        |  SELECT household_key, (SELECT cur FROM gb) AS day FROM households)
+        |SELECT s.household_key, s.day,
+        |  CASE WHEN f.day >= s.day - 10 THEN f.day END AS snapshot_day,
+        |  CASE WHEN f.day >= s.day - 10 THEN f.n_baskets END AS n_baskets,
+        |  CASE WHEN f.day >= s.day - 10 THEN f.sum_paid END AS sum_paid
+        |FROM spine s ASOF LEFT JOIN snapshots f
+        |  ON s.household_key = f.household_key AND s.day >= f.day""".stripMargin)),
+
     // S5/P7: empty-clone CTAS — schema-only copy via limit(0)
     // (02:151-162, 04c:141). Hash of the empty set checks schema parity.
     Entry(

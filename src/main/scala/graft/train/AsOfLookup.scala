@@ -51,9 +51,21 @@ object AsOfLookup {
     * (-0.0 ≡ 0.0, one NaN). Typical as-of spines (keys + day + scalar
     * payload) satisfy this trivially.
     */
+  /** `maxStalenessDays`: when set, a snapshot older than the spine day by
+    * more than this many days is no match — the feature-freshness guard
+    * (serving stale features silently is worse than serving nulls a
+    * caller can see and gate on). Bounding INSIDE the join condition also
+    * prunes the fan-out to the tolerance window, so retention beyond the
+    * tolerance costs nothing at lookup time. Equivalent to filtering the
+    * unbounded argmax after the fact: the latest qualifying snapshot is
+    * stale iff every one is.
+    */
   def lookupAsOf(spine: DataFrame, snapshots: DataFrame, grainKeys: Seq[String],
       snapshotDayAs: String = "snapshot_day",
-      expandChunk: Long = ExpandChunk): DataFrame = {
+      expandChunk: Long = ExpandChunk,
+      maxStalenessDays: Option[Int] = None): DataFrame = {
+    maxStalenessDays.foreach(n =>
+      require(n >= 0, s"lookupAsOf: maxStalenessDays must be >= 0, got $n"))
     require(!spine.columns.contains("__mult"),
       "lookupAsOf: spine already has a __mult column (reserved for the internal multiplicity)")
     require(expandChunk >= 1, s"lookupAsOf: expandChunk must be >= 1, got $expandChunk")
@@ -72,7 +84,10 @@ object AsOfLookup {
     // temporal predicate INSIDE the join condition so a spine row whose
     // snapshots are all in the future still survives (with nulls)
     val cond = grainKeys.map(k => col(s"sp.$k") === col(s"ff.$k")).reduce(_ && _) &&
-      col(s"ff.$snapshotDayAs") <= col("sp.day")
+      col(s"ff.$snapshotDayAs") <= col("sp.day") &&
+      maxStalenessDays.map(n =>
+        col(s"ff.$snapshotDayAs") >= date_sub(col("sp.day"), n))
+        .getOrElse(lit(true))
     val payload = struct(
       col(s"ff.$snapshotDayAs").as(snapshotDayAs) +:
         metricCols.map(c => col(s"ff.$c").as(c)): _*)

@@ -89,4 +89,28 @@ class AsOfLookupSpec extends AnyFunSuite {
     assert(out.count(r => r.getAs[Long]("household_key") == 2L &&
       r.isNullAt(r.fieldIndex("m"))) == 2)
   }
+
+  test("maxStalenessDays: past-tolerance matches come back null") {
+    val spine = Seq(
+      (1L, d("2024-01-20")), // latest = 01-15, 5 days old → within 10
+      (1L, d("2024-01-30")), // latest = 01-15, 15 days old → REJECTED
+      (1L, d("2024-01-15"))  // exact day, 0 days old → fine at tol 0 too
+    ).toDF("household_key", "day")
+    val out = AsOfLookup.lookupAsOf(spine, snapshots, Seq("household_key"),
+      maxStalenessDays = Some(10))
+      .collect().map { r =>
+        r.getAs[java.sql.Date]("day").toString ->
+          (if (r.isNullAt(r.fieldIndex("m"))) None else Some(r.getAs[Double]("m")))
+      }.toMap
+    assert(out("2024-01-20") == Some(20.0))
+    assert(out("2024-01-30") == None) // stale → null, row survives
+    assert(out("2024-01-15") == Some(20.0))
+    // tolerance 0: only an exact-day snapshot qualifies
+    val strict = AsOfLookup.lookupAsOf(spine, snapshots, Seq("household_key"),
+      maxStalenessDays = Some(0))
+      .collect().map(r => r.getAs[java.sql.Date]("day").toString ->
+        r.isNullAt(r.fieldIndex("m"))).toMap
+    assert(strict == Map("2024-01-20" -> true, "2024-01-30" -> true,
+      "2024-01-15" -> false))
+  }
 }
