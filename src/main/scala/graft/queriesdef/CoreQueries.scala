@@ -445,6 +445,106 @@ object CoreQueries {
         | AND abs(length(a.c_name) - length(b.c_name)) <= 1
         |WHERE levenshtein(a.c_name, b.c_name) <= 1""".stripMargin)),
 
+    // End-to-end entity resolution — the record-linkage lineage a master-
+    // data pipeline ships, composed from the shipped operators: SymSpell
+    // fuzzy candidate pairs → connected components over name-variant
+    // edges → keep-most-popular-spelling survivor per entity cluster.
+    // The raw TPC-H names are DEGENERATE for this demo (sequential digit
+    // strings chain the whole namespace into one component under any
+    // dist-1 rule), so the entry injects content-hash entity names — the
+    // canonical spelling twice (it must win the popularity vote) plus
+    // head/tail typo variants for a custkey-keyed subset. Clusters are
+    // then small and meaningful, and the recursive-CTE oracle's reach
+    // table stays linear. Names map to stable integral node ids (min
+    // custkey per spelling) so the cluster algebra runs on 8-byte keys,
+    // not strings. The oracle replays the whole chain: naive levenshtein
+    // pairs + recursive-CTE reachability + ROW_NUMBER survivor.
+    Entry(
+      "entity_resolution",
+      (s, dir) => {
+        val keyed = Catalog.table(s, dir, "customer")
+          .select(col("c_custkey").cast("long").as("k"),
+            concat(lit("E"), substring(md5(col("c_custkey").cast("string")), 1, 8))
+              .as("name"))
+        // spelling id = k·4 + variant code — a base name and its typo
+        // variants share k, so min(k) alone would conflate their nodes
+        val dirty = keyed.select((col("k") * 4).as("id"), col("name"))
+          .unionByName( // canonical spelling appears twice
+            keyed.select((col("k") * 4).as("id"), col("name")))
+          .unionByName(keyed.filter(col("k") % 7 === 0)
+            .select((col("k") * 4 + 1).as("id"),
+              concat(substring(col("name"), 1, 8), lit("z")).as("name")))
+          .unionByName(keyed.filter(col("k") % 13 === 0)
+            .select((col("k") * 4 + 2).as("id"),
+              concat(lit("z"), substring(col("name"), 2, 8)).as("name")))
+        val nodes = dirty
+          .groupBy(col("name"))
+          .agg(min(col("id")).as("doc_id"), count(lit(1)).as("n_customers"))
+        val pairs = graft.ops.FuzzyJoin.selfJoin(dirty, "name")
+        val ids = nodes.select(col("name"), col("doc_id"))
+        val edges = pairs
+          .join(ids.select(col("name").as("name_a"), col("doc_id").as("id_a")),
+            Seq("name_a"))
+          .join(ids.select(col("name").as("name_b"), col("doc_id").as("id_b")),
+            Seq("name_b"))
+          .select(least(col("id_a"), col("id_b")).as("doc_a"),
+            greatest(col("id_a"), col("id_b")).as("doc_b"))
+        val assign = graft.dedup.Clusters.connectedComponents(
+          nodes.select("doc_id"), edges)
+        val surv = graft.dedup.Clusters.survivorsFrom(
+          nodes.select(col("doc_id"), col("n_customers")), assign, "n_customers")
+        surv.join(nodes, Seq("doc_id"))
+          .select(col("doc_id"), col("name"), col("n_customers"),
+            col("cluster_id"), col("survivor_id"), col("kept"))
+      },
+      Some("""WITH RECURSIVE keyed AS (
+        |  SELECT CAST(c_custkey AS BIGINT) AS k,
+        |    'E' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8) AS name
+        |  FROM customer),
+        |dirty AS (
+        |  SELECT k * 4 AS id, name FROM keyed
+        |  UNION ALL SELECT k * 4 AS id, name FROM keyed
+        |  UNION ALL SELECT k * 4 + 1 AS id, substr(name, 1, 8) || 'z' AS name
+        |    FROM keyed WHERE k % 7 = 0
+        |  UNION ALL SELECT k * 4 + 2 AS id, 'z' || substr(name, 2, 8) AS name
+        |    FROM keyed WHERE k % 13 = 0),
+        |nodes AS (
+        |  SELECT name, CAST(MIN(id) AS BIGINT) AS doc_id,
+        |    COUNT(*) AS n_customers
+        |  FROM dirty GROUP BY name),
+        |jp AS (
+        |  SELECT a.name AS name_a, b.name AS name_b,
+        |    a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM nodes a JOIN nodes b
+        |    ON a.name < b.name
+        |   AND abs(length(a.name) - length(b.name)) <= 1
+        |  WHERE levenshtein(a.name, b.name) <= 1),
+        |ep AS (
+        |  SELECT LEAST(id_a, id_b) AS doc_a, GREATEST(id_a, id_b) AS doc_b
+        |  FROM jp),
+        |edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM ep
+        |  UNION
+        |  SELECT doc_b AS src, doc_a AS dst FROM ep),
+        |reach(a, b) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+        |cc AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a),
+        |assigned AS (
+        |  SELECT n.doc_id, n.name, n.n_customers,
+        |    COALESCE(cc.cluster_id, n.doc_id) AS cluster_id
+        |  FROM nodes n LEFT JOIN cc ON n.doc_id = cc.doc_id),
+        |best AS (
+        |  SELECT cluster_id, doc_id AS survivor_id FROM (
+        |    SELECT cluster_id, doc_id,
+        |      ROW_NUMBER() OVER (PARTITION BY cluster_id
+        |        ORDER BY n_customers DESC, doc_id) AS rn
+        |    FROM assigned) WHERE rn = 1)
+        |SELECT a.doc_id, a.name, CAST(a.n_customers AS BIGINT) AS n_customers,
+        |  a.cluster_id, b.survivor_id, (a.doc_id = b.survivor_id) AS kept
+        |FROM assigned a JOIN best b USING (cluster_id)""".stripMargin)),
+
     // Equi-depth decile bucketing of households by total spend — global
     // ntile WITHOUT the single-partition window (range-partitioned rank +
     // broadcast offsets; Ntile scaladoc). Oracle is DuckDB's native ntile
