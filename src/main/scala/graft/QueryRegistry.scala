@@ -19,6 +19,7 @@ object QueryRegistry {
     queriesdef.FeatureQueries.entries,
     queriesdef.TrainScoreQueries.entries,
     queriesdef.EvalQueries.entries,
+    queriesdef.AnalyticsQueries.entries,
     queriesdef.TextQueries.entries,
     queriesdef.SimilarityQueries.entries,
     queriesdef.EventQueries.entries)

@@ -39,6 +39,49 @@ object BasketPairs {
     */
   def topPairs(tx: DataFrame, minSupport: Int, k: Int): DataFrame = {
     require(minSupport >= 1 && k >= 1, s"bad args: $minSupport, $k")
+    pairCounts(tx, minSupport)
+      .select("pa", "pb", "n_pair", "na", "nb", "lift")
+      .orderBy(col("n_pair").desc, col("pa"), col("pb"))
+      .limit(k)
+  }
+
+  /** Directional association rules (Apriori pass 3, still one plan): each
+    * surviving pair emits both orientations a→b and b→a with
+    * `confidence = n_pair / n_antecedent`, kept when ≥ `minConf`. Support
+    * and lift are orientation-symmetric and carried through. Top-`k` by
+    * (confidence, antecedent, consequent) so the output order is
+    * deterministic under ties.
+    *
+    * Scale: the rule derivation runs on the PAIR table (catalog²-bounded,
+    * already support-pruned) — no further pass over the fact. The two
+    * orientations come from one `explode` of a 2-element array, not a
+    * union of two lineages.
+    */
+  def rules(tx: DataFrame, minSupport: Int, minConf: Double, k: Int): DataFrame = {
+    require(minConf > 0 && minConf <= 1, s"bad minConf: $minConf")
+    pairCounts(tx, minSupport)
+      .select(explode(array(
+        struct(col("pa").as("antecedent"), col("pb").as("consequent"),
+          col("na").as("n_ante"), col("nb").as("n_cons"),
+          col("n_pair"), col("lift")),
+        struct(col("pb").as("antecedent"), col("pa").as("consequent"),
+          col("nb").as("n_ante"), col("na").as("n_cons"),
+          col("n_pair"), col("lift")))).as("r"))
+      .select(col("r.*"))
+      .withColumn("confidence",
+        col("n_pair").cast("double") / col("n_ante").cast("double"))
+      .filter(col("confidence") >= minConf)
+      .select("antecedent", "consequent", "n_pair", "n_ante", "n_cons",
+        "confidence", "lift")
+      .orderBy(col("confidence").desc, col("antecedent"), col("consequent"))
+      .limit(k)
+  }
+
+  /** Shared pair lineage: support-pruned canonical pairs (pa < pb) with
+    * per-item and pair basket counts and lift. See object scaladoc for the
+    * single-lineage shape.
+    */
+  private def pairCounts(tx: DataFrame, minSupport: Int): DataFrame = {
     val items = tx.select("basket_id", "product_id").distinct()
     val freq = items.groupBy("product_id")
       .agg(count(lit(1)).as("n_baskets"))
@@ -65,7 +108,5 @@ object BasketPairs {
         (col("n_pair").cast("double") * col("n_total").cast("double")) /
           (col("na").cast("double") * col("nb").cast("double")))
       .select("pa", "pb", "n_pair", "na", "nb", "lift")
-      .orderBy(col("n_pair").desc, col("pa"), col("pb"))
-      .limit(k)
   }
 }

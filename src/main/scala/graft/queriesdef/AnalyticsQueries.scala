@@ -1,0 +1,209 @@
+package graft.queriesdef
+
+import java.sql.Date
+import org.apache.spark.sql.functions._
+import graft.QueryRegistry.Entry
+import graft.core.{Catalog, Retail}
+import graft.features.FeatureBuilder
+import graft.labels.LabelBuilder
+import graft.ops.{BasketPairs, Commodities, Experiment, HashSplit, KAnon, TargetEncode}
+import graft.silver.TransactionsAdj
+
+/** Advanced-analytics queries layered on the retail model: association
+  * rules, target encoding, experiment readout (CUPED), privacy
+  * suppression. Each is an operator a production propensity platform
+  * grows next to the reference's feature/train/score core.
+  */
+object AnalyticsQueries {
+
+  def entries: Seq[Entry] = Seq(
+
+    // Directional association rules (Apriori pass 3; BasketPairs.rules
+    // scaladoc for the single-lineage scale shape). confidence and lift
+    // are single divisions of exact sub-2^53 integers — bit-identical.
+    Entry(
+      "basket_rules",
+      (s, dir) => BasketPairs.rules(TransactionsAdj(s, dir),
+        minSupport = 25, minConf = 0.08, k = 100),
+      Some(s"""WITH ${Oracle.txAdj},
+        |items AS (
+        |  SELECT DISTINCT basket_id, product_id FROM transactions_adj),
+        |freq AS (
+        |  SELECT product_id, count(*) AS n_baskets
+        |  FROM items GROUP BY product_id HAVING count(*) >= 25),
+        |total AS (SELECT COUNT(DISTINCT basket_id) AS n_total FROM items),
+        |pruned AS (
+        |  SELECT i.basket_id, i.product_id, f.n_baskets
+        |  FROM items i JOIN freq f ON i.product_id = f.product_id),
+        |pairs AS (
+        |  SELECT a.product_id AS pa, b.product_id AS pb,
+        |    count(*) AS n_pair, a.n_baskets AS na, b.n_baskets AS nb,
+        |    (CAST(count(*) AS DOUBLE) * CAST(t.n_total AS DOUBLE)) /
+        |      (CAST(a.n_baskets AS DOUBLE) * CAST(b.n_baskets AS DOUBLE))
+        |      AS lift
+        |  FROM pruned a
+        |  JOIN pruned b
+        |    ON a.basket_id = b.basket_id AND a.product_id < b.product_id
+        |  CROSS JOIN total t
+        |  GROUP BY a.product_id, b.product_id, a.n_baskets, b.n_baskets,
+        |    t.n_total),
+        |oriented AS (
+        |  SELECT pa AS antecedent, pb AS consequent, n_pair,
+        |    na AS n_ante, nb AS n_cons, lift FROM pairs
+        |  UNION ALL
+        |  SELECT pb, pa, n_pair, nb, na, lift FROM pairs)
+        |SELECT antecedent, consequent, n_pair, n_ante, n_cons,
+        |  CAST(n_pair AS DOUBLE) / CAST(n_ante AS DOUBLE) AS confidence,
+        |  lift
+        |FROM oriented
+        |WHERE CAST(n_pair AS DOUBLE) / CAST(n_ante AS DOUBLE) >= 0.08
+        |ORDER BY confidence DESC, antecedent, consequent
+        |LIMIT 100""".stripMargin)),
+
+    // Leave-one-out target encoding of the label spine by household —
+    // the high-cardinality categorical encoder (TargetEncode scaladoc):
+    // one group agg + one grand agg, exact integer sums, one division.
+    Entry(
+      "target_encode_loo",
+      (s, dir) => {
+        val txc = FeatureBuilder.txWithCommodity(s, dir)
+        val (_, cur) = Retail.dayBounds(s, dir)
+        val labels = LabelBuilder.labels(txc,
+          Commodities.commoditiesToScore(s, dir),
+          cur.minusDays(LabelBuilder.horizonDays))
+        TargetEncode.loo(labels, Seq("household_key"), "purchased", m = 20.0)
+      },
+      Some(s"""WITH ${Oracle.txCommodity}, ${TrainScoreQueries.labelsCtes},
+        |stats AS (
+        |  SELECT household_key,
+        |    CAST(SUM(purchased) AS BIGINT) AS g_sum,
+        |    COUNT(*) AS g_n
+        |  FROM labels GROUP BY household_key),
+        |g AS (
+        |  SELECT CAST(SUM(purchased) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+        |    AS mu FROM labels)
+        |SELECT l.household_key, l.commodity_desc, l.day, l.purchased,
+        |  ROUND((CAST(s.g_sum AS DOUBLE) - CAST(l.purchased AS DOUBLE)
+        |      + 20.0 * g.mu)
+        |    / (CAST(s.g_n AS DOUBLE) - 1.0 + 20.0), 9) AS te
+        |FROM labels l
+        |JOIN stats s ON l.household_key = s.household_key
+        |CROSS JOIN g""".stripMargin)),
+
+    // CUPED experiment readout: arms assigned by content hash (HashSplit
+    // arithmetic — engine-exact on both sides), y = second-half spend,
+    // x = first-half spend per household; five decimal grand totals →
+    // closed-form theta applied to arm aggregates (Experiment scaladoc).
+    Entry(
+      "ab_cuped",
+      (s, dir) => {
+        val tx = TransactionsAdj(s, dir)
+        val (lo, hi) = Retail.dayBounds(s, dir)
+        val mid = lo.plusDays(
+          java.time.temporal.ChronoUnit.DAYS.between(lo, hi) / 2)
+        val perHh = tx.groupBy("household_key").agg(
+          sum(when(col("day") <= lit(Date.valueOf(mid)),
+            col("amount_paid")).otherwise(lit(0.0)).cast("decimal(18,4)"))
+            .cast("decimal(18,4)").as("x"),
+          sum(when(col("day") > lit(Date.valueOf(mid)),
+            col("amount_paid")).otherwise(lit(0.0)).cast("decimal(18,4)"))
+            .cast("decimal(18,4)").as("y"))
+        val assigned = perHh.withColumn("arm",
+          when(HashSplit.bucket(col("household_key"), 2) === 0,
+            lit("control")).otherwise(lit("treatment")))
+        Experiment.cuped(assigned).orderBy("arm")
+      },
+      Some(s"""WITH ${Oracle.txAdjFull},
+        |gb2 AS (
+        |  SELECT min(day) AS lo,
+        |    min(day) + CAST((max(day) - min(day)) // 2 AS INT) AS mid
+        |  FROM tx),
+        |ph AS (
+        |  SELECT household_key,
+        |    CAST(SUM(CAST(CASE WHEN t.day <= g.mid THEN amount_paid
+        |      ELSE 0.0 END AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS x,
+        |    CAST(SUM(CAST(CASE WHEN t.day > g.mid THEN amount_paid
+        |      ELSE 0.0 END AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS y
+        |  FROM tx t CROSS JOIN gb2 g
+        |  GROUP BY household_key),
+        |asg AS (
+        |  SELECT *,
+        |    CASE WHEN ${HashSplit.bucketSql("household_key", 2)} = 0
+        |      THEN 'control' ELSE 'treatment' END AS arm
+        |  FROM ph),
+        |pooled AS (
+        |  -- operands widened to DECIMAL(19,4): DuckDB executes the product
+        |  -- in the wider physical type (int128), avoiding int64 overflow
+        |  -- while keeping 19+19 = 38 within the max decimal width
+        |  SELECT COUNT(*) AS n_all, SUM(x) AS sx, SUM(y) AS sy,
+        |    SUM(CAST(x AS DECIMAL(19,4)) * CAST(y AS DECIMAL(19,4))) AS sxy,
+        |    SUM(CAST(x AS DECIMAL(19,4)) * CAST(x AS DECIMAL(19,4))) AS sxx
+        |  FROM asg),
+        |th AS (
+        |  SELECT
+        |    CAST(sx AS DOUBLE) / CAST(n_all AS DOUBLE) AS mu_x,
+        |    ((CAST(sxy AS DOUBLE) / CAST(n_all AS DOUBLE))
+        |      - (CAST(sx AS DOUBLE) / CAST(n_all AS DOUBLE))
+        |        * (CAST(sy AS DOUBLE) / CAST(n_all AS DOUBLE)))
+        |    / ((CAST(sxx AS DOUBLE) / CAST(n_all AS DOUBLE))
+        |      - (CAST(sx AS DOUBLE) / CAST(n_all AS DOUBLE))
+        |        * (CAST(sx AS DOUBLE) / CAST(n_all AS DOUBLE))) AS theta
+        |  FROM pooled),
+        |arms AS (
+        |  SELECT arm, COUNT(*) AS n, SUM(x) AS asx, SUM(y) AS asy
+        |  FROM asg GROUP BY arm)
+        |SELECT a.arm, a.n,
+        |  ROUND(CAST(a.asy AS DOUBLE) / CAST(a.n AS DOUBLE), 9) AS mean_y,
+        |  ROUND(CAST(a.asx AS DOUBLE) / CAST(a.n AS DOUBLE), 9) AS mean_x,
+        |  ROUND((CAST(a.asy AS DOUBLE) / CAST(a.n AS DOUBLE))
+        |    - t.theta * ((CAST(a.asx AS DOUBLE) / CAST(a.n AS DOUBLE))
+        |      - t.mu_x), 9) AS mean_y_cuped,
+        |  ROUND(t.theta, 9) AS theta
+        |FROM arms a CROSS JOIN th t
+        |ORDER BY arm""".stripMargin)),
+
+    // K-anonymity suppression of a published spend aggregate over the
+    // (mktsegment, nation) quasi-identifier; rare cells roll into
+    // __OTHER__ with distinct-unit support re-derived, not summed
+    // (KAnon scaladoc).
+    Entry(
+      "k_anon_suppress",
+      (s, dir) => {
+        val tx = TransactionsAdj(s, dir)
+        val cust = Catalog.table(s, dir, "customer")
+          .select(col("c_custkey").as("household_key"),
+            col("c_nationkey"), col("c_mktsegment").as("segment"))
+        val nation = Catalog.table(s, dir, "nation")
+          .select(col("n_nationkey").as("c_nationkey"),
+            col("n_name").as("nation"))
+        val df = tx.join(broadcast(cust), Seq("household_key"))
+          .join(broadcast(nation), Seq("c_nationkey"))
+        KAnon.suppress(df, Seq("segment", "nation"), "household_key",
+          "amount_paid", k = 8)
+      },
+      Some(s"""WITH ${Oracle.txAdjFull},
+        |facts AS (
+        |  SELECT t.*, c.c_mktsegment AS segment, n.n_name AS nation
+        |  FROM tx t
+        |  JOIN customer c ON t.household_key = c.c_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey),
+        |grouped AS (
+        |  SELECT segment, nation,
+        |    COUNT(DISTINCT household_key) AS n_units,
+        |    SUM(CAST(amount_paid AS DECIMAL(18,4))) AS total_d
+        |  FROM facts GROUP BY segment, nation),
+        |kept AS (
+        |  SELECT segment, nation, n_units,
+        |    CAST(total_d AS DOUBLE) AS total
+        |  FROM grouped WHERE n_units >= 8),
+        |rare AS (SELECT segment, nation FROM grouped WHERE n_units < 8),
+        |other AS (
+        |  SELECT '__OTHER__' AS segment, '__OTHER__' AS nation,
+        |    COUNT(DISTINCT f.household_key) AS n_units,
+        |    CAST(SUM(CAST(f.amount_paid AS DECIMAL(18,4))) AS DOUBLE)
+        |      AS total
+        |  FROM facts f
+        |  JOIN rare r ON f.segment = r.segment AND f.nation = r.nation
+        |  HAVING COUNT(DISTINCT f.household_key) > 0)
+        |SELECT * FROM kept UNION ALL SELECT * FROM other""".stripMargin)))
+}
