@@ -123,6 +123,48 @@ object Dedup {
       .select("doc_a", "doc_b", "n_common", "size_a", "size_b", "jaccard")
   }
 
+  /** Shingle-containment near-dup pairs: containment
+    * `C = |A∩B| / min(|A|, |B|)` flags SUBSET duplicates — a document
+    * quoted or embedded whole inside a larger one — which symmetric
+    * Jaccard structurally misses (a 100-shingle doc inside a 10,000-
+    * shingle doc has J ≈ 0.01 but C = 1.0). The standard complement to
+    * [[ngramJaccardPairs]] in a curation stack (Broder's containment,
+    * "On the resemblance and containment of documents", 1997).
+    *
+    * Same single-lineage inverted-index shape as the Jaccard operator —
+    * the join fans out only over shared shingles; `maxShingleFreq` is the
+    * stop-shingle skew valve. Normalizing by the smaller set keeps the
+    * pair canonical (pa < pb) rather than directional.
+    */
+  def containmentPairs(docs: DataFrame, n: Int = 5,
+      threshold: Double = 0.8, maxShingleFreq: Option[Int] = None): DataFrame = {
+    val sh = shingles(docs, n)
+    val filtered = maxShingleFreq match {
+      case Some(maxF) =>
+        val freq = sh.groupBy("shingle").agg(count(lit(1)).as("f"))
+          .filter(col("f") <= maxF).select("shingle")
+        sh.join(freq, Seq("shingle"), "left_semi")
+      case None => sh
+    }
+    val sizes = filtered.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val a = filtered.as("a")
+    val b = filtered.as("b")
+    val common = a.join(b,
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n_shingles", "size_a"), Seq("doc_a"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n_shingles", "size_b"), Seq("doc_b"))
+      .withColumn("containment",
+        col("n_common").cast("double") /
+          least(col("size_a"), col("size_b")).cast("double"))
+      .filter(col("containment") >= threshold)
+      .select("doc_a", "doc_b", "n_common", "size_a", "size_b", "containment")
+  }
+
   /** MinHash signatures: h_i(doc) = min over shingles of
     * ((a_i * x + b_i) mod p), where x is the shingle's 31-bit base hash.
     * The per-band scale path buckets docs by banded signature so candidate

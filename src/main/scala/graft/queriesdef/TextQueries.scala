@@ -1082,5 +1082,133 @@ object TextQueries {
         |  FROM t)
         |SELECT doc_id, source, n_tokens,
         |  CAST(tokens_before AS BIGINT) AS tokens_before
-        |FROM c WHERE budget IS NOT NULL AND tokens_before < budget""".stripMargin)))
+        |FROM c WHERE budget IS NOT NULL AND tokens_before < budget""".stripMargin)),
+
+    // Shingle-containment near-dup pairs — flags subset duplicates the
+    // symmetric Jaccard misses (Dedup.containmentPairs scaladoc); same
+    // inverted-index lineage, normalized by the smaller shingle set.
+    Entry(
+      "dedup_containment",
+      (s, dir) => Dedup.containmentPairs(docs(s, dir), n = 5, threshold = 0.8),
+      Some(s"""WITH $shingleCtes,
+        |sz AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id),
+        |co AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        |  FROM sh a JOIN sh b
+        |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id)
+        |SELECT doc_a, doc_b, n_common,
+        |  sa.n_shingles AS size_a, sb.n_shingles AS size_b,
+        |  CAST(n_common AS DOUBLE)
+        |    / CAST(LEAST(sa.n_shingles, sb.n_shingles) AS DOUBLE)
+        |    AS containment
+        |FROM co
+        |JOIN sz sa ON sa.doc_id = doc_a
+        |JOIN sz sb ON sb.doc_id = doc_b
+        |WHERE CAST(n_common AS DOUBLE)
+        |    / CAST(LEAST(sa.n_shingles, sb.n_shingles) AS DOUBLE) >= 0.8
+        |""".stripMargin)),
+
+    // BPE merge-candidate counting over the word-frequency table (corpus
+    // collapses to the vocab first — Subword scaladoc): top adjacent
+    // char pairs by frequency-weighted occurrence count.
+    Entry(
+      "bpe_pair_merge",
+      (s, dir) => graft.text.Subword.bpePairCounts(docs(s, dir), k = 30),
+      Some("""WITH wv AS (
+        |  SELECT w, count(*) AS n FROM (
+        |    SELECT unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+        |      AS w
+        |    FROM documents) t
+        |  GROUP BY w),
+        |wv2 AS (SELECT w, n FROM wv WHERE length(w) >= 2),
+        |pairs AS (
+        |  SELECT substr(w, i, 2) AS pair, w, n
+        |  FROM (SELECT w, n, unnest(generate_series(1, length(w) - 1)) AS i
+        |        FROM wv2) t)
+        |SELECT pair, COUNT(DISTINCT w) AS n_words,
+        |  CAST(SUM(n) AS BIGINT) AS weight
+        |FROM pairs GROUP BY pair
+        |ORDER BY weight DESC, pair LIMIT 30""".stripMargin)),
+
+    // Temperature-balanced multilingual token budgets (alpha = 0.5 →
+    // sqrt, the exactly-rounded IEEE op): sampling share ∝ sqrt(p_lang),
+    // the standard up-weighting of low-resource languages. sqrt weights
+    // quantize to DECIMAL(20,12) before the cross-language sum, so the
+    // denominator is combine-order independent; the per-language frame is
+    // dimension-sized, so its unpartitioned window sum is free.
+    Entry(
+      "lang_token_budget",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val st = docs(s, dir).select(col("lang"),
+          TextAnalysis.tokensWs(col("text")).as("nt"))
+        val langs = st.groupBy("lang").agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("nt")).cast("long").as("tokens"))
+        val tot = langs.agg(sum(col("tokens")).cast("long").as("total"))
+        langs.crossJoin(broadcast(tot))
+          .withColumn("p",
+            col("tokens").cast("double") / col("total").cast("double"))
+          .withColumn("w", round(sqrt(col("p")), 12).cast("decimal(20,12)"))
+          .withColumn("wsum", sum(col("w")).over(
+            Window.partitionBy()))
+          .select(col("lang"), col("n_docs"), col("tokens"),
+            round(col("p"), 9).as("token_share"),
+            round(col("w").cast("double") / col("wsum").cast("double"), 9)
+              .as("sample_share"),
+            floor((col("w").cast("double") / col("wsum").cast("double"))
+              * lit(1000000.0)).cast("long").as("budget_tokens"))
+      },
+      Some(s"""WITH st AS (
+        |  SELECT lang, ${reCount("trim(text)", """\S+""")} AS nt
+        |  FROM documents),
+        |langs AS (
+        |  SELECT lang, COUNT(*) AS n_docs,
+        |    CAST(SUM(nt) AS BIGINT) AS tokens
+        |  FROM st GROUP BY lang),
+        |tot AS (SELECT CAST(SUM(tokens) AS BIGINT) AS total FROM langs),
+        |p AS (
+        |  SELECT lang, n_docs, tokens,
+        |    CAST(tokens AS DOUBLE) / CAST(total AS DOUBLE) AS p,
+        |    CAST(ROUND(SQRT(CAST(tokens AS DOUBLE) / CAST(total AS DOUBLE)),
+        |      12) AS DECIMAL(20,12)) AS w
+        |  FROM langs CROSS JOIN tot),
+        |ws AS (SELECT *, SUM(w) OVER () AS wsum FROM p)
+        |SELECT lang, n_docs, tokens,
+        |  ROUND(p, 9) AS token_share,
+        |  ROUND(CAST(w AS DOUBLE) / CAST(wsum AS DOUBLE), 9) AS sample_share,
+        |  CAST(FLOOR((CAST(w AS DOUBLE) / CAST(wsum AS DOUBLE)) * 1000000.0)
+        |    AS BIGINT) AS budget_tokens
+        |FROM ws""".stripMargin)),
+
+    // Curriculum staging: global equi-depth quartiles by document length
+    // (shortest-first curriculum), per-stage doc and token mass — the
+    // total order comes from Ntile.global's range-partitioned rank, not a
+    // single-partition window.
+    Entry(
+      "curriculum_stages",
+      (s, dir) => {
+        val st = docs(s, dir).select(col("doc_id"),
+          TextAnalysis.tokensWs(col("text")).as("n_tokens"))
+        graft.ops.Ntile.global(st,
+          Seq(col("n_tokens").asc, col("doc_id").asc), 4, "stage")
+          .groupBy("stage")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).cast("long").as("stage_tokens"),
+            min(col("n_tokens")).as("min_tokens"),
+            max(col("n_tokens")).as("max_tokens"))
+      },
+      Some(s"""WITH st AS (
+        |  SELECT doc_id, ${reCount("trim(text)", """\S+""")} AS n_tokens
+        |  FROM documents),
+        |staged AS (
+        |  SELECT n_tokens,
+        |    CAST(ntile(4) OVER (ORDER BY n_tokens, doc_id) AS BIGINT)
+        |      AS stage
+        |  FROM st)
+        |SELECT stage, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS stage_tokens,
+        |  MIN(n_tokens) AS min_tokens, MAX(n_tokens) AS max_tokens
+        |FROM staged GROUP BY stage""".stripMargin)))
 }
