@@ -205,5 +205,126 @@ object AnalyticsQueries {
         |  FROM facts f
         |  JOIN rare r ON f.segment = r.segment AND f.nation = r.nation
         |  HAVING COUNT(DISTINCT f.household_key) > 0)
-        |SELECT * FROM kept UNION ALL SELECT * FROM other""".stripMargin)))
+        |SELECT * FROM kept UNION ALL SELECT * FROM other""".stripMargin)),
+
+    // Shuffle-key skew diagnostics over the fact's three join keys —
+    // every statistic map-side combinable, no sort/window/percentile
+    // (KeySkew scaladoc), so the profile never becomes the skew problem
+    // it measures.
+    Entry(
+      "join_key_skew",
+      (s, dir) => graft.ops.KeySkew.profile(TransactionsAdj(s, dir),
+        Seq("household_key", "product_id", "basket_id"), hotFactor = 10.0),
+      Some {
+        def one(k: String) =
+          s"""SELECT '$k' AS key_name, rows, n_keys, max_freq,
+             |  ROUND(CAST(rows AS DOUBLE) / CAST(n_keys AS DOUBLE), 9)
+             |    AS avg_freq,
+             |  ROUND(CAST(max_freq AS DOUBLE) / CAST(rows AS DOUBLE), 9)
+             |    AS top_share,
+             |  ROUND(CAST(max_freq AS DOUBLE) * CAST(n_keys AS DOUBLE)
+             |    / CAST(rows AS DOUBLE), 9) AS skew_ratio,
+             |  (SELECT COUNT(*) FROM
+             |    (SELECT COUNT(*) AS f FROM transactions_adj GROUP BY $k) ff
+             |    CROSS JOIN (SELECT CAST(SUM(f) AS BIGINT) AS rows,
+             |        COUNT(*) AS n_keys FROM
+             |      (SELECT COUNT(*) AS f FROM transactions_adj GROUP BY $k) g)
+             |      st
+             |    WHERE CAST(ff.f AS DOUBLE) * CAST(st.n_keys AS DOUBLE)
+             |      >= 10.0 * CAST(st.rows AS DOUBLE)) AS n_hot_keys
+             |FROM (
+             |  SELECT CAST(SUM(f) AS BIGINT) AS rows, COUNT(*) AS n_keys,
+             |    CAST(MAX(f) AS BIGINT) AS max_freq
+             |  FROM (SELECT COUNT(*) AS f FROM transactions_adj GROUP BY $k)
+             |    t) s""".stripMargin
+        s"""WITH ${Oracle.txAdj}
+           |${one("household_key")}
+           |UNION ALL
+           |${one("product_id")}
+           |UNION ALL
+           |${one("basket_id")}""".stripMargin
+      }),
+
+    // Robust per-commodity outlier report: exact interpolated median +
+    // MAD (both via the sort-based ExactPercentiles, rounded to 6 dp
+    // before any downstream comparison so the threshold predicate sees
+    // identical doubles on both engines), outliers at the standard
+    // 3 × 1.4826 × MAD band.
+    Entry(
+      "spend_mad_outliers",
+      (s, dir) => {
+        val txc = FeatureBuilder.txWithCommodity(s, dir)
+          .select(col("commodity_desc"), col("amount_paid"))
+        val med = graft.ops.ExactPercentiles.perGroup(txc,
+          Seq("commodity_desc"), "amount_paid", Seq("m" -> 0.5))
+          .select(col("commodity_desc"), round(col("m"), 6).as("med"))
+        val dev = txc.join(broadcast(med), Seq("commodity_desc"))
+          .withColumn("absdev", abs(col("amount_paid") - col("med")))
+        val mad = graft.ops.ExactPercentiles.perGroup(dev,
+          Seq("commodity_desc"), "absdev", Seq("m" -> 0.5))
+          .select(col("commodity_desc"), round(col("m"), 6).as("mad"))
+        dev.join(broadcast(mad), Seq("commodity_desc"))
+          .groupBy("commodity_desc")
+          .agg(
+            max(col("med")).as("median"), max(col("mad")).as("mad"),
+            count(lit(1)).as("n"),
+            count(when(col("absdev") > lit(3.0) * lit(1.4826) * col("mad"),
+              lit(1))).as("n_outliers"))
+          .withColumn("outlier_rate",
+            round(col("n_outliers").cast("double") / col("n").cast("double"),
+              9))
+      },
+      Some(s"""WITH ${Oracle.txCommodity},
+        |med AS (
+        |  SELECT commodity_desc,
+        |    ROUND(quantile_cont(amount_paid, 0.5), 6) AS med
+        |  FROM txc GROUP BY commodity_desc),
+        |dev AS (
+        |  SELECT t.commodity_desc, ABS(t.amount_paid - m.med) AS absdev,
+        |    m.med
+        |  FROM txc t JOIN med m ON t.commodity_desc = m.commodity_desc),
+        |mad AS (
+        |  SELECT commodity_desc, ROUND(quantile_cont(absdev, 0.5), 6) AS mad
+        |  FROM dev GROUP BY commodity_desc)
+        |SELECT d.commodity_desc, MAX(d.med) AS median, MAX(a.mad) AS mad,
+        |  COUNT(*) AS n,
+        |  CAST(COUNT(CASE WHEN d.absdev > 3.0 * 1.4826 * a.mad THEN 1 END)
+        |    AS BIGINT) AS n_outliers,
+        |  ROUND(CAST(COUNT(CASE WHEN d.absdev > 3.0 * 1.4826 * a.mad
+        |      THEN 1 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 9)
+        |    AS outlier_rate
+        |FROM dev d JOIN mad a ON d.commodity_desc = a.commodity_desc
+        |GROUP BY d.commodity_desc""".stripMargin)),
+
+    // Group-consistent k-fold assignment for cross-validation: every
+    // label row of a household lands in the same fold (the content-hash
+    // split contract — no leakage of a household across folds), with the
+    // per-fold balance report a CV harness checks before training.
+    Entry(
+      "fold_balance",
+      (s, dir) => {
+        val txc = FeatureBuilder.txWithCommodity(s, dir)
+        val (_, cur) = Retail.dayBounds(s, dir)
+        val labels = LabelBuilder.labels(txc,
+          Commodities.commoditiesToScore(s, dir),
+          cur.minusDays(LabelBuilder.horizonDays))
+        labels
+          .withColumn("fold", HashSplit.bucket(col("household_key"), 5))
+          .groupBy("fold")
+          .agg(
+            count(lit(1)).as("n_rows"),
+            countDistinct(col("household_key")).as("n_households"),
+            sum(col("purchased")).cast("long").as("n_pos"),
+            round(sum(col("purchased")).cast("double")
+              / count(lit(1)).cast("double"), 9).as("pos_rate"))
+      },
+      Some(s"""WITH ${Oracle.txCommodity}, ${TrainScoreQueries.labelsCtes}
+        |SELECT ${HashSplit.bucketSql("household_key", 5)} AS fold,
+        |  COUNT(*) AS n_rows,
+        |  COUNT(DISTINCT household_key) AS n_households,
+        |  CAST(SUM(purchased) AS BIGINT) AS n_pos,
+        |  ROUND(CAST(SUM(purchased) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 9)
+        |    AS pos_rate
+        |FROM labels
+        |GROUP BY ${HashSplit.bucketSql("household_key", 5)}""".stripMargin)))
 }

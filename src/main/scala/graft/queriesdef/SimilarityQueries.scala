@@ -227,5 +227,36 @@ object SimilarityQueries {
           .select(col("query_id"), col("neighbor_id"), col("cos"),
             col("rank").cast("long").as("rank"))
       },
-      None))
+      None),
+
+    // Affine int8 quantization audit (Quantize scaladoc): per-dimension
+    // global stats → one broadcast row of aligned arrays → pure per-row
+    // transform; q_sum is the order-independent integer checksum that
+    // pins every quantized code through the oracle.
+    Entry(
+      "embedding_quantize",
+      (s, dir) => graft.similarity.Quantize.auditInt8(
+        Catalog.table(s, dir, "embeddings")),
+      Some("""WITH ex AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |    unnest(embedding) AS x
+        |  FROM embeddings),
+        |st AS (
+        |  SELECT i, min(CAST(x AS DOUBLE)) AS mn, max(CAST(x AS DOUBLE)) AS mx
+        |  FROM ex GROUP BY i),
+        |qe AS (
+        |  SELECT vec_id,
+        |    CASE WHEN mx = mn THEN 0
+        |      ELSE CAST(ROUND((CAST(x AS DOUBLE) - mn) / ((mx - mn) / 255.0))
+        |        AS BIGINT) END AS q,
+        |    CASE WHEN mx = mn THEN 0.0
+        |      ELSE ABS(CAST(x AS DOUBLE) - (mn
+        |        + CAST(ROUND((CAST(x AS DOUBLE) - mn) / ((mx - mn) / 255.0))
+        |            AS DOUBLE)
+        |          * ((mx - mn) / 255.0))) END AS err
+        |  FROM ex JOIN st USING (i))
+        |SELECT vec_id, COUNT(*) AS n_dims, MIN(q) AS q_min, MAX(q) AS q_max,
+        |  CAST(SUM(q) AS BIGINT) AS q_sum,
+        |  ROUND(MAX(err), 9) AS max_abs_err
+        |FROM qe GROUP BY vec_id""".stripMargin)))
 }
