@@ -79,9 +79,10 @@ object BasketPairs {
 
   /** Shared pair lineage: support-pruned canonical pairs (pa < pb) with
     * per-item and pair basket counts and lift. See object scaladoc for the
-    * single-lineage shape.
+    * single-lineage shape. Public: the co-occurrence pair table is also
+    * the edge source for graph analytics (ops.PageRank).
     */
-  private def pairCounts(tx: DataFrame, minSupport: Int): DataFrame = {
+  def pairCounts(tx: DataFrame, minSupport: Int): DataFrame = {
     val items = tx.select("basket_id", "product_id").distinct()
     val freq = items.groupBy("product_id")
       .agg(count(lit(1)).as("n_baskets"))

@@ -326,5 +326,208 @@ object AnalyticsQueries {
         |  ROUND(CAST(SUM(purchased) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 9)
         |    AS pos_rate
         |FROM labels
-        |GROUP BY ${HashSplit.bucketSql("household_key", 5)}""".stripMargin)))
+        |GROUP BY ${HashSplit.bucketSql("household_key", 5)}""".stripMargin)),
+
+    // Fixed-iteration PageRank over the product co-occurrence graph —
+    // the iterative-join family (PageRank scaladoc): one join + one hash
+    // aggregate per round, contributions quantized to DECIMAL(28,15)
+    // before each per-dst sum so every iteration is bit-identical on
+    // both engines; no tolerance anywhere.
+    Entry(
+      "product_pagerank",
+      (s, dir) => {
+        val pairs = BasketPairs.pairCounts(TransactionsAdj(s, dir),
+          minSupport = 15).filter(col("n_pair") >= 3)
+        val edges = pairs.select(col("pa").as("src"), col("pb").as("dst"))
+          .union(pairs.select(col("pb"), col("pa")))
+          .distinct()
+        graft.ops.PageRank.run(edges, iterations = 3)
+          .orderBy(col("rank").desc, col("node"))
+          .limit(20)
+      },
+      Some {
+        def iter(k: Int): String =
+          s"""c$k AS (
+             |  SELECT e.dst AS node,
+             |    SUM(CAST(ROUND(r.rank / CAST(d.deg AS DOUBLE), 15)
+             |      AS DECIMAL(28,15))) AS in_mass
+             |  FROM r${k - 1} r
+             |  JOIN deg d ON r.node = d.src
+             |  JOIN edges e ON e.src = d.src
+             |  GROUP BY e.dst),
+             |r$k AS (
+             |  SELECT n.node,
+             |    ROUND((1.0 - 0.85) / CAST(nn.n AS DOUBLE)
+             |      + 0.85 * COALESCE(CAST(c.in_mass AS DOUBLE), 0.0), 15)
+             |      AS rank
+             |  FROM nodes n CROSS JOIN nn
+             |  LEFT JOIN c$k c ON n.node = c.node)""".stripMargin
+        s"""WITH ${Oracle.txAdj},
+           |items AS (
+           |  SELECT DISTINCT basket_id, product_id FROM transactions_adj),
+           |freq AS (
+           |  SELECT product_id, count(*) AS n_baskets
+           |  FROM items GROUP BY product_id HAVING count(*) >= 15),
+           |pruned AS (
+           |  SELECT i.basket_id, i.product_id
+           |  FROM items i JOIN freq f ON i.product_id = f.product_id),
+           |cpairs AS (
+           |  SELECT a.product_id AS pa, b.product_id AS pb, count(*) AS np
+           |  FROM pruned a JOIN pruned b
+           |    ON a.basket_id = b.basket_id AND a.product_id < b.product_id
+           |  GROUP BY 1, 2 HAVING count(*) >= 3),
+           |edges AS (
+           |  SELECT pa AS src, pb AS dst FROM cpairs
+           |  UNION
+           |  SELECT pb, pa FROM cpairs),
+           |nodes AS (
+           |  SELECT DISTINCT src AS node FROM (
+           |    SELECT src FROM edges UNION ALL SELECT dst FROM edges) t),
+           |nn AS (SELECT COUNT(*) AS n FROM nodes),
+           |deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+           |r0 AS (
+           |  SELECT node, ROUND(1.0 / CAST(nn.n AS DOUBLE), 15) AS rank
+           |  FROM nodes CROSS JOIN nn),
+           |${iter(1)},
+           |${iter(2)},
+           |${iter(3)}
+           |SELECT node, rank FROM r3
+           |ORDER BY rank DESC, node LIMIT 20""".stripMargin
+      }),
+
+    // Markov basket-to-basket transition counts: consecutive baskets per
+    // household (lead over the household's basket sequence — partitions
+    // bounded by a household's basket count, never the fact table), then
+    // commodity pairs across the (basket, next) boundary. The sequence-
+    // mining primitive behind "what do they buy next" analytics.
+    Entry(
+      "basket_transitions",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val txc = FeatureBuilder.txWithCommodity(s, dir)
+        val baskets = txc.select("household_key", "basket_id", "day")
+          .distinct()
+        val w = Window.partitionBy("household_key")
+          .orderBy(col("day"), col("basket_id"))
+        val seq2 = baskets
+          .withColumn("next_basket", lead(col("basket_id"), 1).over(w))
+          .filter(col("next_basket").isNotNull)
+          .select("basket_id", "next_basket")
+        val items = txc.select("basket_id", "commodity_desc").distinct()
+        seq2
+          .join(items.withColumnRenamed("commodity_desc", "from_commodity"),
+            Seq("basket_id"))
+          .join(items
+            .withColumnRenamed("basket_id", "next_basket")
+            .withColumnRenamed("commodity_desc", "to_commodity"),
+            Seq("next_basket"))
+          .groupBy("from_commodity", "to_commodity")
+          .agg(count(lit(1)).as("n_transitions"))
+          .orderBy(col("n_transitions").desc, col("from_commodity"),
+            col("to_commodity"))
+          .limit(50)
+      },
+      Some(s"""WITH ${Oracle.txCommodity},
+        |baskets AS (
+        |  SELECT DISTINCT household_key, basket_id, day FROM txc),
+        |seq2 AS (
+        |  SELECT basket_id, next_basket FROM (
+        |    SELECT basket_id,
+        |      LEAD(basket_id) OVER (PARTITION BY household_key
+        |        ORDER BY day, basket_id) AS next_basket
+        |    FROM baskets) t
+        |  WHERE next_basket IS NOT NULL),
+        |items AS (SELECT DISTINCT basket_id, commodity_desc FROM txc)
+        |SELECT f.commodity_desc AS from_commodity,
+        |  n.commodity_desc AS to_commodity,
+        |  COUNT(*) AS n_transitions
+        |FROM seq2 s
+        |JOIN items f ON f.basket_id = s.basket_id
+        |JOIN items n ON n.basket_id = s.next_basket
+        |GROUP BY 1, 2
+        |ORDER BY n_transitions DESC, from_commodity, to_commodity
+        |LIMIT 50""".stripMargin)),
+
+    // Rolling-window anomaly detection: per-commodity daily spend
+    // z-scored against its own trailing 28-day baseline (RANGE frame on
+    // the day number — excludes the current day). Mean/variance close
+    // over exact decimal window sums, so both engines z-score identical
+    // doubles; variance clamped at 0 against negative rounding residue.
+    Entry(
+      "spend_anomaly_zscore",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val txc = FeatureBuilder.txWithCommodity(s, dir)
+        val daily = txc.groupBy("commodity_desc", "day")
+          .agg(sum(col("amount_paid").cast("decimal(18,4)"))
+            .cast("decimal(18,4)").as("spend"))
+          .withColumn("dn", datediff(col("day"), lit("1992-01-01")))
+        val w = Window.partitionBy("commodity_desc").orderBy(col("dn"))
+          .rangeBetween(-28, -1)
+        val stats = daily
+          .withColumn("n_base", count(lit(1)).over(w))
+          .withColumn("s1", sum(col("spend")).over(w))
+          .withColumn("s2", sum(col("spend").cast("decimal(19,4)")
+            * col("spend").cast("decimal(19,4)")).over(w))
+          .filter(col("n_base") >= 14)
+        stats.select(
+          col("commodity_desc"), col("day"),
+          col("spend").cast("double").as("spend"),
+          col("n_base"),
+          round(col("s1").cast("double") / col("n_base").cast("double"), 9)
+            .as("trailing_mean"),
+          round(
+            when(sqrt(greatest(
+              col("s2").cast("double") / col("n_base").cast("double")
+                - (col("s1").cast("double") / col("n_base").cast("double"))
+                * (col("s1").cast("double") / col("n_base").cast("double")),
+              lit(0.0))) =!= 0.0,
+              (col("spend").cast("double")
+                - col("s1").cast("double") / col("n_base").cast("double"))
+                / sqrt(greatest(
+                  col("s2").cast("double") / col("n_base").cast("double")
+                    - (col("s1").cast("double") / col("n_base").cast("double"))
+                    * (col("s1").cast("double") / col("n_base").cast("double")),
+                  lit(0.0))))
+              .otherwise(lit(0.0)), 6).as("z"))
+          .filter(abs(col("z")) > 3.0)
+          .orderBy(col("commodity_desc"), col("day"))
+      },
+      Some(s"""WITH ${Oracle.txCommodity},
+        |daily AS (
+        |  SELECT commodity_desc, day,
+        |    CAST(SUM(CAST(amount_paid AS DECIMAL(18,4))) AS DECIMAL(18,4))
+        |      AS spend,
+        |    day - DATE '1992-01-01' AS dn
+        |  FROM txc GROUP BY commodity_desc, day),
+        |st AS (
+        |  SELECT commodity_desc, day, spend, dn,
+        |    COUNT(*) OVER tw AS n_base,
+        |    SUM(spend) OVER tw AS s1,
+        |    SUM(CAST(spend AS DECIMAL(19,4)) * CAST(spend AS DECIMAL(19,4)))
+        |      OVER tw AS s2
+        |  FROM daily
+        |  WINDOW tw AS (PARTITION BY commodity_desc ORDER BY dn
+        |    RANGE BETWEEN 28 PRECEDING AND 1 PRECEDING)),
+        |zs AS (
+        |  SELECT commodity_desc, day,
+        |    CAST(spend AS DOUBLE) AS spend,
+        |    CAST(n_base AS BIGINT) AS n_base,
+        |    ROUND(CAST(s1 AS DOUBLE) / CAST(n_base AS DOUBLE), 9)
+        |      AS trailing_mean,
+        |    ROUND(CASE WHEN SQRT(GREATEST(
+        |        CAST(s2 AS DOUBLE) / CAST(n_base AS DOUBLE)
+        |          - (CAST(s1 AS DOUBLE) / CAST(n_base AS DOUBLE))
+        |          * (CAST(s1 AS DOUBLE) / CAST(n_base AS DOUBLE)), 0.0))
+        |        <> 0.0
+        |      THEN (CAST(spend AS DOUBLE)
+        |          - CAST(s1 AS DOUBLE) / CAST(n_base AS DOUBLE))
+        |        / SQRT(GREATEST(
+        |          CAST(s2 AS DOUBLE) / CAST(n_base AS DOUBLE)
+        |            - (CAST(s1 AS DOUBLE) / CAST(n_base AS DOUBLE))
+        |            * (CAST(s1 AS DOUBLE) / CAST(n_base AS DOUBLE)), 0.0))
+        |      ELSE 0.0 END, 6) AS z
+        |  FROM st WHERE n_base >= 14)
+        |SELECT * FROM zs WHERE ABS(z) > 3.0
+        |ORDER BY commodity_desc, day""".stripMargin)))
 }
