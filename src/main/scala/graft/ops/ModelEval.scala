@@ -60,6 +60,39 @@ object ModelEval {
         col("p").as("pos"), col("nn").as("neg"))
   }
 
+  /** Per-group exact AUC — the univariate feature-screening primitive:
+    * melt candidate features to (feature, value, label) rows and one call
+    * ranks every feature's separating power in a single plan. Identical
+    * math to [[auc]] with the distinct-score window PARTITIONED by the
+    * group columns, so no window ever sees more than one group's distinct
+    * values. Output: groupCols ++ (auc, pos, neg).
+    */
+  def aucByGroup(scored: DataFrame, groupCols: Seq[String],
+      scoreCol: String = "score", labelCol: String = "purchased"): DataFrame = {
+    require(groupCols.nonEmpty, "aucByGroup: at least one group column")
+    val gs = groupCols.map(col)
+    val perScore = scored
+      .groupBy(gs :+ col(scoreCol).as("s"): _*)
+      .agg(count(lit(1)).as("n"), sum(col(labelCol).cast("long")).as("pos"))
+      .withColumn("neg", col("n") - col("pos"))
+    val asc = Window.partitionBy(gs: _*).orderBy(col("s").asc)
+    val cum = perScore.withColumn("neg_below",
+      coalesce(sum(col("neg")).over(
+        asc.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    cum.groupBy(gs: _*)
+      .agg(
+        sum(col("pos").cast("decimal(38,0)") *
+          (col("neg_below").cast("decimal(38,0)") * 2 +
+            col("neg").cast("decimal(38,0)"))).as("u2"),
+        sum(col("pos")).as("p"),
+        sum(col("neg")).as("nn"))
+      .select(gs ++ Seq(
+        round(col("u2").cast("double") /
+          (col("p").cast("double") * col("nn").cast("double") * 2.0d), 9)
+          .as("auc"),
+        col("p").as("pos"), col("nn").as("neg")): _*)
+  }
+
   /** Gains/lift table over `nBins` score-rank bins (highest scores in
     * bin 0). Ties never straddle a bin: a whole distinct-score group is
     * assigned the bin of its FIRST row in descending-score order

@@ -529,5 +529,245 @@ object AnalyticsQueries {
         |      ELSE 0.0 END, 6) AS z
         |  FROM st WHERE n_base >= 14)
         |SELECT * FROM zs WHERE ABS(z) > 3.0
-        |ORDER BY commodity_desc, day""".stripMargin)))
+        |ORDER BY commodity_desc, day""".stripMargin)),
+
+    // Cluster-robust jackknife CI for mean household spend: one hash
+    // aggregate over units, then all leave-one-bucket algebra on the
+    // 10-row bucket table (Jackknife scaladoc). No resampling RNG —
+    // buckets are content-hash assigned, so the CI is rerun-stable and
+    // engine-exact.
+    Entry(
+      "jackknife_ci",
+      (s, dir) => {
+        val perHh = TransactionsAdj(s, dir)
+          .groupBy("household_key")
+          .agg(sum(col("amount_paid").cast("decimal(18,4)"))
+            .cast("decimal(18,4)").as("spend"))
+        graft.ops.Jackknife.meanCi(perHh, "household_key", "spend", g = 10)
+      },
+      Some(s"""WITH ${Oracle.txAdjFull},
+        |ph AS (
+        |  SELECT household_key,
+        |    CAST(SUM(CAST(amount_paid AS DECIMAL(18,4))) AS DECIMAL(18,4))
+        |      AS spend
+        |  FROM tx GROUP BY household_key),
+        |bk AS (
+        |  SELECT ${HashSplit.bucketSql("household_key", 10)} AS b,
+        |    CAST(SUM(CAST(spend AS DECIMAL(18,4))) AS DECIMAL(28,4)) AS s_i,
+        |    COUNT(*) AS n_i
+        |  FROM ph GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(SUM(s_i) AS DECIMAL(28,4)) AS s,
+        |    CAST(SUM(n_i) AS BIGINT) AS n, COUNT(*) AS g_eff
+        |  FROM bk),
+        |th AS (
+        |  SELECT s, n, g_eff,
+        |    CAST(ROUND(
+        |      ROUND(CAST(s - s_i AS DOUBLE) / CAST(n - n_i AS DOUBLE), 9)
+        |        - ROUND(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 9), 2)
+        |      AS DECIMAL(12,2)) AS dev
+        |  FROM bk CROSS JOIN tot),
+        |st AS (
+        |  SELECT s, n, g_eff, SUM(dev) AS d_sum,
+        |    SUM(dev * dev) AS d_sumsq
+        |  FROM th GROUP BY s, n, g_eff),
+        |res AS (
+        |  SELECT g_eff AS g, n AS n_units,
+        |    ROUND(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 9) AS mean,
+        |    ROUND(SQRT(GREATEST(
+        |      (1.0 - 1.0 / CAST(g_eff AS DOUBLE)) *
+        |        (CAST(d_sumsq AS DOUBLE)
+        |          - (CAST(d_sum AS DOUBLE) * CAST(d_sum AS DOUBLE))
+        |            / CAST(g_eff AS DOUBLE)),
+        |      0.0)), 9) AS se
+        |  FROM st)
+        |SELECT g, n_units, mean, se,
+        |  ROUND(mean - 1.96 * se, 9) AS ci_lo,
+        |  ROUND(mean + 1.96 * se, 9) AS ci_hi
+        |FROM res""".stripMargin)),
+
+    // Right-to-be-forgotten cascade audit: a content-hash-selected forget
+    // set of households, the per-table delete counts a GDPR erasure run
+    // reports. Forget membership is a broadcast semi/anti join per table
+    // — the facts are scanned once each, never collected.
+    Entry(
+      "rtbf_delete_audit",
+      (s, dir) => {
+        val tx = TransactionsAdj(s, dir)
+        val txc = FeatureBuilder.txWithCommodity(s, dir)
+        val (_, cur) = Retail.dayBounds(s, dir)
+        val labels = LabelBuilder.labels(txc,
+          Commodities.commoditiesToScore(s, dir),
+          cur.minusDays(LabelBuilder.horizonDays))
+        val forget = tx.select("household_key").distinct()
+          .filter(HashSplit.bucket(col("household_key"), 50) === 0)
+        def audit(name: String, df: org.apache.spark.sql.DataFrame) = {
+          val total = df.agg(count(lit(1)).as("rows_total"))
+          val del = df.join(broadcast(forget), Seq("household_key"),
+            "left_semi").agg(count(lit(1)).as("rows_deleted"))
+          total.crossJoin(del).select(
+            lit(name).as("table_name"), col("rows_total"),
+            col("rows_deleted"),
+            (col("rows_total") - col("rows_deleted")).as("rows_remaining"))
+        }
+        val n = forget.agg(count(lit(1)).as("n_forgotten"))
+        audit("transactions_adj", tx)
+          .unionByName(audit("labels", labels))
+          .crossJoin(broadcast(n))
+      },
+      Some(s"""WITH ${Oracle.txCommodity}, ${TrainScoreQueries.labelsCtes},
+        |forget AS (
+        |  SELECT household_key FROM (
+        |    SELECT DISTINCT household_key FROM txc) h
+        |  WHERE ${HashSplit.bucketSql("household_key", 50)} = 0),
+        |nf AS (SELECT COUNT(*) AS n_forgotten FROM forget)
+        |SELECT 'transactions_adj' AS table_name,
+        |  (SELECT COUNT(*) FROM txc) AS rows_total,
+        |  (SELECT COUNT(*) FROM txc
+        |    WHERE household_key IN (SELECT household_key FROM forget))
+        |    AS rows_deleted,
+        |  (SELECT COUNT(*) FROM txc)
+        |    - (SELECT COUNT(*) FROM txc
+        |      WHERE household_key IN (SELECT household_key FROM forget))
+        |    AS rows_remaining,
+        |  nf.n_forgotten
+        |FROM nf
+        |UNION ALL
+        |SELECT 'labels',
+        |  (SELECT COUNT(*) FROM labels),
+        |  (SELECT COUNT(*) FROM labels
+        |    WHERE household_key IN (SELECT household_key FROM forget)),
+        |  (SELECT COUNT(*) FROM labels)
+        |    - (SELECT COUNT(*) FROM labels
+        |      WHERE household_key IN (SELECT household_key FROM forget)),
+        |  nf.n_forgotten
+        |FROM nf""".stripMargin)),
+
+    // Recommendation coverage/concentration: top-3 commodities per
+    // household from the deterministic basket-share score, then the
+    // catalog-side view — how concentrated the recommendations are
+    // (share + cumulative share by popularity rank). The WindowGroupLimit
+    // rank filter keeps map-side top-3s before any exchange.
+    Entry(
+      "rec_coverage",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val txc = FeatureBuilder.txWithCommodity(s, dir)
+        val (_, cur) = Retail.dayBounds(s, dir)
+        val fed = cur.minusDays(LabelBuilder.horizonDays)
+        val cts = Commodities.commoditiesToScore(s, dir)
+        val hist = txc.filter(col("day") <= lit(Date.valueOf(fed)))
+        val hh = hist.groupBy("household_key")
+          .agg(countDistinct(col("basket_id")).as("total_baskets"))
+        val pair = hist
+          .join(broadcast(cts.select("commodity_desc")),
+            Seq("commodity_desc"), "left_semi")
+          .groupBy("household_key", "commodity_desc")
+          .agg(countDistinct(col("basket_id")).as("pos_baskets"))
+        val scoredAll = pair.join(hh, Seq("household_key"))
+          .select(col("household_key"), col("commodity_desc"),
+            round(col("pos_baskets").cast("double")
+              / col("total_baskets").cast("double"), 9).as("score"))
+        val w = Window.partitionBy("household_key")
+          .orderBy(col("score").desc, col("commodity_desc"))
+        val top3 = scoredAll
+          .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+        val byCommodity = top3.groupBy("commodity_desc")
+          .agg(count(lit(1)).as("n_recs"))
+        val tot = byCommodity.agg(sum(col("n_recs")).cast("long")
+          .as("total_recs"))
+        val rankW = Window.orderBy(col("n_recs").desc, col("commodity_desc"))
+        byCommodity.crossJoin(broadcast(tot))
+          .withColumn("pop_rank", row_number().over(rankW).cast("long"))
+          .withColumn("rec_share",
+            round(col("n_recs").cast("double")
+              / col("total_recs").cast("double"), 9))
+          .withColumn("cum_share",
+            round(sum(col("n_recs")).over(
+              rankW.rowsBetween(Window.unboundedPreceding, 0))
+              .cast("double") / col("total_recs").cast("double"), 9))
+          .select("commodity_desc", "n_recs", "pop_rank", "rec_share",
+            "cum_share")
+      },
+      Some(s"""WITH ${Oracle.txCommodity}, gb AS (SELECT max(day) AS cur FROM txc),
+        |${TrainScoreQueries.ctsCte},
+        |hist AS (
+        |  SELECT t.* FROM txc t CROSS JOIN gb WHERE t.day <= gb.cur - 30),
+        |hh AS (
+        |  SELECT household_key, COUNT(DISTINCT basket_id) AS total_baskets
+        |  FROM hist GROUP BY household_key),
+        |pair AS (
+        |  SELECT household_key, commodity_desc,
+        |    COUNT(DISTINCT basket_id) AS pos_baskets
+        |  FROM hist
+        |  WHERE commodity_desc IN (SELECT commodity_desc FROM cts)
+        |  GROUP BY household_key, commodity_desc),
+        |scored AS (
+        |  SELECT p.household_key, p.commodity_desc,
+        |    ROUND(CAST(p.pos_baskets AS DOUBLE)
+        |      / CAST(h.total_baskets AS DOUBLE), 9) AS score
+        |  FROM pair p JOIN hh h ON p.household_key = h.household_key),
+        |top3 AS (
+        |  SELECT * FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY household_key
+        |      ORDER BY score DESC, commodity_desc) AS rn
+        |    FROM scored) t
+        |  WHERE rn <= 3),
+        |bc AS (
+        |  SELECT commodity_desc, COUNT(*) AS n_recs
+        |  FROM top3 GROUP BY commodity_desc),
+        |tot AS (SELECT CAST(SUM(n_recs) AS BIGINT) AS total_recs FROM bc)
+        |SELECT commodity_desc, n_recs,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY n_recs DESC, commodity_desc)
+        |    AS BIGINT) AS pop_rank,
+        |  ROUND(CAST(n_recs AS DOUBLE) / CAST(t.total_recs AS DOUBLE), 9)
+        |    AS rec_share,
+        |  ROUND(CAST(CAST(SUM(n_recs) OVER (ORDER BY n_recs DESC,
+        |      commodity_desc ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
+        |      ROW) AS BIGINT) AS DOUBLE) / CAST(t.total_recs AS DOUBLE), 9)
+        |    AS cum_share
+        |FROM bc CROSS JOIN tot t""".stripMargin)),
+
+    // Walk-forward (time-ordered) CV splits: three folds stepping 60 days
+    // back from the horizon, each training on all history ≤ cutoff and
+    // validating on the next 30 days — computed as ONE conditional
+    // aggregation pass over the fact, melted to long form.
+    Entry(
+      "time_split",
+      (s, dir) => {
+        val tx = TransactionsAdj(s, dir)
+        val (_, hi) = Retail.dayBounds(s, dir)
+        val folds = (0 until 3).map(k => hi.minusDays(30 + 60L * k))
+        val aggs = folds.zipWithIndex.flatMap { case (c, k) =>
+          val cd = lit(Date.valueOf(c))
+          val vEnd = lit(Date.valueOf(c.plusDays(30)))
+          Seq(
+            count(when(col("day") <= cd, lit(1))).as(s"train_$k"),
+            count(when(col("day") > cd && col("day") <= vEnd, lit(1)))
+              .as(s"valid_$k"))
+        }
+        val one = tx.agg(aggs.head, aggs.tail: _*)
+        val stackArgs = folds.indices.map { k =>
+          s"'${folds(k)}', train_$k, valid_$k"
+        }.mkString(", ")
+        one.select(expr(
+          s"stack(3, $stackArgs) AS (cutoff_day, train_rows, valid_rows)"))
+          .select(col("cutoff_day").cast("date").as("cutoff_day"),
+            col("train_rows"), col("valid_rows"))
+      },
+      Some {
+        val folds = Seq(30, 90, 150)
+        val rows = folds.map { d =>
+          s"""SELECT g.cur - $d AS cutoff_day,
+             |  (SELECT COUNT(*) FROM tx WHERE day <= g.cur - $d)
+             |    AS train_rows,
+             |  (SELECT COUNT(*) FROM tx
+             |    WHERE day > g.cur - $d AND day <= g.cur - ${d - 30})
+             |    AS valid_rows
+             |FROM g2 g""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        s"""WITH ${Oracle.txAdjFull},
+           |g2 AS (SELECT max(day) AS cur FROM tx)
+           |$rows""".stripMargin
+      }))
 }

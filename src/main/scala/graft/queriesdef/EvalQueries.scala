@@ -50,7 +50,11 @@ object EvalQueries {
       .select(col("household_key"), col("commodity_desc"), col("purchased"),
         round(coalesce(
           col("pos_baskets").cast("double") / col("total_baskets").cast("double"),
-          lit(0.0)), 9).as("score"))
+          lit(0.0)), 9).as("score"),
+        // raw ingredients carried for the feature-screening query; auc/
+        // lift/calibration consumers ignore them
+        col("total_baskets"),
+        coalesce(col("pos_baskets"), lit(0L)).as("pos_baskets"))
   }
 
   /** The matching DuckDB CTE chain ending in `scored`. */
@@ -70,7 +74,9 @@ object EvalQueries {
        |  SELECT l.household_key, l.commodity_desc, l.purchased,
        |    ROUND(COALESCE(
        |      CAST(p.pos_baskets AS DOUBLE) / CAST(h.total_baskets AS DOUBLE),
-       |      0.0), 9) AS score
+       |      0.0), 9) AS score,
+       |    h.total_baskets,
+       |    COALESCE(p.pos_baskets, 0) AS pos_baskets
        |  FROM labels l
        |  JOIN hh h ON l.household_key = h.household_key
        |  LEFT JOIN pair p ON l.household_key = p.household_key
@@ -187,5 +193,54 @@ object EvalQueries {
         |    ${CapPerGroup.rankSql(Seq("household_key"), "commodity_desc")}
         |      AS rn
         |  FROM labels WHERE purchased = 0) t
-        |WHERE rn <= 3""".stripMargin)))
+        |WHERE rn <= 3""".stripMargin)),
+
+    // Univariate feature screening: melt three candidate signals to
+    // (feature, value, label) and rank each feature's separating power
+    // with the per-group exact AUC in ONE plan (ModelEval.aucByGroup) —
+    // the distributed replacement for a driver-side sklearn screening
+    // loop over N features.
+    Entry(
+      "feature_auc_screen",
+      (s, dir) => {
+        val base = scoredLabels(s, dir)
+        val melted = base.select(
+          expr("""stack(3,
+            |'basket_share', score,
+            |'total_baskets', CAST(total_baskets AS DOUBLE),
+            |'pos_baskets', CAST(pos_baskets AS DOUBLE))
+            |AS (feature, value)""".stripMargin),
+          col("purchased"))
+        ModelEval.aucByGroup(melted, Seq("feature"), "value", "purchased")
+      },
+      Some(s"""WITH $scoredCtes,
+        |melted AS (
+        |  SELECT 'basket_share' AS feature, score AS v, purchased
+        |  FROM scored
+        |  UNION ALL
+        |  SELECT 'total_baskets', CAST(total_baskets AS DOUBLE), purchased
+        |  FROM scored
+        |  UNION ALL
+        |  SELECT 'pos_baskets', CAST(pos_baskets AS DOUBLE), purchased
+        |  FROM scored),
+        |ps AS (
+        |  SELECT feature, v AS s, COUNT(*) AS n,
+        |    CAST(SUM(purchased) AS BIGINT) AS pos
+        |  FROM melted GROUP BY feature, v),
+        |ps2 AS (SELECT feature, s, n, pos, n - pos AS neg FROM ps),
+        |cum AS (
+        |  SELECT feature, pos, neg,
+        |    COALESCE(CAST(SUM(neg) OVER (PARTITION BY feature ORDER BY s ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+        |      0) AS neg_below
+        |  FROM ps2)
+        |SELECT feature,
+        |  ROUND(CAST(SUM(CAST(pos AS HUGEINT) *
+        |      (CAST(neg_below AS HUGEINT) * 2 + CAST(neg AS HUGEINT)))
+        |      AS DOUBLE)
+        |    / (CAST(SUM(pos) AS DOUBLE) * CAST(SUM(neg) AS DOUBLE) * 2.0), 9)
+        |    AS auc,
+        |  CAST(SUM(pos) AS BIGINT) AS pos,
+        |  CAST(SUM(neg) AS BIGINT) AS neg
+        |FROM cum GROUP BY feature""".stripMargin)))
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
-import graft.ops.{BasketPairs, Experiment, KAnon, TargetEncode}
+import graft.ops.{BasketPairs, Experiment, Jackknife, KAnon, ModelEval, TargetEncode}
 
 class AnalyticsSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
@@ -122,6 +122,70 @@ class AnalyticsSpec extends AnyFunSuite {
       val exp = BigDecimal(adj).setScale(9, BigDecimal.RoundingMode.HALF_UP)
         .toDouble
       assert(out(arm) == exp, s"$arm: ${out(arm)} != $exp")
+    }
+  }
+
+  // ---- Jackknife.meanCi --------------------------------------------------
+
+  test("jackknife: constant values give zero-width CI at the true mean") {
+    val df = (1 to 200).map(i => (i.toLong, 7.5)).toDF("unit", "v")
+    val r = Jackknife.meanCi(df, "unit", "v", g = 10).head()
+    assert(r.getAs[Double]("mean") == 7.5)
+    assert(r.getAs[Double]("se") == 0.0)
+    assert(r.getAs[Double]("ci_lo") == 7.5 && r.getAs[Double]("ci_hi") == 7.5)
+  }
+
+  test("jackknife: CI brackets the mean and shrinks with more data") {
+    val rnd = new scala.util.Random(5)
+    def mk(n: Int) = (1 to n).map(i =>
+      (i.toLong, 50.0 + rnd.nextInt(1000) / 100.0)).toDF("unit", "v")
+    val small = Jackknife.meanCi(mk(100), "unit", "v").head()
+    val big = Jackknife.meanCi(mk(10000), "unit", "v").head()
+    Seq(small, big).foreach { r =>
+      assert(r.getAs[Double]("ci_lo") < r.getAs[Double]("mean"))
+      assert(r.getAs[Double]("ci_hi") > r.getAs[Double]("mean"))
+    }
+    assert(big.getAs[Double]("se") < small.getAs[Double]("se"))
+  }
+
+  test("jackknife: partitioning does not change the result") {
+    val df = (1 to 500).map(i => (i.toLong, (i % 37).toDouble))
+      .toDF("unit", "v")
+    val a = Jackknife.meanCi(df.repartition(1), "unit", "v").head()
+    val b = Jackknife.meanCi(df.repartition(13), "unit", "v").head()
+    assert(a == b)
+  }
+
+  // ---- ModelEval.aucByGroup ----------------------------------------------
+
+  test("aucByGroup: perfect, random, and inverted separators per group") {
+    val rows =
+      (1 to 50).map(i => ("perfect", i.toDouble, if (i > 25) 1 else 0)) ++
+      (1 to 50).map(i => ("anti", i.toDouble, if (i <= 25) 1 else 0)) ++
+      (1 to 50).map(i => ("flat", 1.0, i % 2))
+    val out = ModelEval.aucByGroup(
+      rows.toDF("feature", "value", "purchased").repartition(4),
+      Seq("feature"), "value", "purchased")
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("auc")).toMap
+    assert(out("perfect") == 1.0)
+    assert(out("anti") == 0.0)
+    assert(out("flat") == 0.5) // all tied → tie-corrected 0.5
+  }
+
+  test("aucByGroup matches global auc per group") {
+    val rnd = new scala.util.Random(19)
+    val rows = (1 to 400).map { _ =>
+      val g = s"g${rnd.nextInt(3)}"
+      val s = rnd.nextInt(40) / 40.0
+      (g, s, if (rnd.nextDouble() < s) 1 else 0)
+    }
+    val df = rows.toDF("g", "score", "purchased")
+    val grouped = ModelEval.aucByGroup(df, Seq("g"), "score", "purchased")
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("auc")).toMap
+    rows.groupBy(_._1).foreach { case (g, _) =>
+      val single = ModelEval.auc(df.filter(col("g") === g), "score",
+        "purchased").head().getAs[Double]("auc")
+      assert(grouped(g) == single, s"group $g")
     }
   }
 
