@@ -769,5 +769,268 @@ object AnalyticsQueries {
         s"""WITH ${Oracle.txAdjFull},
            |g2 AS (SELECT max(day) AS cur FROM tx)
            |$rows""".stripMargin
-      }))
+      }),
+
+    // Exact grouped Pearson / OLS slope between in-store discount and
+    // units (price-sensitivity read): two-pass centered decimal moments
+    // (Corr scaladoc) — the deterministic replacement for the built-in
+    // corr()'s order-dependent double accumulation.
+    Entry(
+      "price_quantity_corr",
+      (s, dir) => graft.ops.Corr.pearsonByGroup(
+        FeatureBuilder.txWithCommodity(s, dir)
+          .select(col("commodity_desc"), col("instore_discount"),
+            col("units")),
+        Seq("commodity_desc"), "instore_discount", "units"),
+      Some(s"""WITH ${Oracle.txCommodity},
+        |q AS (
+        |  SELECT commodity_desc,
+        |    CAST(instore_discount AS DECIMAL(18,6)) AS x,
+        |    CAST(units AS DECIMAL(18,6)) AS y
+        |  FROM txc),
+        |means AS (
+        |  SELECT commodity_desc, COUNT(*) AS n,
+        |    CAST(ROUND(CAST(SUM(x) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+        |      AS DECIMAL(12,6)) AS mx,
+        |    CAST(ROUND(CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+        |      AS DECIMAL(12,6)) AS my
+        |  FROM q GROUP BY commodity_desc),
+        |mom AS (
+        |  SELECT q.commodity_desc, m.n, m.mx, m.my,
+        |    -- first operand widened to DECIMAL(19,6): int128 physical
+        |    -- type, or DuckDB multiplies in int64 and overflows
+        |    SUM(CAST(q.x - m.mx AS DECIMAL(19,6))
+        |      * CAST(q.y - m.my AS DECIMAL(16,6))) AS sxy,
+        |    SUM(CAST(q.x - m.mx AS DECIMAL(19,6))
+        |      * CAST(q.x - m.mx AS DECIMAL(16,6))) AS sxx,
+        |    SUM(CAST(q.y - m.my AS DECIMAL(19,6))
+        |      * CAST(q.y - m.my AS DECIMAL(16,6))) AS syy
+        |  FROM q JOIN means m ON q.commodity_desc = m.commodity_desc
+        |  GROUP BY q.commodity_desc, m.n, m.mx, m.my)
+        |SELECT commodity_desc, n,
+        |  CAST(mx AS DOUBLE) AS mean_x, CAST(my AS DOUBLE) AS mean_y,
+        |  ROUND(CASE WHEN SQRT(CAST(sxx AS DOUBLE)) * SQRT(CAST(syy AS DOUBLE))
+        |      <> 0.0
+        |    THEN CAST(sxy AS DOUBLE)
+        |      / (SQRT(CAST(sxx AS DOUBLE)) * SQRT(CAST(syy AS DOUBLE)))
+        |    END, 9) AS r,
+        |  ROUND(CASE WHEN CAST(sxx AS DOUBLE) <> 0.0
+        |    THEN CAST(sxy AS DOUBLE) / CAST(sxx AS DOUBLE) END, 9) AS slope
+        |FROM mom""".stripMargin)),
+
+    // Inter-purchase interval distribution per commodity (purchase-cycle
+    // analytics): lag over each (household, commodity)'s distinct
+    // purchase days — partitions bounded by one pair's history — then
+    // exact mean + interpolated p50/p90 of the intervals.
+    Entry(
+      "repurchase_intervals",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val txc = FeatureBuilder.txWithCommodity(s, dir)
+        val days = txc.select("household_key", "commodity_desc", "day")
+          .distinct()
+        val w = Window.partitionBy("household_key", "commodity_desc")
+          .orderBy(col("day"))
+        val intervals = days
+          .withColumn("prev_day", lag(col("day"), 1).over(w))
+          .filter(col("prev_day").isNotNull)
+          .select(col("commodity_desc"),
+            datediff(col("day"), col("prev_day")).as("gap"))
+        val base = intervals.groupBy("commodity_desc").agg(
+          count(lit(1)).as("n_intervals"),
+          round(sum(col("gap").cast("long")).cast("double")
+            / count(lit(1)).cast("double"), 9).as("mean_days"))
+        val pct = graft.ops.ExactPercentiles.perGroup(intervals,
+          Seq("commodity_desc"), "gap",
+          Seq("p50_days" -> 0.5, "p90_days" -> 0.9))
+          .select(col("commodity_desc"),
+            round(col("p50_days"), 6).as("p50_days"),
+            round(col("p90_days"), 6).as("p90_days"))
+        base.join(pct, Seq("commodity_desc"))
+      },
+      Some(s"""WITH ${Oracle.txCommodity},
+        |days AS (
+        |  SELECT DISTINCT household_key, commodity_desc, day FROM txc),
+        |iv AS (
+        |  SELECT commodity_desc, day - prev_day AS gap FROM (
+        |    SELECT commodity_desc, day,
+        |      LAG(day) OVER (PARTITION BY household_key, commodity_desc
+        |        ORDER BY day) AS prev_day
+        |    FROM days) t
+        |  WHERE prev_day IS NOT NULL)
+        |SELECT commodity_desc, COUNT(*) AS n_intervals,
+        |  ROUND(CAST(CAST(SUM(gap) AS BIGINT) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE), 9) AS mean_days,
+        |  ROUND(quantile_cont(gap, 0.5), 6) AS p50_days,
+        |  ROUND(quantile_cont(gap, 0.9), 6) AS p90_days
+        |FROM iv GROUP BY commodity_desc""".stripMargin)),
+
+    // Offline recsys evaluation: precision/recall@k of the basket-share
+    // top-3 against realized next-30d purchases — hits are an equi-join
+    // of the map-side-limited rec list with the label positives; all
+    // counts exact integers.
+    Entry(
+      "rec_precision_at_k",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val txc = FeatureBuilder.txWithCommodity(s, dir)
+        val (_, cur) = Retail.dayBounds(s, dir)
+        val fed = cur.minusDays(LabelBuilder.horizonDays)
+        val cts = Commodities.commoditiesToScore(s, dir)
+        val labels = LabelBuilder.labels(txc, cts, fed)
+        val hist = txc.filter(col("day") <= lit(Date.valueOf(fed)))
+        val hh = hist.groupBy("household_key")
+          .agg(countDistinct(col("basket_id")).as("total_baskets"))
+        val pair = hist
+          .join(broadcast(cts.select("commodity_desc")),
+            Seq("commodity_desc"), "left_semi")
+          .groupBy("household_key", "commodity_desc")
+          .agg(countDistinct(col("basket_id")).as("pos_baskets"))
+        val w = Window.partitionBy("household_key")
+          .orderBy(col("score").desc, col("commodity_desc"))
+        val recs = pair.join(hh, Seq("household_key"))
+          .select(col("household_key"), col("commodity_desc"),
+            round(col("pos_baskets").cast("double")
+              / col("total_baskets").cast("double"), 9).as("score"))
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .filter(col("rn") <= 3)
+        val hits = recs.join(labels.filter(col("purchased") === 1)
+          .select("household_key", "commodity_desc"),
+          Seq("household_key", "commodity_desc"), "left_semi")
+        val totPos = labels.agg(sum(col("purchased")).cast("long")
+          .as("total_pos"))
+        val ks = (1 to 3).map { k =>
+          val nRecs = recs.filter(col("rn") <= k)
+            .agg(count(lit(1)).as("n_recs"))
+          val nHits = hits.filter(col("rn") <= k)
+            .agg(count(lit(1)).as("hits"))
+          nRecs.crossJoin(nHits).crossJoin(broadcast(totPos))
+            .select(lit(k).as("k"), col("n_recs"), col("hits"),
+              round(col("hits").cast("double")
+                / col("n_recs").cast("double"), 9).as("precision"),
+              round(col("hits").cast("double")
+                / col("total_pos").cast("double"), 9).as("recall"))
+        }
+        ks.reduce(_ unionByName _)
+      },
+      Some {
+        val one = (k: Int) =>
+          s"""SELECT $k AS k,
+             |  (SELECT COUNT(*) FROM recs WHERE rn <= $k) AS n_recs,
+             |  (SELECT COUNT(*) FROM hits WHERE rn <= $k) AS hits,
+             |  ROUND(CAST((SELECT COUNT(*) FROM hits WHERE rn <= $k)
+             |      AS DOUBLE)
+             |    / CAST((SELECT COUNT(*) FROM recs WHERE rn <= $k)
+             |      AS DOUBLE), 9) AS precision,
+             |  ROUND(CAST((SELECT COUNT(*) FROM hits WHERE rn <= $k)
+             |      AS DOUBLE)
+             |    / CAST((SELECT CAST(SUM(purchased) AS BIGINT) FROM labels)
+             |      AS DOUBLE), 9) AS recall""".stripMargin
+        s"""WITH ${Oracle.txCommodity}, ${TrainScoreQueries.labelsCtes},
+           |hist AS (
+           |  SELECT t.* FROM txc t CROSS JOIN gb
+           |  WHERE t.day <= gb.cur - 30),
+           |hh AS (
+           |  SELECT household_key, COUNT(DISTINCT basket_id)
+           |    AS total_baskets
+           |  FROM hist GROUP BY household_key),
+           |pair AS (
+           |  SELECT household_key, commodity_desc,
+           |    COUNT(DISTINCT basket_id) AS pos_baskets
+           |  FROM hist
+           |  WHERE commodity_desc IN (SELECT commodity_desc FROM cts)
+           |  GROUP BY household_key, commodity_desc),
+           |recs AS (
+           |  SELECT * FROM (
+           |    SELECT p.household_key, p.commodity_desc,
+           |      ROW_NUMBER() OVER (PARTITION BY p.household_key
+           |        ORDER BY ROUND(CAST(p.pos_baskets AS DOUBLE)
+           |          / CAST(h.total_baskets AS DOUBLE), 9) DESC,
+           |          p.commodity_desc) AS rn
+           |    FROM pair p JOIN hh h
+           |      ON p.household_key = h.household_key) t
+           |  WHERE rn <= 3),
+           |hits AS (
+           |  SELECT r.* FROM recs r
+           |  JOIN labels l ON l.household_key = r.household_key
+           |    AND l.commodity_desc = r.commodity_desc
+           |  WHERE l.purchased = 1)
+           |${one(1)}
+           |UNION ALL
+           |${one(2)}
+           |UNION ALL
+           |${one(3)}""".stripMargin
+      }),
+
+    // Neyman (optimal) stratified-sampling allocation: per-stratum
+    // standard deviation from centered decimal moments, allocation share
+    // ∝ N_h·S_h for a 1000-unit budget; weights quantized to decimals
+    // before the cross-stratum normalization sum.
+    Entry(
+      "neyman_allocation",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val txc = FeatureBuilder.txWithCommodity(s, dir)
+          .select(col("commodity_desc"),
+            col("amount_paid").cast("decimal(18,6)").as("x"))
+        val means = txc.groupBy("commodity_desc").agg(
+          count(lit(1)).as("n"), sum(col("x")).as("sx"))
+          .select(col("commodity_desc"), col("n"),
+            round(col("sx").cast("double") / col("n").cast("double"), 6)
+              .cast("decimal(12,6)").as("mx"))
+        val strata = txc.join(means, Seq("commodity_desc"))
+          .select(col("commodity_desc"), col("n"),
+            (col("x") - col("mx")).cast("decimal(16,6)").as("dx"))
+          .groupBy("commodity_desc", "n")
+          .agg(sum(col("dx") * col("dx")).as("sxx"),
+            sum(col("dx")).as("sdx"))
+          .select(col("commodity_desc"), col("n"),
+            round(sqrt(greatest(
+              (col("sxx").cast("double")
+                - (col("sdx").cast("double") * col("sdx").cast("double"))
+                  / col("n").cast("double"))
+                / (col("n").cast("double") - lit(1.0)),
+              lit(0.0))), 6).as("std_h"))
+        val weighted = strata.withColumn("w",
+          round(col("n").cast("double") * col("std_h"), 4)
+            .cast("decimal(24,4)"))
+        weighted
+          .withColumn("wsum", sum(col("w")).over(Window.partitionBy()))
+          .select(col("commodity_desc"), col("n"), col("std_h"),
+            round(col("w").cast("double") / col("wsum").cast("double"), 9)
+              .as("alloc_share"),
+            floor((col("w").cast("double") / col("wsum").cast("double"))
+              * lit(1000.0)).cast("long").as("alloc_n"))
+      },
+      Some(s"""WITH ${Oracle.txCommodity},
+        |q AS (
+        |  SELECT commodity_desc, CAST(amount_paid AS DECIMAL(18,6)) AS x
+        |  FROM txc),
+        |means AS (
+        |  SELECT commodity_desc, COUNT(*) AS n,
+        |    CAST(ROUND(CAST(SUM(x) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+        |      AS DECIMAL(12,6)) AS mx
+        |  FROM q GROUP BY commodity_desc),
+        |strata AS (
+        |  SELECT q.commodity_desc, m.n,
+        |    ROUND(SQRT(GREATEST(
+        |      (CAST(SUM(CAST(q.x - m.mx AS DECIMAL(19,6))
+        |          * CAST(q.x - m.mx AS DECIMAL(16,6))) AS DOUBLE)
+        |        - (CAST(SUM(CAST(q.x - m.mx AS DECIMAL(16,6))) AS DOUBLE)
+        |          * CAST(SUM(CAST(q.x - m.mx AS DECIMAL(16,6))) AS DOUBLE))
+        |          / CAST(m.n AS DOUBLE))
+        |        / (CAST(m.n AS DOUBLE) - 1.0),
+        |      0.0)), 6) AS std_h
+        |  FROM q JOIN means m ON q.commodity_desc = m.commodity_desc
+        |  GROUP BY q.commodity_desc, m.n),
+        |wt AS (
+        |  SELECT *, CAST(ROUND(CAST(n AS DOUBLE) * std_h, 4)
+        |    AS DECIMAL(24,4)) AS w
+        |  FROM strata),
+        |ws AS (SELECT *, SUM(w) OVER () AS wsum FROM wt)
+        |SELECT commodity_desc, n, std_h,
+        |  ROUND(CAST(w AS DOUBLE) / CAST(wsum AS DOUBLE), 9) AS alloc_share,
+        |  CAST(FLOOR((CAST(w AS DOUBLE) / CAST(wsum AS DOUBLE)) * 1000.0)
+        |    AS BIGINT) AS alloc_n
+        |FROM ws""".stripMargin)))
 }

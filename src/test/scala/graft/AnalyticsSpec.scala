@@ -189,6 +189,40 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  // ---- Corr.pearsonByGroup -----------------------------------------------
+
+  test("pearson: exact ±1 on linear groups, null on constant input") {
+    val rows =
+      (1 to 30).map(i => ("up", i.toDouble, 2.0 * i + 3)) ++
+      (1 to 30).map(i => ("down", i.toDouble, -0.5 * i)) ++
+      (1 to 30).map(i => ("const", 5.0, i.toDouble))
+    val out = graft.ops.Corr.pearsonByGroup(
+      rows.toDF("g", "x", "y").repartition(4), Seq("g"), "x", "y")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("up").getAs[Double]("r") == 1.0)
+    assert(out("up").getAs[Double]("slope") == 2.0)
+    assert(out("down").getAs[Double]("r") == -1.0)
+    assert(out("down").getAs[Double]("slope") == -0.5)
+    assert(out("const").isNullAt(out("const").fieldIndex("r")))
+    assert(out("const").isNullAt(out("const").fieldIndex("slope")))
+  }
+
+  test("pearson: partitioning does not change the result") {
+    val rnd = new scala.util.Random(23)
+    val rows = (1 to 600).map { _ =>
+      val x = rnd.nextInt(1000) / 10.0
+      ("g", x, x * 0.3 + rnd.nextInt(100) / 10.0)
+    }
+    val df = rows.toDF("g", "x", "y")
+    val a = graft.ops.Corr.pearsonByGroup(df.repartition(1), Seq("g"),
+      "x", "y").head()
+    val b = graft.ops.Corr.pearsonByGroup(df.repartition(11), Seq("g"),
+      "x", "y").head()
+    assert(a == b)
+    val r = a.getAs[Double]("r")
+    assert(r > 0.5 && r < 1.0) // positive but noisy by construction
+  }
+
   // ---- KAnon.suppress ----------------------------------------------------
 
   test("suppress: rare groups roll into __OTHER__ with distinct support") {
