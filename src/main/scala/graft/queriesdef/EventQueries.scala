@@ -435,5 +435,53 @@ object EventQueries {
         |         THEN 'changed'
         |       ELSE 'unchanged' END AS status
         |FROM t WHERE in_a OR in_b
-        |GROUP BY user_id""".stripMargin)))
+        |GROUP BY user_id""".stripMargin)),
+
+    // Running-baseline anomaly ranking: each event z-scored against its
+    // type's PRIOR history only (exact ×10⁴-quantized integer prefix
+    // sums — streaming.AnomalyMonitor's batch twin; the stream form
+    // carries the same three integers as state). Top-20 by |z| rather
+    // than a fixed threshold, so the entry always exercises the full
+    // machinery on uniform fixture data.
+    Entry(
+      "events_anomaly",
+      (s, dir) => graft.streaming.AnomalyMonitor
+        .detectBatch(EventOps.events(s, dir), k = 0.0, minBase = 100)
+        .orderBy(abs(col("z")).desc, col("event_id"))
+        .limit(20),
+      Some(s"""WITH $evCte,
+        |q AS (
+        |  SELECT event_type, event_id, ts, value,
+        |    CAST(ROUND(CAST(value AS DOUBLE) * 10000.0, 0) AS BIGINT) AS v4
+        |  FROM ev),
+        |c AS (
+        |  SELECT *,
+        |    COUNT(*) OVER tw AS base_n,
+        |    COALESCE(CAST(SUM(v4) OVER tw AS BIGINT), 0) AS s1,
+        |    COALESCE(CAST(SUM(v4 * v4) OVER tw AS BIGINT), 0) AS s2
+        |  FROM q
+        |  WINDOW tw AS (PARTITION BY event_type ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |z AS (
+        |  SELECT event_type, event_id, ts, value,
+        |    CAST(base_n AS BIGINT) AS base_n,
+        |    ROUND(CAST(s1 AS DOUBLE) / CAST(base_n AS DOUBLE) / 10000.0, 9)
+        |      AS base_mean,
+        |    CASE WHEN SQRT(GREATEST(
+        |        CAST(s2 AS DOUBLE) / CAST(base_n AS DOUBLE) / 100000000.0
+        |          - (CAST(s1 AS DOUBLE) / CAST(base_n AS DOUBLE) / 10000.0)
+        |          * (CAST(s1 AS DOUBLE) / CAST(base_n AS DOUBLE) / 10000.0),
+        |        0.0)) <> 0.0
+        |      THEN ROUND((CAST(v4 AS DOUBLE) / 10000.0
+        |          - CAST(s1 AS DOUBLE) / CAST(base_n AS DOUBLE) / 10000.0)
+        |        / SQRT(GREATEST(
+        |          CAST(s2 AS DOUBLE) / CAST(base_n AS DOUBLE) / 100000000.0
+        |            - (CAST(s1 AS DOUBLE) / CAST(base_n AS DOUBLE) / 10000.0)
+        |            * (CAST(s1 AS DOUBLE) / CAST(base_n AS DOUBLE) / 10000.0),
+        |          0.0)), 9)
+        |      END AS z
+        |  FROM c WHERE base_n >= 100)
+        |SELECT * FROM z
+        |WHERE z IS NOT NULL AND ABS(z) > 0.0
+        |ORDER BY ABS(z) DESC, event_id LIMIT 20""".stripMargin)))
 }

@@ -113,6 +113,44 @@ class PlanSpec extends AnyFunSuite {
       .findAllIn(p).size <= 2, s"distinct-items lineage duplicated:\n$p")
   }
 
+  test("quantize: per-row pass has no exchange after the broadcast stats row") {
+    val emb = graft.core.Catalog.table(spark, sf, "embeddings")
+    val df = graft.similarity.Quantize.auditInt8(emb)
+    df.queryExecution.toRdd.count()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // exactly one shuffle exists: the d-key dim-stats aggregate; the audit
+    // itself rides the broadcast nested-loop of the 1-row stats frame
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"stats row should broadcast:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1,
+      s"quantize pass must not shuffle the vectors:\n$p")
+  }
+
+  test("rec top-k filter pushes into WindowGroupLimit (map-side top-3)") {
+    import org.apache.spark.sql.expressions.Window
+    val txc = FeatureBuilder.txWithCommodity(spark, sf)
+    val pair = txc.groupBy("household_key", "commodity_desc")
+      .agg(countDistinct(col("basket_id")).as("pos_baskets"))
+    val w = Window.partitionBy("household_key")
+      .orderBy(col("pos_baskets").desc, col("commodity_desc"))
+    val top3 = pair.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+    val p = plan(top3)
+    assert(p.contains("WindowGroupLimit"),
+      s"rank filter should keep map-side top-3s before the exchange:\n$p")
+  }
+
+  test("key-skew profile plans no sort and no window") {
+    val tx = graft.silver.TransactionsAdj(spark, sf)
+    val df = graft.ops.KeySkew.profile(tx, Seq("household_key", "product_id"))
+    val p = plan(df)
+    assert(!p.contains("Window"), s"profile must not use windows:\n$p")
+    // top-share/hot-key logic must not induce a global sort (a Sort for
+    // the union output order is absent too — output is unordered)
+    assert(!p.toLowerCase.contains("sortmergejoin"),
+      s"profile must not shuffle-join the fact:\n$p")
+  }
+
   test("silver projection is a single codegen'd Project over the scan") {
     val df = graft.silver.TransactionsAdj(spark, sf)
     val qe = df.queryExecution
