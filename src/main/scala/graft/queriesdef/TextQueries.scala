@@ -1210,5 +1210,83 @@ object TextQueries {
         |SELECT stage, COUNT(*) AS n_docs,
         |  CAST(SUM(n_tokens) AS BIGINT) AS stage_tokens,
         |  MIN(n_tokens) AS min_tokens, MAX(n_tokens) AS max_tokens
-        |FROM staged GROUP BY stage""".stripMargin)))
+        |FROM staged GROUP BY stage""".stripMargin)),
+
+    // Dataset datasheet: one long-form artifact with global shape,
+    // per-source / per-language composition, dup + quality rates, and
+    // tokenizer fertility — one corpus pass, three hash aggregates
+    // (DatasetCard scaladoc; the multi-distinct Expand split applies).
+    Entry(
+      "dataset_card",
+      (s, dir) => graft.text.DatasetCard.build(docs(s, dir)),
+      Some(s"""WITH st0 AS (
+        |  SELECT source, lang,
+        |    ${reCount("trim(text)", """\S+""")} AS n_tokens,
+        |    ${reCount("text", TextAnalysis.bpePattern)} AS n_bpe,
+        |    md5(text) AS h,
+        |    CAST(length(text) AS BIGINT) AS n_chars,
+        |    ${reCount("text", """\b(the|a)\b""")} AS n_stop
+        |  FROM documents),
+        |st AS (
+        |  SELECT source, lang, n_tokens, n_bpe, h,
+        |    CASE WHEN n_tokens >= 20
+        |      AND (CASE WHEN n_tokens > 0
+        |        THEN CAST(n_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+        |        ELSE 0.0 END) <= 12.0
+        |      AND (CASE WHEN n_tokens > 0
+        |        THEN CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+        |        ELSE 0.0 END) >= 0.0
+        |    THEN 1 ELSE 0 END AS q
+        |  FROM st0),
+        |g1 AS (
+        |  SELECT COUNT(*) AS n_docs,
+        |    CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+        |    CAST(SUM(n_bpe) AS BIGINT) AS total_bpe,
+        |    CAST(SUM(q) AS BIGINT) AS n_quality,
+        |    COUNT(DISTINCT h) AS n_distinct,
+        |    COUNT(DISTINCT source) AS n_sources,
+        |    COUNT(DISTINCT lang) AS n_langs
+        |  FROM st),
+        |bs AS (
+        |  SELECT source, COUNT(*) AS n_docs,
+        |    CAST(SUM(n_tokens) AS BIGINT) AS tokens,
+        |    COUNT(DISTINCT h) AS nd, CAST(SUM(q) AS BIGINT) AS nq
+        |  FROM st GROUP BY source),
+        |bl AS (
+        |  SELECT lang, COUNT(*) AS n_docs,
+        |    CAST(SUM(n_tokens) AS BIGINT) AS tokens,
+        |    CAST(SUM(n_bpe) AS BIGINT) AS bpe
+        |  FROM st GROUP BY lang)
+        |SELECT 'global' AS section, 'n_docs' AS metric,
+        |  CAST(n_docs AS DOUBLE) AS value FROM g1
+        |UNION ALL SELECT 'global', 'n_sources', CAST(n_sources AS DOUBLE)
+        |  FROM g1
+        |UNION ALL SELECT 'global', 'n_langs', CAST(n_langs AS DOUBLE) FROM g1
+        |UNION ALL SELECT 'global', 'total_tokens',
+        |  CAST(total_tokens AS DOUBLE) FROM g1
+        |UNION ALL SELECT 'global', 'dup_rate',
+        |  ROUND(1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_docs AS DOUBLE), 9)
+        |  FROM g1
+        |UNION ALL SELECT 'global', 'quality_pass_rate',
+        |  ROUND(CAST(n_quality AS DOUBLE) / CAST(n_docs AS DOUBLE), 9)
+        |  FROM g1
+        |UNION ALL SELECT 'global', 'bpe_fertility',
+        |  ROUND(CAST(total_bpe AS DOUBLE) / CAST(total_tokens AS DOUBLE), 9)
+        |  FROM g1
+        |UNION ALL SELECT 'source:' || source, 'n_docs',
+        |  CAST(n_docs AS DOUBLE) FROM bs
+        |UNION ALL SELECT 'source:' || source, 'tokens',
+        |  CAST(tokens AS DOUBLE) FROM bs
+        |UNION ALL SELECT 'source:' || source, 'dup_rate',
+        |  ROUND(1.0 - CAST(nd AS DOUBLE) / CAST(n_docs AS DOUBLE), 9)
+        |  FROM bs
+        |UNION ALL SELECT 'source:' || source, 'quality_pass_rate',
+        |  ROUND(CAST(nq AS DOUBLE) / CAST(n_docs AS DOUBLE), 9) FROM bs
+        |UNION ALL SELECT 'lang:' || lang, 'n_docs', CAST(n_docs AS DOUBLE)
+        |  FROM bl
+        |UNION ALL SELECT 'lang:' || lang, 'tokens', CAST(tokens AS DOUBLE)
+        |  FROM bl
+        |UNION ALL SELECT 'lang:' || lang, 'bpe_fertility',
+        |  ROUND(CAST(bpe AS DOUBLE) / CAST(tokens AS DOUBLE), 9)
+        |  FROM bl""".stripMargin)))
 }
