@@ -50,4 +50,36 @@ object KeySkew {
         col("n_hot_keys"))
     }.reduce(_ unionByName _)
   }
+
+  /** Exact self-join cardinality prediction per candidate key — the
+    * planner arithmetic `|A ⋈_k A| = Σ_k f(k)²` surfaced as an operator,
+    * so the pair-explosion a basket/entity self-join would produce is
+    * KNOWN before anyone runs it (the quantity `BasketPairs` bounds by
+    * support pruning). `amplification` compares against the uniform-key
+    * ideal `n²/n_keys`: 1.0 = perfectly even keys; large = a skewed key
+    * will dominate the join output. Same all-combinable shape as
+    * [[profile]]; Σf² stays under 2^53 while max-frequency² × keys does
+    * (~30M rows on one key before the bound matters).
+    */
+  def selfJoinCardinality(df: DataFrame, keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "selfJoinCardinality: at least one key column")
+    keyCols.map { k =>
+      df.groupBy(col(k).as("__k"))
+        .agg(count(lit(1)).as("f"))
+        .agg(
+          sum(col("f")).cast("long").as("rows"),
+          count(lit(1)).as("n_keys"),
+          sum(col("f") * col("f")).cast("long").as("self_join_pairs"))
+        .select(
+          lit(k).as("key_name"), col("rows"), col("n_keys"),
+          col("self_join_pairs"),
+          // uniform ideal n²/k, exact integer DIV (n² < 2^63 to ~3e9 rows)
+          expr("CAST((rows * rows) DIV n_keys AS BIGINT)")
+            .as("uniform_pairs"),
+          round(col("self_join_pairs").cast("double")
+            * col("n_keys").cast("double")
+            / (col("rows").cast("double") * col("rows").cast("double")), 9)
+            .as("amplification"))
+    }.reduce(_ unionByName _)
+  }
 }

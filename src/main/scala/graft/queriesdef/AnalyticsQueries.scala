@@ -1032,5 +1032,33 @@ object AnalyticsQueries {
         |  ROUND(CAST(w AS DOUBLE) / CAST(wsum AS DOUBLE), 9) AS alloc_share,
         |  CAST(FLOOR((CAST(w AS DOUBLE) / CAST(wsum AS DOUBLE)) * 1000.0)
         |    AS BIGINT) AS alloc_n
-        |FROM ws""".stripMargin)))
+        |FROM ws""".stripMargin)),
+
+    // Planner arithmetic as an operator: exact self-join output size
+    // Σf² per candidate key vs the uniform ideal n²/k — the pair
+    // explosion KNOWN before the join runs (KeySkew scaladoc).
+    Entry(
+      "join_cardinality_est",
+      (s, dir) => graft.ops.KeySkew.selfJoinCardinality(
+        TransactionsAdj(s, dir),
+        Seq("basket_id", "household_key", "product_id")),
+      Some {
+        def one(k: String) =
+          s"""SELECT '$k' AS key_name,
+             |  CAST(SUM(f) AS BIGINT) AS rows, COUNT(*) AS n_keys,
+             |  CAST(SUM(f * f) AS BIGINT) AS self_join_pairs,
+             |  CAST((CAST(SUM(f) AS BIGINT) * CAST(SUM(f) AS BIGINT))
+             |    // COUNT(*) AS BIGINT) AS uniform_pairs,
+             |  ROUND(CAST(SUM(f * f) AS DOUBLE) * CAST(COUNT(*) AS DOUBLE)
+             |    / (CAST(SUM(f) AS DOUBLE) * CAST(SUM(f) AS DOUBLE)), 9)
+             |    AS amplification
+             |FROM (SELECT COUNT(*) AS f FROM transactions_adj GROUP BY $k)
+             |  t""".stripMargin
+        s"""WITH ${Oracle.txAdj}
+           |${one("basket_id")}
+           |UNION ALL
+           |${one("household_key")}
+           |UNION ALL
+           |${one("product_id")}""".stripMargin
+      }))
 }

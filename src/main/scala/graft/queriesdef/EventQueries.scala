@@ -483,5 +483,42 @@ object EventQueries {
         |  FROM c WHERE base_n >= 100)
         |SELECT * FROM z
         |WHERE z IS NOT NULL AND ABS(z) > 0.0
-        |ORDER BY ABS(z) DESC, event_id LIMIT 20""".stripMargin)))
+        |ORDER BY ABS(z) DESC, event_id LIMIT 20""".stripMargin)),
+
+    // Clickstream path analysis: within-session event-type transitions
+    // with next-step probabilities (__START__ = session entry); windows
+    // bounded per (user, session) — EventOps.sessionPaths scaladoc.
+    Entry(
+      "session_paths",
+      (s, dir) => EventOps.sessionPaths(EventOps.events(s, dir)),
+      Some(s"""WITH $evCte,
+        |g AS (
+        |  SELECT *, CAST(epoch(ts) AS BIGINT) AS ep,
+        |    LAG(CAST(epoch(ts) AS BIGINT)) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ep
+        |  FROM ev),
+        |ns AS (
+        |  SELECT *, CASE WHEN prev_ep IS NULL OR ep - prev_ep > 1800
+        |    THEN 1 ELSE 0 END AS new_session
+        |  FROM g),
+        |sess AS (
+        |  SELECT *, CAST(SUM(new_session) OVER
+        |    (PARTITION BY user_id ORDER BY ts, event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS session_seq
+        |  FROM ns),
+        |edges AS (
+        |  SELECT COALESCE(LAG(event_type) OVER
+        |      (PARTITION BY user_id, session_seq ORDER BY ts, event_id),
+        |      '__START__') AS from_type,
+        |    event_type AS to_type
+        |  FROM sess),
+        |agg AS (
+        |  SELECT from_type, to_type, COUNT(*) AS n_transitions
+        |  FROM edges GROUP BY from_type, to_type)
+        |SELECT from_type, to_type, n_transitions,
+        |  ROUND(CAST(n_transitions AS DOUBLE) /
+        |    CAST(CAST(SUM(n_transitions) OVER (PARTITION BY from_type)
+        |      AS BIGINT) AS DOUBLE), 9) AS p_next
+        |FROM agg""".stripMargin)))
 }

@@ -84,6 +84,44 @@ object EventOps {
         sum(col("value").cast("decimal(18,4)")).cast("double").as("session_value"))
   }
 
+  /** Session path analysis: adjacent event-type transitions WITHIN a
+    * session (the clickstream "where do they go next" table, the
+    * session-scoped twin of the cross-basket `basket_transitions`).
+    * Reuses the sessionizer's gaps-and-islands assignment, then one lead
+    * per event — both windows partition by (user, session): bounded by a
+    * single session's events, never a global sort. `__START__` marks
+    * session entry, so landing-type distribution falls out of the same
+    * table.
+    */
+  def sessionPaths(ev: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val assigned = ev
+      .withColumn("epoch", unix_timestamp(col("ts")))
+      .withColumn("prev_epoch", lag(col("epoch"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_epoch").isNull ||
+          col("epoch") - col("prev_epoch") > sessionGapSeconds, 1L)
+          .otherwise(0L))
+      .withColumn("session_seq", sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val bySession = Window.partitionBy(col("user_id"), col("session_seq"))
+      .orderBy(col("ts"), col("event_id"))
+    val edges = assigned
+      .withColumn("prev_type", lag(col("event_type"), 1).over(bySession))
+      .select(
+        coalesce(col("prev_type"), lit("__START__")).as("from_type"),
+        col("event_type").as("to_type"))
+    edges.groupBy("from_type", "to_type")
+      .agg(count(lit(1)).as("n_transitions"))
+      .withColumn("from_total", sum(col("n_transitions")).over(
+        Window.partitionBy(col("from_type"))))
+      .withColumn("p_next",
+        round(col("n_transitions").cast("double")
+          / col("from_total").cast("double"), 9))
+      .select("from_type", "to_type", "n_transitions", "p_next")
+  }
+
   /** Attribution window: a purchase is credited to every same-user view
     * in the preceding `attributionWindowSeconds` (view inclusive, window
     * end exclusive).
