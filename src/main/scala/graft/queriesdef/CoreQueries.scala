@@ -477,9 +477,14 @@ object CoreQueries {
           .unionByName(keyed.filter(col("k") % 13 === 0)
             .select((col("k") * 4 + 2).as("id"),
               concat(lit("z"), substring(col("name"), 2, 8)).as("name")))
+        // nodes is referenced 5× downstream (ids ×2, CC docs, survivor
+        // ranking, final join) — materialize once; the frame is
+        // name-cardinality-sized, and without this each reference
+        // re-runs the 4-scan dirty union + aggregate
         val nodes = dirty
           .groupBy(col("name"))
           .agg(min(col("id")).as("doc_id"), count(lit(1)).as("n_customers"))
+          .localCheckpoint(true)
         val pairs = graft.ops.FuzzyJoin.selfJoin(dirty, "name")
         val ids = nodes.select(col("name"), col("doc_id"))
         val edges = pairs
