@@ -59,6 +59,13 @@ object GraftSession {
       // EventOps owns the ns→timestamp conversion. Must be set before
       // anything (incl. Catalog.registerAll) reads the events footer.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Tungsten page size: the computed default at 24g/32-threads is a
+      // 32 MiB page — a G1 "humongous" allocation at this heap's 16 MiB
+      // region size, so every wide-aggregation hash map churns the old
+      // gen directly. 4 MiB pages are region-friendly; SPARK_GRAFT_PAGE
+      // overrides for experiments.
+      .config("spark.buffer.pageSize",
+        sys.env.getOrElse("SPARK_GRAFT_PAGE", "4m"))
 
   /** Unpersist every persistent RDD not in `pinned` — the harness sweep
     * for transient per-query blocks (localCheckpoint/cache blocks are only
