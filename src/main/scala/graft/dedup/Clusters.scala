@@ -175,4 +175,24 @@ object Clusters {
   def survivors(docs: DataFrame, scoreCol: String,
       threshold: Double = 0.5, n: Int = 5): DataFrame =
     survivorsFrom(docs, resolve(docs, threshold, n), scoreCol)
+
+  /** Leakage-safe train/val/test split: membership is hashed on the
+    * duplicate CLUSTER id, not the document id, so near-duplicate
+    * documents always land in the same split. A plain per-document hash
+    * split ([[graft.ops.HashSplit.split]]) puts ~2·p(train)·p(test) of
+    * every duplicate pair across the train/test boundary — memorized
+    * near-copies of training documents then inflate eval scores; this is
+    * the standard fix (split on the connected component).
+    *
+    * Scale shape: component resolution is [[resolve]] (bounded by the
+    * duplicate population, not the corpus); the split itself is a pure
+    * per-row hash of cluster_id — no extra shuffle beyond the cluster
+    * assignment join, and singleton documents (cluster_id = doc_id, the
+    * overwhelming majority) hash exactly like a per-document split.
+    */
+  def leakageSafeSplit(docs: DataFrame, threshold: Double = 0.5,
+      n: Int = 5): DataFrame =
+    graft.ops.HashSplit.split(
+      resolve(docs, threshold, n).select("doc_id", "cluster_id"),
+      "cluster_id")
 }

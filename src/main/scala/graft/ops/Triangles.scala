@@ -1,0 +1,78 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed triangle counting and local clustering coefficients over an
+  * undirected edge list — the graph-density primitive behind community
+  * detection and recommendation-graph quality checks (the co-purchase
+  * graph the reference's commodity analytics stop short of; cf.
+  * `02_Initialize_Solution.py:55-66`, which ranks single commodities).
+  *
+  * Scale shape: the classic degree-orientation bound. Each undirected edge
+  * is directed from its lower endpoint to its higher endpoint under the
+  * total order (degree, node id), so every wedge is generated exactly once
+  * at its lowest-ordered corner and the per-node out-degree is bounded by
+  * O(sqrt(m)) on any graph (a node of degree d only points at neighbors of
+  * degree >= d, and there can be at most 2m/d of those). The wedge
+  * self-join therefore does O(m^1.5) work total — the optimal bound for
+  * exact triangle enumeration — instead of the O(sum d^2) a naive
+  * neighbor-join pays on skewed degree distributions (one celebrity node
+  * of degree 10^6 would otherwise emit 10^12 wedges from a single key).
+  * All three joins (degree attach, wedge, closing edge) are plain equi-
+  * joins that hash-partition on node ids; nothing is collected, no
+  * window functions, no per-node sort.
+  */
+object Triangles {
+
+  /** Per-node triangle counts and local clustering coefficient.
+    *
+    * `edges`: canonical undirected edges `(pa, pb)` with `pa < pb`, no
+    * duplicates (e.g. [[BasketPairs.pairCounts]] output). Returns one row
+    * per node: `(node, deg, n_triangles, clustering_coeff)` where
+    * `clustering_coeff = 2*T / (deg*(deg-1))` rounded to 9 dp (0.0 for
+    * degree-1 nodes, which close no wedges).
+    */
+  def perNode(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("pa"), col("pb"))
+    val deg = e.select(col("pa").as("node"))
+      .unionAll(e.select(col("pb").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+
+    // attach both endpoint degrees, then orient low -> high under
+    // (degree, id); ties on degree break by id so the order is total
+    val withDeg = e
+      .join(deg.select(col("node").as("pa"), col("deg").as("da")), Seq("pa"))
+      .join(deg.select(col("node").as("pb"), col("deg").as("db")), Seq("pb"))
+    val paFirst = (col("da") < col("db")) ||
+      (col("da") === col("db") && col("pa") < col("pb"))
+    val oriented = withDeg.select(
+      when(paFirst, col("pa")).otherwise(col("pb")).as("src"),
+      when(paFirst, col("pb")).otherwise(col("pa")).as("dst"),
+      when(paFirst, col("db")).otherwise(col("da")).as("dd"))
+
+    // wedges at the lowest-ordered corner: both out-neighbors, ordered
+    // between themselves by the SAME total order so the closing edge —
+    // if present — is oriented exactly x -> y
+    val o1 = oriented.select(col("src"), col("dst").as("x"), col("dd").as("dx"))
+    val o2 = oriented.select(col("src"), col("dst").as("y"), col("dd").as("dy"))
+    val wedges = o1.join(o2, Seq("src"))
+      .filter((col("dx") < col("dy")) ||
+        (col("dx") === col("dy") && col("x") < col("y")))
+      .select(col("src"), col("x"), col("y"))
+    val closing = oriented.select(col("src").as("x"), col("dst").as("y"))
+    val tris = wedges.join(closing, Seq("x", "y"))
+
+    // every triangle credits all three corners
+    val perNodeTri = tris
+      .select(explode(array(col("src"), col("x"), col("y"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+    deg.join(perNodeTri, Seq("node"), "left_outer")
+      .select(col("node"), col("deg"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        when(col("deg") >= 2,
+          round(lit(2.0) * coalesce(col("n_triangles"), lit(0L)).cast("double") /
+            (col("deg").cast("double") * (col("deg").cast("double") - 1.0)), 9))
+          .otherwise(lit(0.0)).as("clustering_coeff"))
+  }
+}

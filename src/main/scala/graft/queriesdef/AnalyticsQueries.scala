@@ -395,6 +395,55 @@ object AnalyticsQueries {
            |ORDER BY rank DESC, node LIMIT 20""".stripMargin
       }),
 
+    // Per-node triangle counts + local clustering coefficient over the
+    // same co-purchase graph — degree-oriented enumeration (O(m^1.5)
+    // total wedge work, skew-proof; Triangles scaladoc). The oracle
+    // enumerates each triangle once via the canonical pa<pb pair table.
+    Entry(
+      "triangle_count",
+      (s, dir) => {
+        val pairs = BasketPairs.pairCounts(TransactionsAdj(s, dir),
+          minSupport = 15).filter(col("n_pair") >= 3)
+        graft.ops.Triangles.perNode(pairs.select("pa", "pb"))
+      },
+      Some(s"""WITH ${Oracle.txAdj},
+        |items AS (
+        |  SELECT DISTINCT basket_id, product_id FROM transactions_adj),
+        |freq AS (
+        |  SELECT product_id, count(*) AS n_baskets
+        |  FROM items GROUP BY product_id HAVING count(*) >= 15),
+        |pruned AS (
+        |  SELECT i.basket_id, i.product_id
+        |  FROM items i JOIN freq f ON i.product_id = f.product_id),
+        |cpairs AS (
+        |  SELECT a.product_id AS pa, b.product_id AS pb
+        |  FROM pruned a JOIN pruned b
+        |    ON a.basket_id = b.basket_id AND a.product_id < b.product_id
+        |  GROUP BY 1, 2 HAVING count(*) >= 3),
+        |deg AS (
+        |  SELECT node, COUNT(*) AS deg FROM (
+        |    SELECT pa AS node FROM cpairs
+        |    UNION ALL SELECT pb FROM cpairs) t
+        |  GROUP BY node),
+        |tri AS (
+        |  SELECT a.pa AS x, a.pb AS y, b.pb AS z
+        |  FROM cpairs a
+        |  JOIN cpairs b ON a.pb = b.pa
+        |  JOIN cpairs c ON c.pa = a.pa AND c.pb = b.pb),
+        |tcnt AS (
+        |  SELECT node, COUNT(*) AS t FROM (
+        |    SELECT x AS node FROM tri
+        |    UNION ALL SELECT y FROM tri
+        |    UNION ALL SELECT z FROM tri) u
+        |  GROUP BY node)
+        |SELECT d.node, CAST(d.deg AS BIGINT) AS deg,
+        |  CAST(COALESCE(tc.t, 0) AS BIGINT) AS n_triangles,
+        |  CASE WHEN d.deg >= 2 THEN
+        |    ROUND(2.0 * CAST(COALESCE(tc.t, 0) AS DOUBLE) /
+        |      (CAST(d.deg AS DOUBLE) * (CAST(d.deg AS DOUBLE) - 1.0)), 9)
+        |  ELSE 0.0 END AS clustering_coeff
+        |FROM deg d LEFT JOIN tcnt tc ON d.node = tc.node""".stripMargin)),
+
     // Markov basket-to-basket transition counts: consecutive baskets per
     // household (lead over the household's basket sequence — partitions
     // bounded by a household's basket count, never the fact table), then

@@ -146,6 +146,69 @@ object EventQueries {
         | AND CAST(epoch(p.purchase_ts) AS BIGINT)
         |     - CAST(epoch(v.view_ts) AS BIGINT) < 1800""".stripMargin)),
 
+    // Time-decay multi-touch attribution: per purchase, every in-window
+    // view weighted 1/(1+lag/600) (rational decay — engine-exact, unlike
+    // libm exp), shares normalized through a DECIMAL(18,9) per-purchase
+    // sum. See EventOps.attributionTimeDecay for the scale shape.
+    Entry(
+      "attribution_time_decay",
+      (s, dir) => EventOps.attributionTimeDecay(EventOps.events(s, dir)),
+      Some(s"""WITH $evCte,
+        |v AS (SELECT user_id, event_id AS view_id, ts AS view_ts
+        |      FROM ev WHERE event_type = 'view'),
+        |p AS (SELECT user_id, event_id AS purchase_id, ts AS purchase_ts,
+        |        value AS purchase_value
+        |      FROM ev WHERE event_type = 'purchase'),
+        |touch AS (
+        |  SELECT v.user_id, v.view_id, p.purchase_id, p.purchase_value,
+        |    CAST(epoch(p.purchase_ts) AS BIGINT)
+        |      - CAST(epoch(v.view_ts) AS BIGINT) AS lag_seconds
+        |  FROM v JOIN p ON v.user_id = p.user_id
+        |   AND p.purchase_ts >= v.view_ts
+        |   AND CAST(epoch(p.purchase_ts) AS BIGINT)
+        |       - CAST(epoch(v.view_ts) AS BIGINT) < 1800),
+        |wt AS (
+        |  SELECT *, CAST(ROUND(1.0 / (1.0 + CAST(lag_seconds AS DOUBLE)
+        |      / 600.0), 9) AS DECIMAL(18,9)) AS weight
+        |  FROM touch),
+        |tot AS (
+        |  SELECT purchase_id, SUM(weight) AS w_total,
+        |    COUNT(*) AS n_touches
+        |  FROM wt GROUP BY purchase_id)
+        |SELECT w.user_id, w.purchase_id, w.view_id, w.lag_seconds,
+        |  t.n_touches,
+        |  CAST(w.weight AS DOUBLE) AS weight,
+        |  ROUND(CAST(w.weight AS DOUBLE) / CAST(t.w_total AS DOUBLE), 9)
+        |    AS share,
+        |  ROUND(CAST(w.weight AS DOUBLE) / CAST(t.w_total AS DOUBLE)
+        |    * w.purchase_value, 6) AS attributed_value
+        |FROM wt w JOIN tot t ON w.purchase_id = t.purchase_id""".stripMargin)),
+
+    // Latest-wins CDC compaction: change log keyed by (user_id, k),
+    // error = delete, newest event decides; one partial-aggregable
+    // max(struct) per key (EventOps.cdcLatestState scaladoc). The oracle
+    // is the ROW_NUMBER definition — hash equality proves the argmax
+    // decomposition.
+    Entry(
+      "cdc_latest_state",
+      (s, dir) => EventOps.cdcLatestState(EventOps.events(s, dir)),
+      Some("""WITH ch AS (
+        |  SELECT user_id,
+        |    CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+        |    CAST(date_trunc('second', ts) AS TIMESTAMP) AS ts, event_id,
+        |    CASE WHEN event_type = 'error' THEN 'delete'
+        |      ELSE 'upsert' END AS op,
+        |    value
+        |  FROM events),
+        |r AS (
+        |  SELECT *,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id, k
+        |      ORDER BY ts DESC, event_id DESC) AS rn,
+        |    COUNT(*) OVER (PARTITION BY user_id, k) AS n_changes
+        |  FROM ch)
+        |SELECT user_id, k, value, ts AS updated_ts, n_changes
+        |FROM r WHERE rn = 1 AND op = 'upsert'""".stripMargin)),
+
     // Per-user rolling features (lag / moving window / running total):
     // one shuffle + one sort serves all five windows; decimal window
     // sums make the floats engine-exact.

@@ -245,6 +245,33 @@ object TextQueries {
         |  (a.doc_id = b.survivor_id) AS kept
         |FROM assigned a JOIN best b USING (cluster_id)""".stripMargin)),
 
+    // Leakage-safe train/val/test split: membership hashed on the
+    // duplicate CLUSTER, not the document, so near-copies never straddle
+    // the train/test boundary (Clusters.leakageSafeSplit scaladoc).
+    Entry(
+      "split_by_cluster",
+      (s, dir) => graft.dedup.Clusters.leakageSafeSplit(docs(s, dir)),
+      Some(s"""WITH RECURSIVE $jaccardCtes,
+        |edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM jpairs
+        |  UNION
+        |  SELECT doc_b AS src, doc_a AS dst FROM jpairs),
+        |reach(a, b) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+        |cc AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a),
+        |assigned AS (
+        |  SELECT d.doc_id, COALESCE(cc.cluster_id, d.doc_id) AS cluster_id
+        |  FROM documents d LEFT JOIN cc ON d.doc_id = cc.doc_id),
+        |b AS (
+        |  SELECT doc_id, cluster_id,
+        |    ${graft.ops.HashSplit.bucketSql("cluster_id", 1000)} AS bucket
+        |  FROM assigned)
+        |SELECT doc_id, cluster_id, bucket,
+        |  ${graft.ops.HashSplit.splitSql()} AS split
+        |FROM b""".stripMargin)),
+
     // MinHash signatures (the sketch operator). The md5-derived base hash
     // and shared affine constants render to DuckDB, so the signatures are
     // hash-verified — not just rows-counted.
@@ -550,6 +577,34 @@ object TextQueries {
         |  CAST(floor(tokens_before / 256.0) AS BIGINT) AS pack_id,
         |  CAST(tokens_before % 256 AS BIGINT) AS pack_offset
         |FROM c""".stripMargin)),
+
+    // Length-bucketed batch assembly with per-batch padding waste — the
+    // "sortish" dynamic-batching layout (Curation.lengthBatches scaladoc:
+    // 64-token buckets × 4 content-hash shards, 16 docs per batch).
+    Entry(
+      "length_batching",
+      (s, dir) => graft.text.Curation.lengthBatches(docs(s, dir)),
+      Some(s"""WITH t AS (
+        |  SELECT doc_id,
+        |    COALESCE(${reCount("trim(text)", """\S+""")}, 0) AS n_tokens,
+        |    ${graft.ops.HashSplit.bucketSql("doc_id", 4)} AS shard
+        |  FROM documents),
+        |b AS (
+        |  SELECT *, n_tokens // 64 AS bucket,
+        |    ROW_NUMBER() OVER (PARTITION BY n_tokens // 64, shard
+        |      ORDER BY n_tokens, doc_id) AS rn
+        |  FROM t)
+        |SELECT bucket, shard, CAST((rn - 1) // 16 AS BIGINT) AS batch_id,
+        |  COUNT(*) AS n_docs,
+        |  CAST(MAX(n_tokens) AS BIGINT) AS max_len,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+        |  CAST(COUNT(*) * MAX(n_tokens) - SUM(n_tokens) AS BIGINT)
+        |    AS padding_tokens,
+        |  CASE WHEN MAX(n_tokens) > 0 THEN
+        |    ROUND(CAST(COUNT(*) * MAX(n_tokens) - SUM(n_tokens) AS DOUBLE)
+        |      / CAST(COUNT(*) * MAX(n_tokens) AS DOUBLE), 9)
+        |  ELSE 0.0 END AS padding_ratio
+        |FROM b GROUP BY bucket, shard, (rn - 1) // 16""".stripMargin)),
 
     // Corpus vocabulary: global top-50 terms by corpus frequency with
     // document frequency — tf and df from ONE pass over the (term, doc)

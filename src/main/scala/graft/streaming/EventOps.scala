@@ -273,4 +273,76 @@ object EventOps {
       datediff(lit(java.sql.Date.valueOf(maxDay)),
         max(col("ts")).cast("date")).cast("long").as("days_since_last"))
   }
+
+  /** Latest-wins CDC compaction: reduce an ordered change log to current
+    * state. The event stream is read as a change feed keyed by
+    * `(user_id, k)` (`k` from the JSON props): every non-`error` event
+    * UPSERTs the key's value, an `error` event DELETEs the key; the
+    * newest event per key (by `ts`, ties by `event_id`) decides. This is
+    * the table-maintenance primitive a CDC sink (Debezium feed, Delta
+    * change feed) runs on every compaction cycle.
+    *
+    * Scale shape: ONE partial-aggregable `max(struct(ts, event_id, op,
+    * value))` per key — map-side combine reduces each input partition to
+    * its per-key champion before the shuffle, so the exchange carries one
+    * narrow row per live key, never the change history; no window sort,
+    * no per-key collection. (The streaming twin is the same argmax kept
+    * in `mapGroupsWithState`.) Deletes are dropped AFTER the argmax —
+    * a delete only wins (and suppresses the key) if nothing newer exists.
+    */
+  def cdcLatestState(ev: DataFrame): DataFrame = {
+    val keyed = ev.select(
+      col("user_id"),
+      get_json_object(col("props"), "$.k").cast("long").as("k"),
+      col("ts"), col("event_id"),
+      when(col("event_type") === "error", lit("delete"))
+        .otherwise(lit("upsert")).as("op"),
+      col("value"))
+    keyed.groupBy("user_id", "k")
+      .agg(
+        max(struct(col("ts"), col("event_id"), col("op"), col("value")))
+          .as("last"),
+        count(lit(1)).as("n_changes"))
+      .filter(col("last.op") === "upsert")
+      .select(col("user_id"), col("k"),
+        col("last.value").as("value"),
+        col("last.ts").as("updated_ts"),
+        col("n_changes"))
+  }
+
+  /** Time-decay multi-touch attribution: every view inside the window
+    * before a purchase gets credit weighted by recency,
+    * `w = 1 / (1 + lag/600)` (rational decay — chosen over `exp` because
+    * both engines evaluate `/` and `+` to the identical IEEE double,
+    * while libm `exp` may differ in the last ulp), normalized per
+    * purchase so the shares sum to 1, and the purchase value is split by
+    * share. Reduces to last-touch when one view matched.
+    *
+    * Scale shape: the interval join is [[attributionJoin]] (user-keyed
+    * equi-join, fan-out bounded by views-per-user-per-window); the
+    * normalizer is a purchase-keyed aggregate over that join's output —
+    * weights are quantized to DECIMAL(18,9) before the per-purchase sum
+    * so the total is independent of partial-aggregation order, and the
+    * share/value divisions are single double ops on exact inputs.
+    */
+  def attributionTimeDecay(ev: DataFrame,
+      windowSeconds: Long = attributionWindowSeconds,
+      halfScaleSeconds: Double = 600.0): DataFrame = {
+    val touches = attribution(ev, windowSeconds)
+      .withColumn("weight",
+        round(lit(1.0) / (lit(1.0) +
+          col("lag_seconds").cast("double") / lit(halfScaleSeconds)), 9)
+          .cast("decimal(18,9)"))
+    val totals = touches.groupBy("purchase_id")
+      .agg(sum(col("weight")).as("w_total"), count(lit(1)).as("n_touches"))
+    touches.join(totals, Seq("purchase_id"))
+      .select(
+        col("user_id"), col("purchase_id"), col("view_id"),
+        col("lag_seconds"), col("n_touches"),
+        col("weight").cast("double").as("weight"),
+        round(col("weight").cast("double") /
+          col("w_total").cast("double"), 9).as("share"),
+        round(col("weight").cast("double") / col("w_total").cast("double")
+          * col("purchase_value"), 6).as("attributed_value"))
+  }
 }

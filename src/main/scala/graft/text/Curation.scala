@@ -284,6 +284,55 @@ object Curation {
           (col("tokens_before") % ctxTokens).as("pack_offset")): _*)
   }
 
+  /** Length-bucketed batch assembly ("sortish" batching): documents are
+    * grouped into token-length buckets of `bucketWidth`, ordered by
+    * (length, id) within each bucket, and cut into fixed-size batches of
+    * `docsPerBatch`; per batch, the padding waste a dense [batch × max
+    * len] tensor would pay. This is the dynamic-batching layout every
+    * sequence-model trainer uses — batching similar lengths together is
+    * what keeps padding (and wasted FLOPs) low, and the emitted
+    * `padding_tokens / capacity_tokens` ratio is the metric that
+    * validates a bucketing policy before a training run.
+    *
+    * Scale shape: same as [[packSequences]] — the only shuffle is the
+    * window partitioned by (bucket, shard), where `shards` content-hash
+    * sub-shards bound each window partition at 1/shards of a bucket (a
+    * 100 TB corpus concentrates mass in few length buckets; the shard key
+    * is the skew escape, and batches never need to cross shards). The
+    * batch summary is then one hash aggregate on the window's own
+    * partitioning.
+    */
+  def lengthBatches(docs: DataFrame, bucketWidth: Int = 64,
+      docsPerBatch: Int = 16, shards: Int = 4): DataFrame = {
+    require(bucketWidth > 0 && docsPerBatch > 0 && shards >= 1,
+      s"bad args: $bucketWidth, $docsPerBatch, $shards")
+    val base = docs.select(col("doc_id"),
+      coalesce(TextAnalysis.tokensWs(col("text")), lit(0L)).as("n_tokens"),
+      HashSplit.bucket(col("doc_id"), shards).as("shard"))
+      .withColumn("bucket", (col("n_tokens") / bucketWidth).cast("long"))
+    val w = Window.partitionBy(col("bucket"), col("shard"))
+      .orderBy(col("n_tokens"), col("doc_id"))
+    base
+      .withColumn("batch_id",
+        ((row_number().over(w) - 1) / docsPerBatch).cast("long"))
+      .groupBy("bucket", "shard", "batch_id")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        max(col("n_tokens")).as("max_len"),
+        sum(col("n_tokens")).as("sum_tokens"))
+      .select(col("bucket"), col("shard"), col("batch_id"),
+        col("n_docs"), col("max_len"), col("sum_tokens"),
+        (col("n_docs") * col("max_len") - col("sum_tokens"))
+          .as("padding_tokens"),
+        // all-empty batch (bucket 0 can hold 0-token docs): capacity 0
+        // would divide 0/0 → NaN; such a batch wastes nothing
+        when(col("max_len") > 0,
+          round((col("n_docs") * col("max_len") - col("sum_tokens"))
+              .cast("double") /
+            (col("n_docs") * col("max_len")).cast("double"), 9))
+          .otherwise(lit(0.0)).as("padding_ratio"))
+  }
+
   /** URL canonicalization — the key a crawl frontier and a URL-level
     * dedup both group by. Two syntactically different URLs that name the
     * same resource ("HTTP://WWW.Example.com:80/a/?utm_source=x#top" vs
