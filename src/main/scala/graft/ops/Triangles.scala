@@ -34,10 +34,17 @@ object Triangles {
     * degree-1 nodes, which close no wedges).
     */
   def perNode(edges: DataFrame): DataFrame = {
-    val e = edges.select(col("pa"), col("pb"))
+    // Materialize the edge list ONCE (same rule as PageRank.run): the
+    // plan references it through deg (×2 joins), the wedge self-join
+    // (×2), and the closing-edge probe — an edge list built from an
+    // expensive upstream (basket-pair mining) would otherwise re-execute
+    // that lineage per reference. The support-pruned pair list is
+    // catalog²-bounded, so executor-resident blocks are cheap.
+    val e = edges.select(col("pa"), col("pb")).localCheckpoint(true)
     val deg = e.select(col("pa").as("node"))
       .unionAll(e.select(col("pb").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
 
     // attach both endpoint degrees, then orient low -> high under
     // (degree, id); ties on degree break by id so the order is total
@@ -46,10 +53,12 @@ object Triangles {
       .join(deg.select(col("node").as("pb"), col("deg").as("db")), Seq("pb"))
     val paFirst = (col("da") < col("db")) ||
       (col("da") === col("db") && col("pa") < col("pb"))
+    // referenced three times below (both wedge sides + the closing probe)
     val oriented = withDeg.select(
       when(paFirst, col("pa")).otherwise(col("pb")).as("src"),
       when(paFirst, col("pb")).otherwise(col("pa")).as("dst"),
       when(paFirst, col("db")).otherwise(col("da")).as("dd"))
+      .localCheckpoint(true)
 
     // wedges at the lowest-ordered corner: both out-neighbors, ordered
     // between themselves by the SAME total order so the closing edge —
