@@ -67,4 +67,48 @@ object Experiment {
               - col("mu_x")), 9).as("mean_y_cuped"),
         round(col("theta"), 9).as("theta"))
   }
+
+  /** Per-arm RATIO-metric readout with delta-method standard errors —
+    * the estimator for "spend per basket"-style metrics where the unit
+    * of analysis (household) differs from the ratio's denominator
+    * (basket): R = Σy/Σx per arm, and the naive per-row variance is
+    * wrong because x varies per unit. Delta method (first-order Taylor):
+    *
+    *   Var(R) ≈ (var_y + R²·var_x − 2R·cov_xy) / (n·mean_x²)
+    *
+    * with population moments over the arm's units.
+    *
+    * Scale shape: one map-side-combinable hash aggregate per arm
+    * producing SIX totals (n, Σx, Σy, Σxy, Σx², Σy²); the closing
+    * algebra runs on the arm table (rows = #arms). Sums accumulate as
+    * DECIMAL (inputs quantized at 4 dp, products exact at scale 8) so
+    * the totals are combine-order independent; the double closing uses
+    * one fixed association, and `sqrt` is correctly rounded IEEE on
+    * both engines — bit-identical without tolerance.
+    */
+  def ratioDelta(df: DataFrame): DataFrame = {
+    val q = df.select(col("arm"),
+      col("x").cast("decimal(18,4)").as("x"),
+      col("y").cast("decimal(18,4)").as("y"))
+    val m = q.groupBy("arm").agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+    val n = col("n").cast("double")
+    val sx = col("sx").cast("double"); val sy = col("sy").cast("double")
+    val muX = sx / n; val muY = sy / n
+    val ratio = sy / sx
+    val varY = col("syy").cast("double") / n - muY * muY
+    val varX = col("sxx").cast("double") / n - muX * muX
+    val covXY = col("sxy").cast("double") / n - muX * muY
+    m.select(
+      col("arm"), col("n"),
+      round(sx, 4).as("sum_x"), round(sy, 4).as("sum_y"),
+      round(ratio, 9).as("ratio"),
+      round(sqrt(greatest(
+        (varY + ratio * ratio * varX - lit(2.0) * ratio * covXY)
+          / (muX * muX) / n, lit(0.0))), 9).as("se"))
+  }
 }

@@ -162,6 +162,99 @@ object AnalyticsQueries {
         |FROM arms a CROSS JOIN th t
         |ORDER BY arm""".stripMargin)),
 
+    // Ratio-metric readout (spend per basket) with delta-method standard
+    // errors per arm — six decimal totals per arm, double closing with
+    // one fixed association (Experiment.ratioDelta scaladoc).
+    Entry(
+      "ab_ratio_delta",
+      (s, dir) => {
+        val tx = TransactionsAdj(s, dir)
+        val perHh = tx.groupBy("household_key").agg(
+          countDistinct(col("basket_id")).cast("decimal(18,4)").as("x"),
+          sum(col("amount_paid").cast("decimal(18,4)"))
+            .cast("decimal(18,4)").as("y"))
+        val assigned = perHh.withColumn("arm",
+          when(HashSplit.bucket(col("household_key"), 2) === 0,
+            lit("control")).otherwise(lit("treatment")))
+        Experiment.ratioDelta(assigned).orderBy("arm")
+      },
+      Some(s"""WITH ${Oracle.txAdjFull},
+        |hh AS (
+        |  SELECT household_key,
+        |    CAST(COUNT(DISTINCT basket_id) AS DECIMAL(18,4)) AS x,
+        |    CAST(SUM(CAST(amount_paid AS DECIMAL(18,4)))
+        |      AS DECIMAL(18,4)) AS y
+        |  FROM tx GROUP BY household_key),
+        |asg AS (
+        |  SELECT *,
+        |    CASE WHEN ${HashSplit.bucketSql("household_key", 2)} = 0
+        |      THEN 'control' ELSE 'treatment' END AS arm
+        |  FROM hh),
+        |m AS (
+        |  SELECT arm, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+        |    SUM(CAST(x AS DECIMAL(19,4)) * CAST(y AS DECIMAL(19,4))) AS sxy,
+        |    SUM(CAST(x AS DECIMAL(19,4)) * CAST(x AS DECIMAL(19,4))) AS sxx,
+        |    SUM(CAST(y AS DECIMAL(19,4)) * CAST(y AS DECIMAL(19,4))) AS syy
+        |  FROM asg GROUP BY arm),
+        |d AS (
+        |  SELECT arm, n,
+        |    CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+        |    CAST(n AS DOUBLE) AS nd,
+        |    CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mu_x,
+        |    CAST(sy AS DOUBLE) / CAST(sx AS DOUBLE) AS ratio,
+        |    CAST(syy AS DOUBLE) / CAST(n AS DOUBLE)
+        |      - (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+        |        * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) AS var_y,
+        |    CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE)
+        |      - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+        |        * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) AS var_x,
+        |    CAST(sxy AS DOUBLE) / CAST(n AS DOUBLE)
+        |      - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+        |        * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) AS cov_xy
+        |  FROM m)
+        |SELECT arm, n, ROUND(sxd, 4) AS sum_x, ROUND(syd, 4) AS sum_y,
+        |  ROUND(ratio, 9) AS ratio,
+        |  ROUND(sqrt(greatest((var_y + ratio * ratio * var_x
+        |    - 2.0 * ratio * cov_xy) / (mu_x * mu_x) / nd, 0.0)), 9) AS se
+        |FROM d ORDER BY arm""".stripMargin)),
+
+    // L-diversity audit next to the k-anonymity gate: a (store, week)
+    // cell can pass k-anonymity (>= 5 distinct households) yet still
+    // leak — if everyone in the cell bought the same commodity, group
+    // membership reveals the sensitive value. Each distinct count runs
+    // as its own pre-aggregated lineage (the feature family's
+    // split-distinct pattern — no two-distinct Expand over the fact).
+    Entry(
+      "l_diversity_audit",
+      (s, dir) => {
+        val txc = FeatureBuilder.txWithCommodity(s, dir)
+        val units = txc.select("store_id", "week_no", "household_key")
+          .distinct()
+          .groupBy("store_id", "week_no").agg(count(lit(1)).as("n_units"))
+        val sens = txc.select("store_id", "week_no", "commodity_desc")
+          .distinct()
+          .groupBy("store_id", "week_no")
+          .agg(count(lit(1)).as("n_sensitive"))
+        units.join(sens, Seq("store_id", "week_no"))
+          .select(col("store_id"), col("week_no"),
+            col("n_units"), col("n_sensitive"),
+            (col("n_units") >= 5).as("k_ok"),
+            (col("n_sensitive") >= 3).as("l_ok"))
+      },
+      Some(s"""WITH ${Oracle.txCommodity},
+        |u AS (
+        |  SELECT store_id, week_no, COUNT(*) AS n_units FROM (
+        |    SELECT DISTINCT store_id, week_no, household_key FROM txc) t
+        |  GROUP BY store_id, week_no),
+        |sv AS (
+        |  SELECT store_id, week_no, COUNT(*) AS n_sensitive FROM (
+        |    SELECT DISTINCT store_id, week_no, commodity_desc FROM txc) t
+        |  GROUP BY store_id, week_no)
+        |SELECT u.store_id, u.week_no, u.n_units, sv.n_sensitive,
+        |  u.n_units >= 5 AS k_ok, sv.n_sensitive >= 3 AS l_ok
+        |FROM u JOIN sv ON u.store_id = sv.store_id
+        |  AND u.week_no = sv.week_no""".stripMargin)),
+
     // K-anonymity suppression of a published spend aggregate over the
     // (mktsegment, nation) quasi-identifier; rare cells roll into
     // __OTHER__ with distinct-unit support re-derived, not summed
@@ -1009,6 +1102,120 @@ object AnalyticsQueries {
            |${one(2)}
            |UNION ALL
            |${one(3)}""".stripMargin
+      }),
+
+    // NDCG@3 of the same rec list: binary relevance, per-rank gains
+    // 1/log2(rank+1) precomputed ONCE driver-side (9 dp) and injected as
+    // identical literals into both engines — rank is bounded by k, so
+    // the gain table is a constant CASE and no runtime log/ulp question
+    // exists. DCG sums the decimal gains of hits (combine-order free);
+    // IDCG is the prefix-sum literal at min(n_pos, 3).
+    Entry(
+      "rec_ndcg_at_k",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val k = 3
+        val gain = (1 to k).map(i => BigDecimal(
+          1.0 / (math.log(i + 1.0) / math.log(2.0)))
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP))
+        val ideal = gain.scanLeft(BigDecimal(0))(_ + _).tail // prefix sums
+        val txc = FeatureBuilder.txWithCommodity(s, dir)
+        val (_, cur) = Retail.dayBounds(s, dir)
+        val fed = cur.minusDays(LabelBuilder.horizonDays)
+        val cts = Commodities.commoditiesToScore(s, dir)
+        val labels = LabelBuilder.labels(txc, cts, fed)
+        val hist = txc.filter(col("day") <= lit(Date.valueOf(fed)))
+        val hh = hist.groupBy("household_key")
+          .agg(countDistinct(col("basket_id")).as("total_baskets"))
+        val pair = hist
+          .join(broadcast(cts.select("commodity_desc")),
+            Seq("commodity_desc"), "left_semi")
+          .groupBy("household_key", "commodity_desc")
+          .agg(countDistinct(col("basket_id")).as("pos_baskets"))
+        val w = Window.partitionBy("household_key")
+          .orderBy(col("score").desc, col("commodity_desc"))
+        val recs = pair.join(hh, Seq("household_key"))
+          .select(col("household_key"), col("commodity_desc"),
+            round(col("pos_baskets").cast("double")
+              / col("total_baskets").cast("double"), 9).as("score"))
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .filter(col("rn") <= k)
+        val npos = labels.filter(col("purchased") === 1)
+          .groupBy("household_key").agg(count(lit(1)).as("n_pos"))
+        val gainCol = (1 to k).foldLeft(lit(null).cast("decimal(18,9)")) {
+          (acc, i) => when(col("rn") === i,
+            lit(gain(i - 1).toString).cast("decimal(18,9)")).otherwise(acc)
+        }
+        val dcg = recs
+          .join(labels.filter(col("purchased") === 1)
+              .select("household_key", "commodity_desc"),
+            Seq("household_key", "commodity_desc"), "left_semi")
+          .select(col("household_key"), gainCol.as("g"))
+          .groupBy("household_key").agg(sum(col("g")).as("dcg_d"))
+        val idcgCol = (1 to k).foldLeft(lit(null).cast("double")) {
+          (acc, i) => when(least(col("n_pos"), lit(k)) === i,
+            lit(ideal(i - 1).toDouble)).otherwise(acc)
+        }
+        npos.join(dcg, Seq("household_key"), "left_outer")
+          .select(col("household_key"), col("n_pos"),
+            coalesce(col("dcg_d").cast("double"), lit(0.0)).as("dcg"),
+            idcgCol.as("idcg"),
+            round(coalesce(col("dcg_d").cast("double"), lit(0.0))
+              / idcgCol, 9).as("ndcg"))
+      },
+      Some {
+        val k = 3
+        val gain = (1 to k).map(i => BigDecimal(
+          1.0 / (math.log(i + 1.0) / math.log(2.0)))
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP))
+        val ideal = gain.scanLeft(BigDecimal(0))(_ + _).tail
+        val gainCase = (1 to k)
+          .map(i => s"WHEN rn = $i THEN CAST('${gain(i - 1)}' AS DECIMAL(18,9))")
+          .mkString("CASE ", " ", " END")
+        val idcgCase = (1 to k)
+          .map(i => s"WHEN least(n_pos, $k) = $i THEN ${ideal(i - 1).toDouble}")
+          .mkString("CASE ", " ", " END")
+        s"""WITH ${Oracle.txCommodity}, ${TrainScoreQueries.labelsCtes},
+           |hist AS (
+           |  SELECT t.* FROM txc t CROSS JOIN gb
+           |  WHERE t.day <= gb.cur - 30),
+           |hh AS (
+           |  SELECT household_key, COUNT(DISTINCT basket_id)
+           |    AS total_baskets
+           |  FROM hist GROUP BY household_key),
+           |pair AS (
+           |  SELECT household_key, commodity_desc,
+           |    COUNT(DISTINCT basket_id) AS pos_baskets
+           |  FROM hist
+           |  WHERE commodity_desc IN (SELECT commodity_desc FROM cts)
+           |  GROUP BY household_key, commodity_desc),
+           |recs AS (
+           |  SELECT * FROM (
+           |    SELECT p.household_key, p.commodity_desc,
+           |      ROW_NUMBER() OVER (PARTITION BY p.household_key
+           |        ORDER BY ROUND(CAST(p.pos_baskets AS DOUBLE)
+           |          / CAST(h.total_baskets AS DOUBLE), 9) DESC,
+           |          p.commodity_desc) AS rn
+           |    FROM pair p JOIN hh h
+           |      ON p.household_key = h.household_key) t
+           |  WHERE rn <= $k),
+           |npos AS (
+           |  SELECT household_key, COUNT(*) AS n_pos
+           |  FROM labels WHERE purchased = 1 GROUP BY household_key),
+           |dcg AS (
+           |  SELECT r.household_key, SUM($gainCase) AS dcg_d
+           |  FROM recs r
+           |  JOIN labels l ON l.household_key = r.household_key
+           |    AND l.commodity_desc = r.commodity_desc
+           |  WHERE l.purchased = 1
+           |  GROUP BY r.household_key)
+           |SELECT n.household_key, n.n_pos,
+           |  COALESCE(CAST(d.dcg_d AS DOUBLE), 0.0) AS dcg,
+           |  $idcgCase AS idcg,
+           |  ROUND(COALESCE(CAST(d.dcg_d AS DOUBLE), 0.0)
+           |    / ($idcgCase), 9) AS ndcg
+           |FROM npos n LEFT JOIN dcg d ON n.household_key = d.household_key"""
+          .stripMargin
       }),
 
     // Neyman (optimal) stratified-sampling allocation: per-stratum

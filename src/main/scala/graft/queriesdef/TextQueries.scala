@@ -1186,6 +1186,55 @@ object TextQueries {
         |FROM pairs GROUP BY pair
         |ORDER BY weight DESC, pair LIMIT 30""".stripMargin)),
 
+    // The FULL BPE training loop — 4 merge rounds, each re-counting
+    // pairs over the merged symbolization (Subword.bpeTrainMerges:
+    // vocab-collapsed state, doubled-separator greedy merge as pure
+    // string algebra). The oracle unrolls the identical 4 rounds; hash
+    // equality proves count → argmax → merge-application end to end.
+    Entry(
+      "bpe_train_merges",
+      (s, dir) => graft.text.Subword.bpeTrainMerges(docs(s, dir), rounds = 4),
+      Some {
+        def roundCtes(k: Int): String =
+          s"""p$k AS (
+             |  SELECT l, r, CAST(SUM(n) AS BIGINT) AS weight
+             |  FROM (
+             |    SELECT v.n, v.syms[g.i] AS l, v.syms[g.i + 1] AS r
+             |    FROM (SELECT n, string_split(s, ' ') AS syms
+             |          FROM v${k - 1}) v
+             |    JOIN generate_series(1, 63) AS g(i)
+             |      ON g.i <= len(v.syms) - 1) t
+             |  GROUP BY l, r),
+             |t$k AS (SELECT l, r, weight FROM p$k
+             |        ORDER BY weight DESC, l, r LIMIT 1),
+             |v$k AS (
+             |  SELECT v.n,
+             |    trim(replace(replace(
+             |      '  ' || replace(v.s, ' ', '  ') || '  ',
+             |      ' ' || t.l || '  ' || t.r || ' ',
+             |      ' ' || t.l || t.r || ' '), '  ', ' ')) AS s
+             |  FROM v${k - 1} v CROSS JOIN t$k t)""".stripMargin
+        s"""WITH words AS (
+           |  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+           |    AS w
+           |  FROM documents),
+           |v0 AS (
+           |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           |    trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS s
+           |  FROM words GROUP BY w),
+           |${roundCtes(1)},
+           |${roundCtes(2)},
+           |${roundCtes(3)},
+           |${roundCtes(4)}
+           |SELECT 1 AS round, l AS sym_left, r AS sym_right, weight FROM t1
+           |UNION ALL
+           |SELECT 2, l, r, weight FROM t2
+           |UNION ALL
+           |SELECT 3, l, r, weight FROM t3
+           |UNION ALL
+           |SELECT 4, l, r, weight FROM t4""".stripMargin
+      }),
+
     // Temperature-balanced multilingual token budgets (alpha = 0.5 →
     // sqrt, the exactly-rounded IEEE op): sampling share ∝ sqrt(p_lang),
     // the standard up-weighting of low-resource languages. sqrt weights

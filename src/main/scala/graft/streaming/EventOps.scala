@@ -290,7 +290,19 @@ object EventOps {
     * in `mapGroupsWithState`.) Deletes are dropped AFTER the argmax —
     * a delete only wins (and suppresses the key) if nothing newer exists.
     */
-  def cdcLatestState(ev: DataFrame): DataFrame = {
+  def cdcLatestState(ev: DataFrame): DataFrame =
+    cdcLatestWithTombstones(ev).filter(col("op") === "upsert")
+      .drop("op")
+
+  /** [[cdcLatestState]] with the winning op KEPT: one row per key with
+    * `op` ∈ {upsert, delete} — the form a change-applying sink needs
+    * (deletes arrive as tombstones instead of silently vanishing). This
+    * exact plan also runs under readStream in Update output mode
+    * ([[EventStreams.cdcLatestStream]]): the aggregation state per key is
+    * the same one champion struct, bounded by live keys, never the
+    * change history.
+    */
+  def cdcLatestWithTombstones(ev: DataFrame): DataFrame = {
     val keyed = ev.select(
       col("user_id"),
       get_json_object(col("props"), "$.k").cast("long").as("k"),
@@ -303,8 +315,8 @@ object EventOps {
         max(struct(col("ts"), col("event_id"), col("op"), col("value")))
           .as("last"),
         count(lit(1)).as("n_changes"))
-      .filter(col("last.op") === "upsert")
       .select(col("user_id"), col("k"),
+        col("last.op").as("op"),
         col("last.value").as("value"),
         col("last.ts").as("updated_ts"),
         col("n_changes"))

@@ -117,6 +117,19 @@ object EventStreams {
       EventOps.purchasesOf(ev).withWatermark("purchase_ts", watermarkDelay),
       windowSeconds)
 
+  /** Streaming CDC compaction: [[EventOps.cdcLatestWithTombstones]]
+    * verbatim, run in Update output mode — each micro-batch emits the
+    * NEW champion row for every key the batch touched (tombstones
+    * included, so an upsert sink can apply deletes). State per key is
+    * one struct + a count: bounded by live keys at any stream length;
+    * max/count are both partial-aggregable so each micro-batch combines
+    * map-side before touching the state store. One logical query, two
+    * execution modes — the batch form is the oracle-verified
+    * `cdc_latest_state` entry.
+    */
+  def cdcLatestStream(ev: DataFrame): DataFrame =
+    EventOps.cdcLatestWithTombstones(ev)
+
   /** Run a streaming query into an in-memory table and drain it — the
     * harness for tests and local smoke (file-driven batch ≡ stream).
     */

@@ -44,4 +44,78 @@ object Subword {
       .orderBy(col("weight").desc, col("pair"))
       .limit(k)
   }
+
+  /** The FULL BPE training loop (Sennrich et al. algorithm 1): `rounds`
+    * merge iterations, each counting adjacent symbol pairs over the
+    * current symbolization and merging the most frequent pair corpus-wide.
+    * Returns the learned merge table `(round, sym_left, sym_right,
+    * weight)` — the artifact a tokenizer ships.
+    *
+    * State is the word-frequency vocab with each word's symbol sequence
+    * as a single-space-joined string. The merge application — greedy
+    * left-to-right non-overlapping replacement of the winning pair — is
+    * PURE string algebra via the doubled-separator trick: with two
+    * spaces between symbols (and two-space sentinels), a replace-all of
+    * `" l  r "` with `" lr "` consumes one boundary space on each side,
+    * so consecutive occurrences ("a a a a" under merge (a,a)) each
+    * match exactly as the sequential greedy scan would ([aa, aa], never
+    * [aa, a, a]); collapsing the double spaces restores the state. Both
+    * engines' `replace` scans left-to-right without rescanning
+    * replacements, so the oracle replays the identical algebra.
+    *
+    * Scale shape: identical to [[bpePairCounts]] — every iteration runs
+    * on the VOCAB table (one corpus-collapse up front, then
+    * `O(|vocab| · avg_len)` per round), never the corpus. The only
+    * driver action per round is the 1-row argmax (a control decision,
+    * same class as PageRank's convergence probe); the vocab state is
+    * checkpointed once and each round adds one projection.
+    */
+  def bpeTrainMerges(docs: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"bpeTrainMerges: rounds must be >= 1, got $rounds")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // corpus → word-frequency vocab, symbols = characters (spaced)
+    var state = docs
+      .select(explode(filter(split(col("text"), " "),
+        t => length(t) > 0)).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .select(col("n"),
+        expr("""trim(regexp_replace(w, '(.)', '$1 '))""").as("s"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var round = 1
+    var exhausted = false
+    while (round <= rounds && !exhausted) {
+      val top = state
+        .select(col("n"), split(col("s"), " ").as("syms"))
+        .filter(size(col("syms")) >= 2)
+        .select(col("n"), explode(expr(
+          """transform(sequence(1, size(syms) - 1),
+            |  i -> struct(element_at(syms, i) AS l,
+            |              element_at(syms, i + 1) AS r))""".stripMargin))
+          .as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("n")).cast("long").as("weight"))
+        .orderBy(col("weight").desc, col("l"), col("r"))
+        .head(1)
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, w) = (top(0).getString(0), top(0).getString(1),
+          top(0).getLong(2))
+        merges += ((round, l, r, w))
+        // literals are interpolated into the expression: l/r come from the
+        // corpus alphabet (no spaces by construction); escape quotes for
+        // safety against pathological vocab
+        def q(x: String) = x.replace("\\", "\\\\").replace("'", "\\'")
+        state = state.select(col("n"), expr(
+          s"""trim(replace(replace(
+             |  '  ' || replace(s, ' ', '  ') || '  ',
+             |  ' ${q(l)}  ${q(r)} ', ' ${q(l)}${q(r)} '), '  ', ' '))"""
+            .stripMargin).as("s"))
+          .localCheckpoint(true)
+        round += 1
+      }
+    }
+    merges.toSeq.toDF("round", "sym_left", "sym_right", "weight")
+  }
 }

@@ -174,3 +174,43 @@ class LeakageSplitSpec extends AnyFunSuite {
     assert(out.values.map(_._2).toSet.subsetOf(Set("train", "val", "test")))
   }
 }
+
+class CdcStreamSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("streaming Update-mode CDC compaction agrees with the batch twin") {
+    val rows = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "view", 10.0, """{"k": 5}"""),
+      (2L, ts("2024-01-01 10:00:05"), 1L, "click", 20.0, """{"k": 5}"""),
+      (3L, ts("2024-01-01 10:00:00"), 1L, "view", 30.0, """{"k": 6}"""),
+      (4L, ts("2024-01-01 10:00:05"), 1L, "error", 0.0, """{"k": 6}"""),
+      (5L, ts("2024-01-01 10:00:00"), 2L, "purchase", 40.0, """{"k": 7}""")
+    )
+    val dir = java.nio.file.Files.createTempDirectory("cdc-stream").toString
+    val df = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    df.write.mode("overwrite").parquet(dir)
+
+    val q = graft.streaming.EventStreams
+      .cdcLatestStream(graft.streaming.EventStreams.readEvents(spark, dir))
+      .writeStream.outputMode("update").format("memory").queryName("cdc")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    val streamed = spark.table("cdc").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getString(2), r.getDouble(3), r.getLong(5))).toMap
+    val batch = graft.streaming.EventOps
+      .cdcLatestWithTombstones(df.withColumn("ts",
+        date_trunc("second", col("ts"))))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getString(2), r.getDouble(3), r.getLong(5))).toMap
+    assert(streamed == batch)
+    // the delete key arrives as a tombstone, not silently dropped
+    assert(streamed((1L, 6L))._1 == "delete")
+    assert(streamed((1L, 5L)) == (("upsert", 20.0, 2L)))
+  }
+}
