@@ -31,6 +31,19 @@ class ClustersAndSkewSpec extends AnyFunSuite {
     assert(viaLoop(2L) == 0L && viaLoop(5L) == 5L)
   }
 
+  test("deep path converges logarithmically (pointer doubling)") {
+    // a 300-node path has diameter 299: plain per-round propagation
+    // would need 299 rounds and trip maxIter = 20; the pointer-doubling
+    // shortcut closes it within the default budget
+    val n = 300L
+    val docs = (0L until n).toDF("doc_id")
+    val pairs = (0L until n - 1).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val cc = Clusters.connectedComponents(docs, pairs, driverLimit = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc.size == n)
+    assert(cc.values.forall(_ == 0L))
+  }
+
   test("resolve: identical docs cluster together, canonical flagged") {
     val docs = Seq(
       (0L, "a b c d e f g h"), (1L, "a b c d e f g h"),
