@@ -537,6 +537,131 @@ object AnalyticsQueries {
         |  ELSE 0.0 END AS clustering_coeff
         |FROM deg d LEFT JOIN tcnt tc ON d.node = tc.node""".stripMargin)),
 
+    // Classical seasonal decomposition of the daily spend series:
+    // trend = centered 7-day moving average, seasonal = day-of-week mean
+    // of the detrended values, residual = the rest. The windows and the
+    // seasonal join all run on the DAY table — calendar-bounded (a few
+    // thousand rows at any corpus size), so the unpartitioned window is
+    // a deliberate non-issue; the only data-sized work is the one daily
+    // hash aggregate. Day-of-week is pure day-number arithmetic (dn % 7)
+    // — no engine-specific weekday convention.
+    //
+    // Determinism: series magnitudes (~1e6) put 9-dp double rounding
+    // past the 17-significant-digit cliff, where the two engines' round
+    // implementations diverge at the last ulp (observed on ~5% of days).
+    // So NOTHING here rounds: all arithmetic runs in exact integer
+    // 1e-4 units (u = spend·10⁴; trend_u = half-up (2·Σu+7)//14, an
+    // integer identity; detr_u exact), and each output is the identical
+    // chain of double ops on those exact integers.
+    Entry(
+      "spend_seasonal_decompose",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val tx = TransactionsAdj(s, dir)
+        val daily = tx.groupBy("day")
+          .agg((sum(col("amount_paid").cast("decimal(18,4)")) * 10000)
+            .cast("long").as("u"))
+          .withColumn("dn",
+            datediff(col("day"), lit("1992-01-01")).cast("long"))
+          .withColumn("dow", (col("dn") % 7).cast("long"))
+        val w = Window.orderBy(col("dn")).rangeBetween(-3, 3)
+        val trended = daily
+          .withColumn("n_win", count(lit(1)).over(w))
+          .withColumn("su", sum(col("u")).over(w))
+          .filter(col("n_win") === 7)
+          .select(col("day"), col("dow"), col("u"),
+            expr("(2 * su + 7) div 14").as("tu"))
+          .withColumn("detr_u", col("u") - col("tu"))
+        val seasonal = trended.groupBy("dow").agg(
+          sum(col("detr_u")).as("snum"), count(lit(1)).as("sn"))
+        trended.join(broadcast(seasonal), Seq("dow"))
+          .select(col("day"), col("dow"),
+            (col("u").cast("double") / lit(10000.0)).as("spend"),
+            (col("tu").cast("double") / lit(10000.0)).as("trend"),
+            (col("snum").cast("double") / col("sn").cast("double")
+              / lit(10000.0)).as("seasonal"),
+            (col("u").cast("double") / lit(10000.0)
+              - col("tu").cast("double") / lit(10000.0)
+              - col("snum").cast("double") / col("sn").cast("double")
+                / lit(10000.0)).as("residual"))
+      },
+      Some(s"""WITH ${Oracle.txAdjFull},
+        |daily AS (
+        |  SELECT day,
+        |    CAST(SUM(CAST(amount_paid AS DECIMAL(18,4))) * 10000
+        |      AS BIGINT) AS u,
+        |    CAST(day - DATE '1992-01-01' AS BIGINT) AS dn
+        |  FROM tx GROUP BY day),
+        |trended AS (
+        |  SELECT day, dn % 7 AS dow, u,
+        |    (2 * SUM(u) OVER w + 7) // 14 AS tu,
+        |    COUNT(*) OVER w AS n_win
+        |  FROM daily
+        |  WINDOW w AS (ORDER BY dn RANGE BETWEEN 3 PRECEDING
+        |    AND 3 FOLLOWING)),
+        |t2 AS (
+        |  SELECT day, dow, u, CAST(tu AS BIGINT) AS tu,
+        |    CAST(u - tu AS BIGINT) AS detr_u
+        |  FROM trended WHERE n_win = 7),
+        |seasonal AS (
+        |  SELECT dow, CAST(SUM(detr_u) AS BIGINT) AS snum,
+        |    COUNT(*) AS sn
+        |  FROM t2 GROUP BY dow)
+        |SELECT t.day, t.dow,
+        |  CAST(t.u AS DOUBLE) / 10000.0 AS spend,
+        |  CAST(t.tu AS DOUBLE) / 10000.0 AS trend,
+        |  CAST(s.snum AS DOUBLE) / CAST(s.sn AS DOUBLE) / 10000.0
+        |    AS seasonal,
+        |  CAST(t.u AS DOUBLE) / 10000.0
+        |    - CAST(t.tu AS DOUBLE) / 10000.0
+        |    - CAST(s.snum AS DOUBLE) / CAST(s.sn AS DOUBLE) / 10000.0
+        |    AS residual
+        |FROM t2 t JOIN seasonal s ON t.dow = s.dow""".stripMargin)),
+
+    // Week-over-week rank movement: each week's commodities ranked by
+    // spend, joined to their previous-week rank (lag over the week
+    // sequence). Both windows run on the weekly table — (weeks ×
+    // commodities)-bounded, never the fact — after one daily-grain hash
+    // aggregate; row_number with a full tiebreak keeps ranks
+    // deterministic under equal spend.
+    Entry(
+      "rank_movers",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val txc = FeatureBuilder.txWithCommodity(s, dir)
+        val weekly = txc.groupBy("week_no", "commodity_desc")
+          .agg(sum(col("amount_paid").cast("decimal(18,4)"))
+            .cast("decimal(18,4)").as("spend_d"))
+        val rw = Window.partitionBy("week_no")
+          .orderBy(col("spend_d").desc, col("commodity_desc"))
+        val lw = Window.partitionBy("commodity_desc").orderBy(col("week_no"))
+        weekly
+          .withColumn("rnk", row_number().over(rw).cast("long"))
+          .withColumn("prev_rank", lag(col("rnk"), 1).over(lw))
+          .filter(col("prev_rank").isNotNull)
+          .select(col("week_no"), col("commodity_desc"),
+            col("spend_d").cast("double").as("spend"),
+            col("rnk"), col("prev_rank"),
+            (col("prev_rank") - col("rnk")).as("rank_delta"))
+      },
+      Some(s"""WITH ${Oracle.txCommodity},
+        |weekly AS (
+        |  SELECT week_no, commodity_desc,
+        |    CAST(SUM(CAST(amount_paid AS DECIMAL(18,4))) AS DECIMAL(18,4))
+        |      AS spend_d
+        |  FROM txc GROUP BY week_no, commodity_desc),
+        |ranked AS (
+        |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY week_no
+        |      ORDER BY spend_d DESC, commodity_desc) AS BIGINT) AS rnk
+        |  FROM weekly),
+        |lagged AS (
+        |  SELECT *, LAG(rnk) OVER (PARTITION BY commodity_desc
+        |    ORDER BY week_no) AS prev_rank
+        |  FROM ranked)
+        |SELECT week_no, commodity_desc, CAST(spend_d AS DOUBLE) AS spend,
+        |  rnk, prev_rank, prev_rank - rnk AS rank_delta
+        |FROM lagged WHERE prev_rank IS NOT NULL""".stripMargin)),
+
     // Markov basket-to-basket transition counts: consecutive baskets per
     // household (lead over the household's basket sequence — partitions
     // bounded by a household's basket count, never the fact table), then
