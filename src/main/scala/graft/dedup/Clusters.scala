@@ -51,7 +51,10 @@ object Clusters {
       .unionByName(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct().cache()
     val paired = edges.select(col("src").as("doc_id")).distinct()
-    var labels = paired.select(col("doc_id"), col("doc_id").as("cluster_id")).cache()
+    // localCheckpoint like every later round's frame (a cache here would
+    // need a matching unpersist the loop no longer performs)
+    var labels = paired.select(col("doc_id"), col("doc_id").as("cluster_id"))
+      .localCheckpoint(true)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -87,7 +90,11 @@ object Clusters {
         .localCheckpoint(true)
       val changed = next.join(labels.withColumnRenamed("cluster_id", "old"),
         Seq("doc_id")).filter(col("cluster_id") =!= col("old")).count()
-      labels.unpersist()
+      // superseded checkpoint blocks (labels/propagated) are freed when
+      // the frames are GC'd (ContextCleaner) or by the harness sweep —
+      // Dataset.unpersist only uncaches CacheManager entries and is a
+      // no-op on localCheckpoint blocks; each frame is duplicate-
+      // population-sized, so the transient footprint is rounds × |dups|
       labels = next
       converged = changed == 0
       iter += 1

@@ -16,6 +16,69 @@ import graft.silver.TransactionsAdj
   */
 object AnalyticsQueries {
 
+  /** Shared basket-share rec-list lineage for the offline recsys eval
+    * entries (`rec_precision_at_k`, `rec_ndcg_at_k`): history-window
+    * basket shares per (household, commodity), top-`k` per household
+    * (WindowGroupLimit keeps the top-k map-side), plus the realized-
+    * purchase label spine. One definition, consumed by both metrics.
+    */
+  private def basketShareRecs(s: org.apache.spark.sql.SparkSession,
+      dir: String, k: Int): (org.apache.spark.sql.DataFrame,
+      org.apache.spark.sql.DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val txc = FeatureBuilder.txWithCommodity(s, dir)
+    val (_, cur) = Retail.dayBounds(s, dir)
+    val fed = cur.minusDays(LabelBuilder.horizonDays)
+    val cts = Commodities.commoditiesToScore(s, dir)
+    val labels = LabelBuilder.labels(txc, cts, fed)
+    val hist = txc.filter(col("day") <= lit(Date.valueOf(fed)))
+    val hh = hist.groupBy("household_key")
+      .agg(countDistinct(col("basket_id")).as("total_baskets"))
+    val pair = hist
+      .join(broadcast(cts.select("commodity_desc")),
+        Seq("commodity_desc"), "left_semi")
+      .groupBy("household_key", "commodity_desc")
+      .agg(countDistinct(col("basket_id")).as("pos_baskets"))
+    val w = Window.partitionBy("household_key")
+      .orderBy(col("score").desc, col("commodity_desc"))
+    val recs = pair.join(hh, Seq("household_key"))
+      .select(col("household_key"), col("commodity_desc"),
+        round(col("pos_baskets").cast("double")
+          / col("total_baskets").cast("double"), 9).as("score"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+    (recs, labels)
+  }
+
+  /** The matching oracle CTE block: `hist`/`hh`/`pair`/`recs` (expects
+    * `txc`/`gb`/`cts`/`labels` from `Oracle.txCommodity` +
+    * `TrainScoreQueries.labelsCtes` upstream).
+    */
+  private def recsCtes(k: Int): String =
+    s"""hist AS (
+       |  SELECT t.* FROM txc t CROSS JOIN gb
+       |  WHERE t.day <= gb.cur - 30),
+       |hh AS (
+       |  SELECT household_key, COUNT(DISTINCT basket_id)
+       |    AS total_baskets
+       |  FROM hist GROUP BY household_key),
+       |pair AS (
+       |  SELECT household_key, commodity_desc,
+       |    COUNT(DISTINCT basket_id) AS pos_baskets
+       |  FROM hist
+       |  WHERE commodity_desc IN (SELECT commodity_desc FROM cts)
+       |  GROUP BY household_key, commodity_desc),
+       |recs AS (
+       |  SELECT * FROM (
+       |    SELECT p.household_key, p.commodity_desc,
+       |      ROW_NUMBER() OVER (PARTITION BY p.household_key
+       |        ORDER BY ROUND(CAST(p.pos_baskets AS DOUBLE)
+       |          / CAST(h.total_baskets AS DOUBLE), 9) DESC,
+       |          p.commodity_desc) AS rn
+       |    FROM pair p JOIN hh h
+       |      ON p.household_key = h.household_key) t
+       |  WHERE rn <= $k)""".stripMargin
+
   def entries: Seq[Entry] = Seq(
 
     // Directional association rules (Apriori pass 3; BasketPairs.rules
@@ -919,26 +982,7 @@ object AnalyticsQueries {
       "rec_coverage",
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
-        val txc = FeatureBuilder.txWithCommodity(s, dir)
-        val (_, cur) = Retail.dayBounds(s, dir)
-        val fed = cur.minusDays(LabelBuilder.horizonDays)
-        val cts = Commodities.commoditiesToScore(s, dir)
-        val hist = txc.filter(col("day") <= lit(Date.valueOf(fed)))
-        val hh = hist.groupBy("household_key")
-          .agg(countDistinct(col("basket_id")).as("total_baskets"))
-        val pair = hist
-          .join(broadcast(cts.select("commodity_desc")),
-            Seq("commodity_desc"), "left_semi")
-          .groupBy("household_key", "commodity_desc")
-          .agg(countDistinct(col("basket_id")).as("pos_baskets"))
-        val scoredAll = pair.join(hh, Seq("household_key"))
-          .select(col("household_key"), col("commodity_desc"),
-            round(col("pos_baskets").cast("double")
-              / col("total_baskets").cast("double"), 9).as("score"))
-        val w = Window.partitionBy("household_key")
-          .orderBy(col("score").desc, col("commodity_desc"))
-        val top3 = scoredAll
-          .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+        val (top3, _) = basketShareRecs(s, dir, k = 3)
         val byCommodity = top3.groupBy("commodity_desc")
           .agg(count(lit(1)).as("n_recs"))
         val tot = byCommodity.agg(sum(col("n_recs")).cast("long")
@@ -958,31 +1002,10 @@ object AnalyticsQueries {
       },
       Some(s"""WITH ${Oracle.txCommodity}, gb AS (SELECT max(day) AS cur FROM txc),
         |${TrainScoreQueries.ctsCte},
-        |hist AS (
-        |  SELECT t.* FROM txc t CROSS JOIN gb WHERE t.day <= gb.cur - 30),
-        |hh AS (
-        |  SELECT household_key, COUNT(DISTINCT basket_id) AS total_baskets
-        |  FROM hist GROUP BY household_key),
-        |pair AS (
-        |  SELECT household_key, commodity_desc,
-        |    COUNT(DISTINCT basket_id) AS pos_baskets
-        |  FROM hist
-        |  WHERE commodity_desc IN (SELECT commodity_desc FROM cts)
-        |  GROUP BY household_key, commodity_desc),
-        |scored AS (
-        |  SELECT p.household_key, p.commodity_desc,
-        |    ROUND(CAST(p.pos_baskets AS DOUBLE)
-        |      / CAST(h.total_baskets AS DOUBLE), 9) AS score
-        |  FROM pair p JOIN hh h ON p.household_key = h.household_key),
-        |top3 AS (
-        |  SELECT * FROM (
-        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY household_key
-        |      ORDER BY score DESC, commodity_desc) AS rn
-        |    FROM scored) t
-        |  WHERE rn <= 3),
+        |${recsCtes(3)},
         |bc AS (
         |  SELECT commodity_desc, COUNT(*) AS n_recs
-        |  FROM top3 GROUP BY commodity_desc),
+        |  FROM recs GROUP BY commodity_desc),
         |tot AS (SELECT CAST(SUM(n_recs) AS BIGINT) AS total_recs FROM bc)
         |SELECT commodity_desc, n_recs,
         |  CAST(ROW_NUMBER() OVER (ORDER BY n_recs DESC, commodity_desc)
@@ -1139,28 +1162,7 @@ object AnalyticsQueries {
     Entry(
       "rec_precision_at_k",
       (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
-        val txc = FeatureBuilder.txWithCommodity(s, dir)
-        val (_, cur) = Retail.dayBounds(s, dir)
-        val fed = cur.minusDays(LabelBuilder.horizonDays)
-        val cts = Commodities.commoditiesToScore(s, dir)
-        val labels = LabelBuilder.labels(txc, cts, fed)
-        val hist = txc.filter(col("day") <= lit(Date.valueOf(fed)))
-        val hh = hist.groupBy("household_key")
-          .agg(countDistinct(col("basket_id")).as("total_baskets"))
-        val pair = hist
-          .join(broadcast(cts.select("commodity_desc")),
-            Seq("commodity_desc"), "left_semi")
-          .groupBy("household_key", "commodity_desc")
-          .agg(countDistinct(col("basket_id")).as("pos_baskets"))
-        val w = Window.partitionBy("household_key")
-          .orderBy(col("score").desc, col("commodity_desc"))
-        val recs = pair.join(hh, Seq("household_key"))
-          .select(col("household_key"), col("commodity_desc"),
-            round(col("pos_baskets").cast("double")
-              / col("total_baskets").cast("double"), 9).as("score"))
-          .withColumn("rn", row_number().over(w).cast("long"))
-          .filter(col("rn") <= 3)
+        val (recs, labels) = basketShareRecs(s, dir, k = 3)
         val hits = recs.join(labels.filter(col("purchased") === 1)
           .select("household_key", "commodity_desc"),
           Seq("household_key", "commodity_desc"), "left_semi")
@@ -1194,29 +1196,7 @@ object AnalyticsQueries {
              |    / CAST((SELECT CAST(SUM(purchased) AS BIGINT) FROM labels)
              |      AS DOUBLE), 9) AS recall""".stripMargin
         s"""WITH ${Oracle.txCommodity}, ${TrainScoreQueries.labelsCtes},
-           |hist AS (
-           |  SELECT t.* FROM txc t CROSS JOIN gb
-           |  WHERE t.day <= gb.cur - 30),
-           |hh AS (
-           |  SELECT household_key, COUNT(DISTINCT basket_id)
-           |    AS total_baskets
-           |  FROM hist GROUP BY household_key),
-           |pair AS (
-           |  SELECT household_key, commodity_desc,
-           |    COUNT(DISTINCT basket_id) AS pos_baskets
-           |  FROM hist
-           |  WHERE commodity_desc IN (SELECT commodity_desc FROM cts)
-           |  GROUP BY household_key, commodity_desc),
-           |recs AS (
-           |  SELECT * FROM (
-           |    SELECT p.household_key, p.commodity_desc,
-           |      ROW_NUMBER() OVER (PARTITION BY p.household_key
-           |        ORDER BY ROUND(CAST(p.pos_baskets AS DOUBLE)
-           |          / CAST(h.total_baskets AS DOUBLE), 9) DESC,
-           |          p.commodity_desc) AS rn
-           |    FROM pair p JOIN hh h
-           |      ON p.household_key = h.household_key) t
-           |  WHERE rn <= 3),
+           |${recsCtes(3)},
            |hits AS (
            |  SELECT r.* FROM recs r
            |  JOIN labels l ON l.household_key = r.household_key
@@ -1238,33 +1218,12 @@ object AnalyticsQueries {
     Entry(
       "rec_ndcg_at_k",
       (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
         val k = 3
         val gain = (1 to k).map(i => BigDecimal(
           1.0 / (math.log(i + 1.0) / math.log(2.0)))
           .setScale(9, BigDecimal.RoundingMode.HALF_UP))
         val ideal = gain.scanLeft(BigDecimal(0))(_ + _).tail // prefix sums
-        val txc = FeatureBuilder.txWithCommodity(s, dir)
-        val (_, cur) = Retail.dayBounds(s, dir)
-        val fed = cur.minusDays(LabelBuilder.horizonDays)
-        val cts = Commodities.commoditiesToScore(s, dir)
-        val labels = LabelBuilder.labels(txc, cts, fed)
-        val hist = txc.filter(col("day") <= lit(Date.valueOf(fed)))
-        val hh = hist.groupBy("household_key")
-          .agg(countDistinct(col("basket_id")).as("total_baskets"))
-        val pair = hist
-          .join(broadcast(cts.select("commodity_desc")),
-            Seq("commodity_desc"), "left_semi")
-          .groupBy("household_key", "commodity_desc")
-          .agg(countDistinct(col("basket_id")).as("pos_baskets"))
-        val w = Window.partitionBy("household_key")
-          .orderBy(col("score").desc, col("commodity_desc"))
-        val recs = pair.join(hh, Seq("household_key"))
-          .select(col("household_key"), col("commodity_desc"),
-            round(col("pos_baskets").cast("double")
-              / col("total_baskets").cast("double"), 9).as("score"))
-          .withColumn("rn", row_number().over(w).cast("long"))
-          .filter(col("rn") <= k)
+        val (recs, labels) = basketShareRecs(s, dir, k)
         val npos = labels.filter(col("purchased") === 1)
           .groupBy("household_key").agg(count(lit(1)).as("n_pos"))
         val gainCol = (1 to k).foldLeft(lit(null).cast("decimal(18,9)")) {
@@ -1301,29 +1260,7 @@ object AnalyticsQueries {
           .map(i => s"WHEN least(n_pos, $k) = $i THEN ${ideal(i - 1).toDouble}")
           .mkString("CASE ", " ", " END")
         s"""WITH ${Oracle.txCommodity}, ${TrainScoreQueries.labelsCtes},
-           |hist AS (
-           |  SELECT t.* FROM txc t CROSS JOIN gb
-           |  WHERE t.day <= gb.cur - 30),
-           |hh AS (
-           |  SELECT household_key, COUNT(DISTINCT basket_id)
-           |    AS total_baskets
-           |  FROM hist GROUP BY household_key),
-           |pair AS (
-           |  SELECT household_key, commodity_desc,
-           |    COUNT(DISTINCT basket_id) AS pos_baskets
-           |  FROM hist
-           |  WHERE commodity_desc IN (SELECT commodity_desc FROM cts)
-           |  GROUP BY household_key, commodity_desc),
-           |recs AS (
-           |  SELECT * FROM (
-           |    SELECT p.household_key, p.commodity_desc,
-           |      ROW_NUMBER() OVER (PARTITION BY p.household_key
-           |        ORDER BY ROUND(CAST(p.pos_baskets AS DOUBLE)
-           |          / CAST(h.total_baskets AS DOUBLE), 9) DESC,
-           |          p.commodity_desc) AS rn
-           |    FROM pair p JOIN hh h
-           |      ON p.household_key = h.household_key) t
-           |  WHERE rn <= $k),
+           |${recsCtes(k)},
            |npos AS (
            |  SELECT household_key, COUNT(*) AS n_pos
            |  FROM labels WHERE purchased = 1 GROUP BY household_key),

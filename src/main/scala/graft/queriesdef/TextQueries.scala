@@ -1202,7 +1202,8 @@ object TextQueries {
              |    SELECT v.n, v.syms[g.i] AS l, v.syms[g.i + 1] AS r
              |    FROM (SELECT n, string_split(s, ' ') AS syms
              |          FROM v${k - 1}) v
-             |    JOIN generate_series(1, 63) AS g(i)
+             |    JOIN generate_series(1,
+             |        ${graft.text.Subword.maxWordChars - 1}) AS g(i)
              |      ON g.i <= len(v.syms) - 1) t
              |  GROUP BY l, r),
              |t$k AS (SELECT l, r, weight FROM p$k
@@ -1220,8 +1221,10 @@ object TextQueries {
            |  FROM documents),
            |v0 AS (
            |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
-           |    trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS s
-           |  FROM words GROUP BY w),
+           |    trim(regexp_replace(w, '([\\s\\S])', '\\1 ', 'g')) AS s
+           |  FROM words
+           |  WHERE length(w) <= ${graft.text.Subword.maxWordChars}
+           |  GROUP BY w),
            |${roundCtes(1)},
            |${roundCtes(2)},
            |${roundCtes(3)},

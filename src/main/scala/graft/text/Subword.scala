@@ -70,17 +70,30 @@ object Subword {
     * same class as PageRank's convergence probe); the vocab state is
     * checkpointed once and each round adds one projection.
     */
+  /** Words longer than this many characters are excluded from training
+    * (a standard BPE-trainer guard against URLs / token runs). Part of
+    * the operator CONTRACT, not an optimization: the oracle's pair
+    * enumeration joins a bounded `generate_series(1, maxWordChars - 1)`,
+    * so the cap must bind identically on both engines.
+    */
+  val maxWordChars: Int = 64
+
   def bpeTrainMerges(docs: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1, s"bpeTrainMerges: rounds must be >= 1, got $rounds")
     val spark = docs.sparkSession
     import spark.implicits._
-    // corpus → word-frequency vocab, symbols = characters (spaced)
+    // corpus → word-frequency vocab, symbols = characters (spaced).
+    // '[\s\S]' not '.': Java regex '.' skips \r/NEL/LS/PS while RE2
+    // matches them — the character class is the dialect-neutral
+    // match-anything both engines agree on (words can still contain
+    // \t/\r/\n: the upstream split is on ' ' only).
     var state = docs
       .select(explode(filter(split(col("text"), " "),
         t => length(t) > 0)).as("w"))
+      .filter(length(col("w")) <= maxWordChars)
       .groupBy("w").agg(count(lit(1)).as("n"))
       .select(col("n"),
-        expr("""trim(regexp_replace(w, '(.)', '$1 '))""").as("s"))
+        expr("""trim(regexp_replace(w, '([\\s\\S])', '$1 '))""").as("s"))
       .localCheckpoint(true)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var round = 1

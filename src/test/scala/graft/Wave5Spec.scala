@@ -31,6 +31,28 @@ class BpeTrainSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((1, "a", "a", 3L), (2, "aa", "aa", 1L)))
   }
 
+  test("words past the maxWordChars contract are excluded from training") {
+    val long = "x" * (graft.text.Subword.maxWordChars + 1)
+    val docs = Seq((1L, s"$long $long ab ab")).toDF("doc_id", "text")
+    val out = graft.text.Subword.bpeTrainMerges(docs, rounds = 1).collect()
+    // only "ab" participates: the winning pair is (a, b) weight 2, never
+    // the (x, x) mass of the over-limit word
+    assert(out.length == 1)
+    assert((out(0).getString(1), out(0).getString(2), out(0).getLong(3))
+      == (("a", "b", 2L)))
+  }
+
+  test("carriage returns inside words symbolize like any character") {
+    // Java '.' skips \r — the [\s\S] class must not: "a\rb" is three
+    // symbols, so round 1 counts (a, \r) and (\r, b), both weight 2;
+    // the tie breaks on sym_left and '\r' (0x0D) < 'a'
+    val docs = Seq((1L, "a\rb a\rb")).toDF("doc_id", "text")
+    val out = graft.text.Subword.bpeTrainMerges(docs, rounds = 1).collect()
+    assert(out.length == 1)
+    assert((out(0).getString(1), out(0).getString(2), out(0).getLong(3))
+      == (("\r", "b", 2L)))
+  }
+
   test("consecutive-run merging matches the sequential greedy scan") {
     // "a a a" (as one word "aaa"): merge (a,a) → [aa, a], NOT [aa] or
     // [a, aa]; round 2 then merges (aa, a).
