@@ -54,4 +54,31 @@ object Scd {
       .select((keys.map(col) :+ col(attr) :+ col("valid_from") :+
         col("valid_to") :+ col("n_obs")): _*)
   }
+
+  /** Point-in-time lookup against an SCD2 dimension: for each spine row
+    * `(keys…, asOfCol)`, the attribute interval covering that instant —
+    * `valid_from <= asOf < valid_to` (open current interval = null
+    * valid_to). Intervals from [[type2]] are disjoint per key, so each
+    * spine row matches AT MOST one dimension row — the join needs no
+    * argmax/window; spine rows before the key's first interval survive
+    * with null attributes (left outer).
+    *
+    * Scale shape: an equi-join on the keys with the interval bound as a
+    * join-level predicate — shuffles on the key columns, per-key fan-out
+    * bounded by that key's interval count (attribute churn), never table
+    * size. The same plan shape as the event-interval joins, applied to
+    * the warehouse dimension.
+    */
+  def pitLookup(spine: DataFrame, dim: DataFrame, keys: Seq[String],
+      asOfCol: String): DataFrame = {
+    val d = dim.withColumnsRenamed(
+      keys.map(k => k -> s"__d_$k").toMap)
+    val keyCond = keys.map(k => spine(k) === d(s"__d_$k"))
+      .reduce(_ && _)
+    val cond = keyCond &&
+      d("valid_from") <= spine(asOfCol) &&
+      (d("valid_to").isNull || spine(asOfCol) < d("valid_to"))
+    spine.join(d, cond, "left_outer")
+      .drop(keys.map(k => s"__d_$k"): _*)
+  }
 }

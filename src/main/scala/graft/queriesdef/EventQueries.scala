@@ -16,6 +16,59 @@ object EventQueries {
       |    user_id, event_type, value
       |  FROM events)""".stripMargin
 
+  /** The SCD2 tier dimension (shared by `scd2_tiers` and
+    * `scd2_pit_lookup`): per-user daily value tier collapsed into
+    * validity intervals via Scd.type2.
+    */
+  private def tiersDim(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val daily = EventOps.events(s, dir)
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(sum(col("value").cast("decimal(18,4)")).cast("double")
+        .as("daily_value"))
+      .withColumn("tier",
+        when(col("daily_value") >= 150, "high")
+          .when(col("daily_value") >= 60, "mid").otherwise("low"))
+    graft.ops.Scd.type2(
+      daily.select("user_id", "day", "tier"), Seq("user_id"), "day", "tier")
+  }
+
+  /** Oracle twin of [[tiersDim]]: CTE chain ending at `scd` with columns
+    * (user_id, tier, valid_from, valid_to, n_obs). Expects `ev` upstream.
+    */
+  private val scdDimCtes: String =
+    s"""daily AS (
+       |  SELECT user_id, CAST(ts AS DATE) AS day,
+       |    ${Oracle.dsum("value", "daily_value")}
+       |  FROM ev GROUP BY user_id, CAST(ts AS DATE)),
+       |tiers AS (
+       |  SELECT user_id, day,
+       |    CASE WHEN daily_value >= 150 THEN 'high'
+       |         WHEN daily_value >= 60 THEN 'mid'
+       |         ELSE 'low' END AS tier
+       |  FROM daily),
+       |flagged AS (
+       |  SELECT *,
+       |    CASE WHEN ROW_NUMBER() OVER w = 1 THEN 1
+       |         WHEN tier IS NOT DISTINCT FROM LAG(tier) OVER w THEN 0
+       |         ELSE 1 END AS chg
+       |  FROM tiers
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY day)),
+       |islands AS (
+       |  SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY day
+       |    ROWS UNBOUNDED PRECEDING) AS island
+       |  FROM flagged),
+       |runs AS (
+       |  SELECT user_id, island, min(tier) AS tier,
+       |    min(day) AS valid_from, count(*) AS n_obs
+       |  FROM islands GROUP BY user_id, island),
+       |scd AS (
+       |  SELECT user_id, tier, valid_from,
+       |    LEAD(valid_from) OVER (PARTITION BY user_id
+       |      ORDER BY valid_from) AS valid_to,
+       |    n_obs
+       |  FROM runs)""".stripMargin
+
   def entries: Seq[Entry] = Seq(
 
     // Tumbling-window aggregate: window($"ts","1 hour") × event_type.
@@ -417,48 +470,77 @@ object EventQueries {
     // a decimal-exact daily sum, so the threshold CASE is engine-stable.
     Entry(
       "scd2_tiers",
+      (s, dir) => tiersDim(s, dir),
+      Some(s"""WITH $evCte,
+        |$scdDimCtes
+        |SELECT user_id, tier, valid_from, valid_to, n_obs
+        |FROM scd""".stripMargin)),
+
+    // Point-in-time lookup against the SCD2 dimension: what tier was the
+    // user in at each purchase instant (valid_from <= day < valid_to,
+    // disjoint intervals → at most one match, no argmax; Scd.pitLookup
+    // scaladoc). Completes the SCD story: scd2_tiers BUILDS the
+    // dimension, this query CONSUMES it the way a warehouse join does.
+    Entry(
+      "scd2_pit_lookup",
       (s, dir) => {
-        val daily = EventOps.events(s, dir)
-          .groupBy(col("user_id"), to_date(col("ts")).as("day"))
-          .agg(sum(col("value").cast("decimal(18,4)")).cast("double")
-            .as("daily_value"))
-          .withColumn("tier",
-            when(col("daily_value") >= 150, "high")
-              .when(col("daily_value") >= 60, "mid").otherwise("low"))
-        graft.ops.Scd.type2(
-          daily.select("user_id", "day", "tier"), Seq("user_id"), "day", "tier")
+        val spine = EventOps.events(s, dir)
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id"), to_date(col("ts")).as("day"))
+          .distinct()
+        graft.ops.Scd.pitLookup(spine, tiersDim(s, dir),
+          Seq("user_id"), "day")
+          .select("user_id", "day", "tier", "valid_from", "valid_to")
       },
       Some(s"""WITH $evCte,
+        |$scdDimCtes,
+        |spine AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+        |  FROM ev WHERE event_type = 'purchase')
+        |SELECT s.user_id, s.day, d.tier, d.valid_from, d.valid_to
+        |FROM spine s LEFT JOIN scd d
+        |  ON s.user_id = d.user_id
+        |  AND d.valid_from <= s.day
+        |  AND (d.valid_to IS NULL OR s.day < d.valid_to)""".stripMargin)),
+
+    // Load-completeness monitor: daily volume vs trailing 28-day mean,
+    // with MISSING calendar days materialized as explicit zero rows —
+    // the partial-load detector (EventOps.loadCompleteness scaladoc).
+    Entry(
+      "load_completeness",
+      (s, dir) => EventOps.loadCompleteness(EventOps.events(s, dir)),
+      Some(s"""WITH $evCte,
         |daily AS (
-        |  SELECT user_id, CAST(ts AS DATE) AS day,
-        |    ${Oracle.dsum("value", "daily_value")}
-        |  FROM ev GROUP BY user_id, CAST(ts AS DATE)),
-        |tiers AS (
-        |  SELECT user_id, day,
-        |    CASE WHEN daily_value >= 150 THEN 'high'
-        |         WHEN daily_value >= 60 THEN 'mid'
-        |         ELSE 'low' END AS tier
-        |  FROM daily),
-        |flagged AS (
-        |  SELECT *,
-        |    CASE WHEN ROW_NUMBER() OVER w = 1 THEN 1
-        |         WHEN tier IS NOT DISTINCT FROM LAG(tier) OVER w THEN 0
-        |         ELSE 1 END AS chg
-        |  FROM tiers
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY day)),
-        |islands AS (
-        |  SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY day
-        |    ROWS UNBOUNDED PRECEDING) AS island
-        |  FROM flagged),
-        |runs AS (
-        |  SELECT user_id, island, min(tier) AS tier,
-        |    min(day) AS valid_from, count(*) AS n_obs
-        |  FROM islands GROUP BY user_id, island)
-        |SELECT user_id, tier, valid_from,
-        |  LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
-        |    AS valid_to,
-        |  n_obs
-        |FROM runs""".stripMargin)),
+        |  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_events
+        |  FROM ev GROUP BY CAST(ts AS DATE)),
+        |b AS (SELECT min(day) AS lo, max(day) AS hi FROM daily),
+        |cal AS (
+        |  SELECT CAST(unnest(generate_series(b.lo, b.hi,
+        |    INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM b),
+        |filled AS (
+        |  SELECT c.day, CAST(COALESCE(d.n_events, 0) AS BIGINT)
+        |    AS n_events
+        |  FROM cal c LEFT JOIN daily d ON c.day = d.day),
+        |t AS (
+        |  SELECT *, COUNT(*) OVER w AS n_base,
+        |    CAST(SUM(n_events) OVER w AS BIGINT) AS s_base
+        |  FROM filled
+        |  WINDOW w AS (ORDER BY day
+        |    ROWS BETWEEN 28 PRECEDING AND 1 PRECEDING)),
+        |t2 AS (
+        |  SELECT day, n_events, n_base,
+        |    CASE WHEN n_base > 0 THEN
+        |      ROUND(CAST(s_base AS DOUBLE) / CAST(n_base AS DOUBLE), 9)
+        |    END AS trailing_mean,
+        |    CASE WHEN s_base > 0 THEN
+        |      ROUND(CAST(n_events AS DOUBLE)
+        |        / (CAST(s_base AS DOUBLE) / CAST(n_base AS DOUBLE)), 9)
+        |    END AS ratio
+        |  FROM t)
+        |SELECT *, n_base >= 14 AND ratio IS NOT NULL AND ratio < 0.5
+        |  AS alarm
+        |FROM t2""".stripMargin)),
 
     // Snapshot reconciliation between two sliding activity windows —
     // SINGLE conditional aggregation, no full-outer join (see

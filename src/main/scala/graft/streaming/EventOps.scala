@@ -274,6 +274,52 @@ object EventOps {
         max(col("ts")).cast("date")).cast("long").as("days_since_last"))
   }
 
+  /** Load-completeness monitor: daily event volume against its trailing
+    * 28-day mean, with MISSING days materialized as explicit zero rows —
+    * the partial-load detector a nightly-ingest table needs (a day that
+    * simply never arrived is invisible to any per-existing-row check).
+    * `alarm` fires when a day carries under half its trailing-mean
+    * volume with at least 14 baseline days.
+    *
+    * Scale shape: one hash aggregate over the facts to daily counts;
+    * the calendar spine (sequence + explode over the driver-collected
+    * bounds — one control-row action), the left join, and the trailing
+    * window all run on the DAY table, calendar-bounded at any corpus
+    * size. Exact integer sums close the mean/ratio in one fixed double
+    * association; the alarm compares the 9-dp-rounded ratio so the
+    * threshold predicate cannot straddle an ulp.
+    */
+  def loadCompleteness(ev: DataFrame): DataFrame = {
+    val daily = ev.groupBy(col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val b = daily.agg(min(col("day")), max(col("day"))).head()
+    if (b.isNullAt(0)) return daily
+      .select(col("day"), col("n_events"), lit(0L).as("n_base"),
+        lit(null).cast("double").as("trailing_mean"),
+        lit(null).cast("double").as("ratio"), lit(false).as("alarm"))
+    val cal = ev.sparkSession.range(1).select(explode(sequence(
+      lit(b.getDate(0)), lit(b.getDate(1)),
+      expr("INTERVAL 1 DAY"))).as("day"))
+    val full = cal.join(daily, Seq("day"), "left_outer")
+      .select(col("day"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"))
+    val w = Window.orderBy(col("day")).rowsBetween(-28, -1)
+    full
+      .withColumn("n_base", count(lit(1)).over(w))
+      .withColumn("s_base", sum(col("n_events")).over(w))
+      .select(col("day"), col("n_events"), col("n_base"),
+        when(col("n_base") > 0, round(
+          col("s_base").cast("double") / col("n_base").cast("double"), 9))
+          .as("trailing_mean"),
+        when(col("s_base") > 0, round(
+          col("n_events").cast("double")
+            / (col("s_base").cast("double") / col("n_base").cast("double")),
+          9)).as("ratio"))
+      .withColumn("alarm",
+        col("n_base") >= 14 && col("ratio").isNotNull &&
+          col("ratio") < 0.5)
+  }
+
   /** Latest-wins CDC compaction: reduce an ordered change log to current
     * state. The event stream is read as a change feed keyed by
     * `(user_id, k)` (`k` from the JSON props): every non-`error` event
