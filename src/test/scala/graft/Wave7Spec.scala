@@ -83,3 +83,67 @@ class LoadCompletenessSpec extends AnyFunSuite {
     assert(out.forall(!_.getBoolean(5)))
   }
 }
+
+/** Plan pins for the wave 4-7 operators (PlanSpec conventions). */
+class Wave7PlanSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("triangle wedge enumeration plans equi-joins, never a cartesian product") {
+    val e = (1 to 40).flatMap(i => Seq((i, i + 1), (i, i + 2)))
+      .toDF("pa", "pb")
+    val p = plan(graft.ops.Triangles.perNode(e))
+    assert(!p.contains("CartesianProduct"),
+      s"wedge/closing joins must stay keyed:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"wedge/closing joins must stay equi-keyed:\n$p")
+  }
+
+  test("CDC compaction is one partial-aggregable hash aggregate") {
+    val ev = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+      1L, "view", 1.0, """{"k": 1}"""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val p = plan(graft.streaming.EventOps.cdcLatestState(ev))
+    // struct max is not Tungsten-hashable (plans as SortAggregate sorted
+    // on the grouping key only), but what makes it scale is the
+    // partial/final split: partial_max BEFORE the exchange means the
+    // shuffle carries one champion per (partition, key), never history
+    assert(p.contains("partial_max"),
+      s"argmax must combine map-side before the exchange:\n$p")
+    assert(!p.contains("Window"), s"argmax must not plan a window sort:\n$p")
+  }
+
+  test("length batching windows are sharded, never a single global partition") {
+    val docs = (1L to 50L).map(i => (i, "w " * (i % 20).toInt))
+      .toDF("doc_id", "text")
+    val p = plan(graft.text.Curation.lengthBatches(docs))
+    assert(p.contains("Window"), s"expected the batching window:\n$p")
+    // the window partitions by (bucket, shard) — hashpartitioning on both
+    assert(p.contains("hashpartitioning(bucket"),
+      s"window must partition by (bucket, shard):\n$p")
+  }
+
+  test("time-decay attribution keeps the user-keyed interval join shape") {
+    val ev = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+      1L, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val p = plan(graft.streaming.EventOps.attributionTimeDecay(ev))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"touch join must stay keyed on user:\n$p")
+  }
+
+  test("SCD2 PIT lookup joins on the key, interval bound as predicate") {
+    val dim = Seq((1L, "a", java.sql.Date.valueOf("2024-01-01"),
+      Option.empty[java.sql.Date], 1L))
+      .toDF("user_id", "tier", "valid_from", "valid_to", "n_obs")
+    val spine = Seq((1L, java.sql.Date.valueOf("2024-01-02")))
+      .toDF("user_id", "day")
+    val p = plan(graft.ops.Scd.pitLookup(spine, dim, Seq("user_id"), "day"))
+    assert(!p.contains("CartesianProduct"),
+      s"PIT lookup must stay an equi-join on the key:\n$p")
+  }
+}
