@@ -26,8 +26,11 @@ import org.apache.spark.sql.functions._
   * all-pairs join on random strings.
   *
   * Scale shape (100 TB): per-row fan-out is len+1 keys — linear, no n².
-  * The join shuffles on md5(key) (16-byte fixed-width shuffle key instead
-  * of arbitrary-length strings), candidates collapse through `distinct`
+  * The join shuffles on xxhash64(key) (an 8-byte fixed-width long instead
+  * of arbitrary-length strings — cheaper to compute, compare, and
+  * shuffle than a hex digest column; a 64-bit collision can only ADD a
+  * candidate pair, never drop one, and the exact verify removes it, so
+  * completeness is untouched), candidates collapse through `distinct`
   * partial-aggregation map-side, and the verify is a codegen'd
   * `levenshtein` on the survivors only. Hot keys (a deletion shared by
   * many strings, e.g. very short tokens) fan out quadratically WITHIN the
@@ -55,11 +58,12 @@ object FuzzyJoin {
     val names = df.select(col(column).as("name"))
       .filter(col("name").isNotNull && length(col("name")) >= minLen)
       .distinct()
-    // md5 the variable-length deletion key into a fixed 16-byte shuffle
-    // key; the join carries the name alongside for the exact verify.
+    // hash the variable-length deletion key into a fixed 8-byte long
+    // shuffle key; the join carries the name alongside for the exact
+    // verify (which also erases any hash-collision false candidates).
     val keyed = names.select(col("name"),
         explode(deletionKeys(col("name"))).as("delkey"))
-      .select(col("name"), md5(col("delkey")).as("k"))
+      .select(col("name"), xxhash64(col("delkey")).as("k"))
       .distinct()
     val l = keyed.alias("l")
     val r = keyed.alias("r")

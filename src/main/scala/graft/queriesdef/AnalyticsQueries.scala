@@ -1378,5 +1378,112 @@ object AnalyticsQueries {
            |${one("household_key")}
            |UNION ALL
            |${one("product_id")}""".stripMargin
-      }))
+      }),
+
+    // Salted replicated equi-join (ops.SkewJoin): the last week's fact
+    // rows joined to the product dim on a deliberately salted key —
+    // probe salt from row content, dim replicated 8×, join on
+    // (product_id, salt). The oracle is the PLAIN join, so hash equality
+    // proves the salting decomposition is result-invisible.
+    Entry(
+      "skew_salted_join",
+      (s, dir) => {
+        val tx = TransactionsAdj(s, dir)
+        val (_, cur) = Retail.dayBounds(s, dir)
+        val probe = tx
+          .filter(col("day") > lit(Date.valueOf(cur.minusDays(7))))
+          .select("product_id", "basket_id", "household_key", "day",
+            "amount_paid")
+        val build = Catalog.table(s, dir, "part")
+          .select(col("p_partkey").as("product_id"),
+            col("p_brand").as("commodity_desc"))
+        graft.ops.SkewJoin.saltedInner(probe, build, Seq("product_id"),
+          salt = 8)
+      },
+      Some(s"""WITH ${Oracle.txAdjFull},
+        |gb AS (SELECT max(day) AS cur FROM tx)
+        |SELECT t.product_id, t.basket_id, t.household_key, t.day,
+        |  t.amount_paid, p.p_brand AS commodity_desc
+        |FROM tx t CROSS JOIN gb JOIN part p ON t.product_id = p.p_partkey
+        |WHERE t.day > gb.cur - 7""".stripMargin)),
+
+    // Incremental view maintenance (ops.Ivm): lifetime per-household
+    // totals maintained as a 28-day-old snapshot of algebraic PARTIALS
+    // merged with the delta's partials — the fact's history is never
+    // rescanned. The oracle recomputes from the full fact; hash equality
+    // proves merge(snapshot, delta) ≡ full recompute exactly (decimal
+    // sums are associative, min/max trivially).
+    Entry(
+      "ivm_household_totals",
+      (s, dir) => {
+        val tx = TransactionsAdj(s, dir)
+        val (_, cur) = Retail.dayBounds(s, dir)
+        val d0 = lit(Date.valueOf(cur.minusDays(28)))
+        val snap = graft.ops.Ivm.partials(tx.filter(col("day") <= d0),
+          Seq("household_key"), "amount_paid", "day")
+        val delta = graft.ops.Ivm.partials(tx.filter(col("day") > d0),
+          Seq("household_key"), "amount_paid", "day")
+        graft.ops.Ivm.finish(graft.ops.Ivm.merge(snap, delta))
+      },
+      Some(s"""WITH ${Oracle.txAdjFull}
+        |SELECT household_key, COUNT(*) AS n_rows,
+        |  ${Oracle.dsum("amount_paid", "total_value")},
+        |  ROUND(CAST(SUM(CAST(amount_paid AS DECIMAL(18,4))) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE), 9) AS avg_value,
+        |  min(day) AS first_day, max(day) AS last_day
+        |FROM tx GROUP BY household_key""".stripMargin)),
+
+    // Small-file compaction planner (ops.Compaction): one manifest row
+    // per day partition (bytes = rows × 64 est.), next-fit packed into
+    // 128 KiB output files by the exact exclusive running total in day
+    // order, cumsum sharded by month. Oracle is the single-window
+    // definition.
+    Entry(
+      "compaction_plan",
+      (s, dir) => {
+        val manifest = TransactionsAdj(s, dir)
+          .groupBy(col("day")).agg(count(lit(1)).as("n_rows"))
+          .withColumn("bytes", col("n_rows") * 64L)
+          .withColumn("month", trunc(col("day"), "month"))
+        graft.ops.Compaction.plan(manifest, "day", "bytes", "month",
+          targetBytes = 131072L)
+      },
+      Some(s"""WITH ${Oracle.txAdj},
+        |m AS (
+        |  SELECT day, COUNT(*) AS n_rows, CAST(COUNT(*) * 64 AS BIGINT)
+        |    AS bytes, date_trunc('month', day) AS month
+        |  FROM transactions_adj GROUP BY day),
+        |c AS (
+        |  SELECT day, n_rows, bytes, month,
+        |    CAST(COALESCE(SUM(bytes) OVER (ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS cum_before
+        |  FROM m)
+        |SELECT day, n_rows, bytes, month, cum_before,
+        |  cum_before // 131072 AS out_file
+        |FROM c""".stripMargin)),
+
+    // CUBE over (commodity, week): all four grouping-set combinations —
+    // detail, per-commodity, per-week, grand total — in ONE Expand +
+    // aggregate pass (completes the rollup / grouping-sets family).
+    Entry(
+      "spend_cube",
+      (s, dir) => {
+        FeatureBuilder.txWithCommodity(s, dir)
+          .select("commodity_desc", "week_no", "amount_paid")
+          .createOrReplaceTempView("graft_cube_in")
+        s.sql("""SELECT commodity_desc, week_no,
+                |  CAST(grouping(commodity_desc) AS BIGINT) AS g_comm,
+                |  CAST(grouping(week_no) AS BIGINT) AS g_week,
+                |  CAST(SUM(CAST(amount_paid AS DECIMAL(18,4))) AS DOUBLE)
+                |    AS spend
+                |FROM graft_cube_in
+                |GROUP BY CUBE(commodity_desc, week_no)""".stripMargin)
+      },
+      Some(s"""WITH ${Oracle.txCommodity}
+        |SELECT commodity_desc, week_no,
+        |  CAST(grouping(commodity_desc) AS BIGINT) AS g_comm,
+        |  CAST(grouping(week_no) AS BIGINT) AS g_week,
+        |  ${Oracle.dsum("amount_paid", "spend")}
+        |FROM txc GROUP BY CUBE(commodity_desc, week_no)""".stripMargin)))
 }

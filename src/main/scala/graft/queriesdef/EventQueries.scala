@@ -449,6 +449,39 @@ object EventQueries {
         |    AS n_missing
         |FROM events GROUP BY event_type""".stripMargin)),
 
+    // Robust JSON ingestion with quarantine accounting: a deterministic
+    // 10% of payloads are corrupted (md5-bucket rule, engine-identical),
+    // parsed with from_json — Spark's PERMISSIVE path surfaces a
+    // malformed payload as a null field, never a task failure — and the
+    // per-type report counts quarantined rows beside the clean
+    // aggregate. Hash equality proves the PERMISSIVE null-on-corrupt
+    // semantics match the injected corruption exactly (the oracle nulls
+    // precisely the injected rows).
+    Entry(
+      "events_json_quarantine",
+      (s, dir) => EventOps.events(s, dir)
+        .withColumn("raw",
+          when(graft.ops.HashSplit.bucket(col("event_id"), 1000) < 100,
+            concat(lit("{"), col("props"))).otherwise(col("props")))
+        .withColumn("k", from_json(col("raw"),
+          org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
+          .getField("k"))
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          count(when(col("k").isNull, lit(1))).as("n_quarantined"),
+          sum(col("k")).as("sum_k")),
+      Some(s"""WITH e AS (
+        |  SELECT event_type,
+        |    CASE WHEN ${graft.ops.HashSplit.bucketSql("event_id", 1000)} < 100
+        |      THEN NULL
+        |      ELSE CAST(json_extract(props, '$$.k') AS BIGINT) END AS k
+        |  FROM events)
+        |SELECT event_type, COUNT(*) AS n_events,
+        |  COUNT(CASE WHEN k IS NULL THEN 1 END) AS n_quarantined,
+        |  CAST(SUM(k) AS BIGINT) AS sum_k
+        |FROM e GROUP BY event_type""".stripMargin)),
+
     // Per-user activity summary (events-table A2/A5 family).
     Entry(
       "user_activity",
