@@ -69,6 +69,116 @@ object EventQueries {
        |    n_obs
        |  FROM runs)""".stripMargin
 
+  /** DuckDB oracle for `markov_removal_attribution`: the same
+    * sessionize-truncate-count pass, then the SAME K-step decimal
+    * absorption recurrence UNROLLED as chained CTEs (one `v{k}` block
+    * per step — the BPE-oracle treatment of an iterative algorithm).
+    * Every scenario (base + one per removed channel) iterates at once
+    * via a scenario column on the probability/state frames.
+    */
+  private def markovOracle(channels: Seq[String], steps: Int): String = {
+    val chanVals = channels.map(c => s"('$c')").mkString(", ")
+    val stateVals = ("('__START__')" +: channels.map(c => s"('$c')"))
+      .mkString(", ")
+    val stepCtes = (1 to steps).map { k =>
+      val prev = s"v${k - 1}"
+      s"""v$k AS (
+         |  SELECT st.scenario, st.state,
+         |    CAST(COALESCE(MIN(cv.p), 0)
+         |      + COALESCE(SUM(ROUND(pm.p * pv.v, 9)), 0)
+         |      AS DECIMAL(18,9)) AS v
+         |  FROM st
+         |  LEFT JOIN pm cv ON cv.scenario = st.scenario
+         |    AND cv.from_state = st.state AND cv.to_state = '__CONV__'
+         |  LEFT JOIN pm ON pm.scenario = st.scenario
+         |    AND pm.from_state = st.state
+         |    AND pm.to_state NOT IN ('__CONV__', '__NULL__')
+         |  LEFT JOIN $prev pv ON pv.scenario = pm.scenario
+         |    AND pv.state = pm.to_state
+         |  GROUP BY st.scenario, st.state)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $evCte,
+       |g AS (
+       |  SELECT *, CAST(epoch(ts) AS BIGINT) AS ep,
+       |    LAG(CAST(epoch(ts) AS BIGINT)) OVER
+       |      (PARTITION BY user_id ORDER BY ts, event_id) AS pep
+       |  FROM ev),
+       |ns AS (
+       |  SELECT *, CASE WHEN pep IS NULL OR ep - pep > 1800
+       |    THEN 1 ELSE 0 END AS new_session
+       |  FROM g),
+       |sess AS (
+       |  SELECT *, SUM(new_session) OVER (
+       |    PARTITION BY user_id ORDER BY ts, event_id
+       |    ROWS UNBOUNDED PRECEDING) AS session_seq
+       |  FROM ns),
+       |kept AS (
+       |  SELECT * FROM (
+       |    SELECT *, COUNT(CASE WHEN event_type = 'purchase' THEN 1 END)
+       |      OVER (PARTITION BY user_id, session_seq ORDER BY ts, event_id
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |      AS prior_conv
+       |    FROM sess) t
+       |  WHERE prior_conv = 0),
+       |seq AS (
+       |  SELECT *,
+       |    COALESCE(LAG(event_type) OVER w, '__START__') AS from_state,
+       |    CASE WHEN event_type = 'purchase' THEN '__CONV__'
+       |      ELSE event_type END AS to_state,
+       |    LEAD(event_id) OVER w IS NULL AS is_last
+       |  FROM kept
+       |  WINDOW w AS (PARTITION BY user_id, session_seq
+       |    ORDER BY ts, event_id)),
+       |trans AS (
+       |  SELECT from_state, to_state FROM seq
+       |  UNION ALL
+       |  SELECT event_type, '__NULL__' FROM seq
+       |  WHERE is_last AND to_state <> '__CONV__'),
+       |tc AS (
+       |  SELECT from_state, to_state, COUNT(*) AS c
+       |  FROM trans GROUP BY 1, 2),
+       |tot AS (
+       |  SELECT from_state, CAST(SUM(c) AS BIGINT) AS tot
+       |  FROM tc GROUP BY 1),
+       |p AS (
+       |  SELECT tc.from_state, tc.to_state,
+       |    CAST(ROUND(CAST(tc.c AS DOUBLE) / CAST(tot.tot AS DOUBLE), 9)
+       |      AS DECIMAL(18,9)) AS p
+       |  FROM tc JOIN tot ON tc.from_state = tot.from_state),
+       |scen AS (SELECT * FROM (VALUES ('base'), $chanVals) s(scenario)),
+       |pm AS (
+       |  SELECT s.scenario, p.from_state, p.to_state, p.p
+       |  FROM p CROSS JOIN scen s
+       |  WHERE s.scenario = 'base'
+       |     OR (p.from_state <> s.scenario AND p.to_state <> s.scenario)),
+       |st AS (
+       |  SELECT s.scenario, x.state
+       |  FROM (VALUES $stateVals) x(state)
+       |  CROSS JOIN scen s
+       |  WHERE s.scenario = 'base' OR x.state <> s.scenario),
+       |v0 AS (SELECT scenario, state, CAST(0 AS DECIMAL(18,9)) AS v FROM st),
+       |$stepCtes,
+       |base AS (
+       |  SELECT v AS p_base FROM v$steps
+       |  WHERE scenario = 'base' AND state = '__START__'),
+       |rem AS (
+       |  SELECT scenario AS channel, v AS p_removed FROM v$steps
+       |  WHERE scenario <> 'base' AND state = '__START__'),
+       |eff AS (
+       |  SELECT r.channel, b.p_base, r.p_removed,
+       |    b.p_base - r.p_removed AS effect
+       |  FROM rem r CROSS JOIN base b),
+       |tote AS (SELECT CAST(SUM(effect) AS DECIMAL(18,9)) AS total FROM eff)
+       |SELECT channel,
+       |  CAST(p_base AS DOUBLE) AS p_base,
+       |  CAST(p_removed AS DOUBLE) AS p_removed,
+       |  CAST(effect AS DOUBLE) AS removal_effect,
+       |  CASE WHEN t.total <> 0 THEN
+       |    ROUND(CAST(effect AS DOUBLE) / CAST(t.total AS DOUBLE), 9)
+       |  END AS attribution_share
+       |FROM eff CROSS JOIN tote t""".stripMargin
+  }
+
   def entries: Seq[Entry] = Seq(
 
     // Tumbling-window aggregate: window($"ts","1 hour") × event_type.
@@ -662,6 +772,24 @@ object EventQueries {
         |SELECT * FROM z
         |WHERE z IS NOT NULL AND ABS(z) > 0.0
         |ORDER BY ABS(z) DESC, event_id LIMIT 20""".stripMargin)),
+
+    // Markov removal-effect attribution (Anderl et al. 2016): sessions
+    // as a first-order channel chain, each channel credited by how much
+    // K-step conversion absorption drops with that channel removed.
+    // Exact decimal-quantized iteration (probabilities rounded to 9 dp
+    // once, each product re-rounded, sums exact) makes the recurrence
+    // bit-identical across engines — the oracle UNROLLS the same 8
+    // steps, so hash equality proves the whole model, not just the
+    // transition counts. Data-sized work is one sessionize pass; the
+    // chain algebra runs on the |channels|²-row control table
+    // (MarkovAttribution scaladoc).
+    Entry(
+      "markov_removal_attribution",
+      (s, dir) => graft.ops.MarkovAttribution(
+        EventOps.events(s, dir),
+        channels = Seq("view", "click", "signup", "error")),
+      Some(markovOracle(Seq("view", "click", "signup", "error"), steps = 8)),
+    ),
 
     // Clickstream path analysis: within-session event-type transitions
     // with next-step probabilities (__START__ = session entry); windows
