@@ -1155,6 +1155,90 @@ object AnalyticsQueries {
         |  ROUND(quantile_cont(gap, 0.9), 6) AS p90_days
         |FROM iv GROUP BY commodity_desc""".stripMargin)),
 
+    // Kaplan–Meier repurchase survival (right-censored): the
+    // censoring-aware answer to "how long until the next purchase" —
+    // households whose next purchase hasn't happened yet enter the risk
+    // set at horizon − last_day instead of being dropped (which a plain
+    // gap histogram gets wrong). The survival product is an exact
+    // 9-dp-quantized decimal fold (NO libm exp/ln), closed on the
+    // curve-point-sized table; the oracle replays it as a recursive CTE,
+    // so the whole estimator is hash-proven (Survival scaladoc).
+    Entry(
+      "survival_repurchase",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val txc = FeatureBuilder.txWithCommodity(s, dir)
+        val (_, hi) = Retail.dayBounds(s, dir)
+        val days = txc.select("household_key", "commodity_desc", "day")
+          .distinct()
+        val w = Window.partitionBy("household_key", "commodity_desc")
+          .orderBy(col("day"))
+        val lagd = days
+          .withColumn("prev_day", lag(col("day"), 1).over(w))
+          .withColumn("is_last", lead(col("day"), 1).over(w).isNull)
+        val events = lagd.filter(col("prev_day").isNotNull)
+          .select(col("commodity_desc"),
+            datediff(col("day"), col("prev_day")).cast("long").as("t"),
+            lit(1L).as("e"))
+        val censored = lagd.filter(col("is_last"))
+          .select(col("commodity_desc"),
+            datediff(lit(Date.valueOf(hi)), col("day")).cast("long").as("t"),
+            lit(0L).as("e"))
+        graft.ops.Survival.kaplanMeier(events.unionAll(censored),
+          Seq("commodity_desc"), "t", "e")
+      },
+      Some(s"""WITH RECURSIVE ${Oracle.txCommodity},
+        |gbk AS (SELECT max(day) AS horizon FROM txc),
+        |days AS (
+        |  SELECT DISTINCT household_key, commodity_desc, day FROM txc),
+        |lagd AS (
+        |  SELECT household_key, commodity_desc, day,
+        |    LAG(day) OVER w AS prev_day,
+        |    LEAD(day) OVER w IS NULL AS is_last
+        |  FROM days
+        |  WINDOW w AS (PARTITION BY household_key, commodity_desc
+        |    ORDER BY day)),
+        |obs AS (
+        |  SELECT commodity_desc, CAST(day - prev_day AS BIGINT) AS t,
+        |    1 AS e
+        |  FROM lagd WHERE prev_day IS NOT NULL
+        |  UNION ALL
+        |  SELECT l.commodity_desc, CAST(g.horizon - l.day AS BIGINT), 0
+        |  FROM lagd l CROSS JOIN gbk g WHERE l.is_last),
+        |ptk AS (
+        |  SELECT commodity_desc, t,
+        |    CAST(SUM(e) AS BIGINT) AS d_events,
+        |    CAST(COUNT(*) - SUM(e) AS BIGINT) AS c_censored
+        |  FROM obs GROUP BY 1, 2),
+        |rk AS (
+        |  SELECT *,
+        |    CAST(SUM(d_events + c_censored)
+        |        OVER (PARTITION BY commodity_desc) AS BIGINT)
+        |      - CAST(COALESCE(SUM(d_events + c_censored)
+        |          OVER (PARTITION BY commodity_desc ORDER BY t
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |          AS BIGINT) AS n_risk,
+        |    ROW_NUMBER() OVER (PARTITION BY commodity_desc ORDER BY t)
+        |      AS rn
+        |  FROM ptk),
+        |fr AS (
+        |  SELECT *, CAST(ROUND(1.0 - CAST(d_events AS DOUBLE)
+        |      / CAST(n_risk AS DOUBLE), 9) AS DECIMAL(18,9)) AS factor
+        |  FROM rk),
+        |km AS (
+        |  SELECT commodity_desc, t, n_risk, d_events, c_censored, rn,
+        |    factor AS s
+        |  FROM fr WHERE rn = 1
+        |  UNION ALL
+        |  SELECT f.commodity_desc, f.t, f.n_risk, f.d_events,
+        |    f.c_censored, f.rn,
+        |    CAST(ROUND(k.s * f.factor, 9) AS DECIMAL(18,9))
+        |  FROM km k JOIN fr f ON f.commodity_desc = k.commodity_desc
+        |    AND f.rn = k.rn + 1)
+        |SELECT commodity_desc, t, n_risk, d_events, c_censored,
+        |  CAST(s AS DOUBLE) AS survival
+        |FROM km""".stripMargin)),
+
     // Offline recsys evaluation: precision/recall@k of the basket-share
     // top-3 against realized next-30d purchases — hits are an equi-join
     // of the map-side-limited rec list with the label positives; all
