@@ -445,6 +445,67 @@ object CoreQueries {
         | AND abs(length(a.c_name) - length(b.c_name)) <= 1
         |WHERE levenshtein(a.c_name, b.c_name) <= 1""".stripMargin)),
 
+    // Deterministic missing-value imputation (ops.Impute): numeric nulls
+    // from the group's exact-decimal mean, categorical nulls from the
+    // group's mode (struct-argmax, value tiebreak — no window sort),
+    // global fallback, audit flags per cell. Nulls are injected by the
+    // md5-bucket rule (fixture has none), so both engines impute exactly
+    // the same cells.
+    Entry(
+      "impute_missing",
+      (s, dir) => {
+        val cust = Catalog.table(s, dir, "customer").select(
+          col("c_custkey"), col("c_nationkey").as("nation"),
+          graft.ops.Impute.injectNulls(col("c_acctbal"),
+            col("c_custkey"), 0, 100).as("acctbal"),
+          graft.ops.Impute.injectNulls(col("c_mktsegment"),
+            col("c_custkey"), 900, 1000).as("segment"))
+        graft.ops.Impute.meanMode(cust, Seq("nation"), "acctbal", "segment")
+          .select("c_custkey", "nation", "acctbal", "segment",
+            "acctbal_imputed", "segment_imputed")
+      },
+      Some {
+        val bucket = graft.ops.HashSplit.bucketSql("c_custkey", 1000)
+        s"""WITH b AS (
+           |  SELECT c_custkey, c_nationkey AS nation,
+           |    CASE WHEN $bucket < 100 THEN NULL ELSE c_acctbal END
+           |      AS acctbal,
+           |    CASE WHEN $bucket >= 900 THEN NULL ELSE c_mktsegment END
+           |      AS segment
+           |  FROM customer),
+           |means AS (
+           |  SELECT nation,
+           |    ROUND(CAST(SUM(CAST(acctbal AS DECIMAL(18,4))) AS DOUBLE)
+           |      / CAST(COUNT(*) AS DOUBLE), 9) AS mean_value
+           |  FROM b WHERE acctbal IS NOT NULL GROUP BY nation),
+           |modes AS (
+           |  SELECT nation, v AS mode_value FROM (
+           |    SELECT nation, segment AS v,
+           |      ROW_NUMBER() OVER (PARTITION BY nation
+           |        ORDER BY COUNT(*) DESC, segment) AS rn
+           |    FROM b WHERE segment IS NOT NULL GROUP BY nation, segment) t
+           |  WHERE rn = 1),
+           |gm AS (
+           |  SELECT ROUND(CAST(SUM(CAST(acctbal AS DECIMAL(18,4))) AS DOUBLE)
+           |    / CAST(COUNT(*) AS DOUBLE), 9) AS g
+           |  FROM b WHERE acctbal IS NOT NULL),
+           |gc AS (
+           |  SELECT v AS g FROM (
+           |    SELECT segment AS v, ROW_NUMBER() OVER
+           |      (ORDER BY COUNT(*) DESC, segment) AS rn
+           |    FROM b WHERE segment IS NOT NULL GROUP BY segment) t
+           |  WHERE rn = 1)
+           |SELECT b.c_custkey, b.nation,
+           |  COALESCE(b.acctbal, m.mean_value, gm.g) AS acctbal,
+           |  COALESCE(b.segment, mo.mode_value, gc.g) AS segment,
+           |  b.acctbal IS NULL AS acctbal_imputed,
+           |  b.segment IS NULL AS segment_imputed
+           |FROM b
+           |LEFT JOIN means m ON b.nation = m.nation
+           |LEFT JOIN modes mo ON b.nation = mo.nation
+           |CROSS JOIN gm CROSS JOIN gc""".stripMargin
+      }),
+
     // End-to-end entity resolution — the record-linkage lineage a master-
     // data pipeline ships, composed from the shipped operators: SymSpell
     // fuzzy candidate pairs → connected components over name-variant

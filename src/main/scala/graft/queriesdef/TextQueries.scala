@@ -1395,5 +1395,45 @@ object TextQueries {
         |  FROM bl
         |UNION ALL SELECT 'lang:' || lang, 'bpe_fertility',
         |  ROUND(CAST(bpe AS DOUBLE) / CAST(tokens AS DOUBLE), 9)
-        |  FROM bl""".stripMargin)))
+        |  FROM bl""".stripMargin)),
+
+    // Rendezvous (highest-random-weight) routing: docs assigned to the
+    // 4-worker fleet and to the fleet grown to 5 — per (before, after)
+    // cell counts hash-prove both assignments AND the minimal-movement
+    // property (keys move only INTO the new worker, ~1/5 of them;
+    // Rendezvous scaladoc). Pure per-row column algebra, no shuffle
+    // before the tiny report aggregate.
+    Entry(
+      "rendezvous_routing",
+      (s, dir) => {
+        val before = Seq("w0", "w1", "w2", "w3")
+        val after = before :+ "w4"
+        docs(s, dir).select(col("doc_id"),
+            graft.ops.Rendezvous.assign(col("doc_id"), before)
+              .as("worker_before"),
+            graft.ops.Rendezvous.assign(col("doc_id"), after)
+              .as("worker_after"))
+          .groupBy(col("worker_before"), col("worker_after"))
+          .agg(count(lit(1)).as("n_docs"))
+          .withColumn("moved", col("worker_before") =!= col("worker_after"))
+      },
+      Some {
+        def pick(workers: Seq[String], as: String) = {
+          val vals = workers.map(w => s"('$w')").mkString(", ")
+          s"""(SELECT doc_id, worker AS $as FROM (
+             |  SELECT d.doc_id, w.w AS worker,
+             |    ROW_NUMBER() OVER (PARTITION BY d.doc_id ORDER BY
+             |      CAST(('0x' || substr(md5(
+             |        concat(CAST(d.doc_id AS VARCHAR), '|', w.w)),
+             |        1, 8)) AS BIGINT) DESC, w.w DESC) AS rn
+             |  FROM documents d CROSS JOIN (VALUES $vals) w(w)) t
+             | WHERE rn = 1)""".stripMargin
+        }
+        s"""WITH b AS ${pick(Seq("w0", "w1", "w2", "w3"), "worker_before")},
+           |a AS ${pick(Seq("w0", "w1", "w2", "w3", "w4"), "worker_after")}
+           |SELECT b.worker_before, a.worker_after, COUNT(*) AS n_docs,
+           |  b.worker_before <> a.worker_after AS moved
+           |FROM b JOIN a ON b.doc_id = a.doc_id
+           |GROUP BY 1, 2""".stripMargin
+      }))
 }
