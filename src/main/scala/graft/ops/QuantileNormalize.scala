@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Quantile normalization — map every group's distribution onto the
+  * GLOBAL distribution: each value is replaced by the global value at
+  * its group-relative rank. The cross-cohort feature-scaling transform
+  * (microarray-famous, equally at home normalizing per-source quality
+  * scores before a corpus-wide cutoff) that z-scoring cannot replicate
+  * when shapes differ, not just moments.
+  *
+  * Exactness: there is NO float arithmetic — the output values are the
+  * input's own doubles, relocated. The group rank r ∈ [0, gn) maps to
+  * global index `round(r/(gn−1)·(N−1))` computed as the exact integer
+  * half-up identity `(2r(N−1) + (gn−1)) div (2(gn−1))` (singleton
+  * groups land mid-distribution), so the whole transform hash-matches
+  * the oracle bit for bit.
+  *
+  * Scale shape: per-group ranks are windows bounded by group size; the
+  * GLOBAL rank reuses [[Ntile]]'s range-partitioned decomposition
+  * (row_number per range partition + broadcast per-partition offsets —
+  * no single-task global window); the relocation is one equi-join on an
+  * 8-byte index. Ties order by (value, id) — total, engine-identical.
+  */
+object QuantileNormalize {
+
+  /** df + `__gidx` (0-based global rank by `orderBy`) + `__N` (total),
+    * via the range-partitioned global row_number.
+    */
+  private def globalIndexed(df: DataFrame, orderBy: Seq[Column]): DataFrame = {
+    val parted = df.repartitionByRange(orderBy: _*)
+      .withColumn("__pid", spark_partition_id())
+    val offsets = parted.groupBy("__pid").agg(count(lit(1)).as("__cnt"))
+      .withColumn("__off", coalesce(
+        sum(col("__cnt")).over(
+          Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .withColumn("__N", sum(col("__cnt")).over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select("__pid", "__off", "__N")
+    parted
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("__pid")).orderBy(orderBy: _*)))
+      .join(broadcast(offsets), Seq("__pid"))
+      .withColumn("__gidx", col("__off") + col("__rn") - 1L)
+      .drop("__pid", "__rn", "__off", "__cnt")
+  }
+
+  /** Append `normalized_value`: the global value at each row's
+    * group-relative rank. `idCol` breaks ties (must make the order
+    * total). Output: groupCols, idCol, valueCol, normalized_value.
+    */
+  def perGroup(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      idCol: String): DataFrame = {
+    val g = groupCols.map(col)
+    val order = Seq(col(valueCol), col(idCol))
+    val wg = Window.partitionBy(g: _*).orderBy(order: _*)
+    val ranked = df
+      .withColumn("__gr", row_number().over(wg).cast("long") - 1L)
+      .withColumn("__gn", count(lit(1)).over(Window.partitionBy(g: _*)))
+    val gi = globalIndexed(df.select(col(valueCol), col(idCol)), order)
+    val nFrame = gi.agg(max(col("__N")).as("__N"))
+    val lookup = gi.select(col("__gidx").as("__idx"),
+      col(valueCol).as("normalized_value"))
+    ranked.crossJoin(broadcast(nFrame))
+      .withColumn("__idx", when(col("__gn") === 1L,
+          expr("(__N - 1L) div 2L"))
+        .otherwise(expr(
+          "(2L * __gr * (__N - 1L) + (__gn - 1L)) div (2L * (__gn - 1L))")))
+      .join(lookup, Seq("__idx"))
+      .select(g ++ Seq(col(idCol), col(valueCol), col("normalized_value")): _*)
+  }
+}

@@ -428,6 +428,41 @@ object EventQueries {
       Some(graft.ops.Normalize.perGroupSql(
         "events", "event_type", "value", Seq("event_id")))),
 
+    // Quantile normalization: each event_type's value distribution
+    // mapped onto the GLOBAL distribution — output values are the
+    // input's own doubles RELOCATED by exact integer rank arithmetic
+    // (half-up rational rounding via (2r(N−1)+(gn−1)) div (2(gn−1))),
+    // zero float math, so the transform hash-matches bit for bit. The
+    // global rank runs range-partitioned (no single-task window);
+    // QuantileNormalize scaladoc.
+    Entry(
+      "quantile_normalize",
+      (s, dir) => graft.ops.QuantileNormalize.perGroup(
+        EventOps.events(s, dir)
+          .select(col("event_id"), col("event_type"), col("value")),
+        Seq("event_type"), "value", "event_id"),
+      Some(s"""WITH $evCte,
+        |g AS (
+        |  SELECT event_id, event_type, value,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY value, event_id) - 1 AS BIGINT) AS gr,
+        |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS gn
+        |  FROM ev),
+        |gi AS (
+        |  SELECT value AS nv,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY value, event_id) - 1
+        |      AS BIGINT) AS gidx
+        |  FROM ev),
+        |nn AS (SELECT COUNT(*) AS n FROM ev),
+        |x AS (
+        |  SELECT g.*, CASE WHEN g.gn = 1 THEN (nn.n - 1) // 2
+        |    ELSE (2 * g.gr * (nn.n - 1) + (g.gn - 1))
+        |      // (2 * (g.gn - 1)) END AS idx
+        |  FROM g CROSS JOIN nn)
+        |SELECT x.event_type, x.event_id, x.value,
+        |  gi.nv AS normalized_value
+        |FROM x JOIN gi ON x.idx = gi.gidx""".stripMargin)),
+
     // Ordered conversion funnel view → click → purchase: earliest
     // strictly-increasing chain per user (greedy = exact), k−1 user-keyed
     // joins, no window sort over history.
