@@ -1464,6 +1464,77 @@ object AnalyticsQueries {
            |${one("product_id")}""".stripMargin
       }),
 
+    // Holt linear-trend forecast per commodity over the calendar-dense
+    // daily series — EVERY update in exact 1e-4 integer units with one
+    // half-up division per recurrence (α=1/4, β=1/8), zero float drift;
+    // the oracle replays the recursion as a recursive CTE, so the
+    // forecaster itself is hash-proven (Forecast scaladoc). Data-sized
+    // work is the daily aggregate; the fold runs on the
+    // calendar-bounded series (same size at any sf).
+    Entry(
+      "forecast_holt",
+      (s, dir) => {
+        val txc = FeatureBuilder.txWithCommodity(s, dir)
+        val (lo, hi) = Retail.dayBounds(s, dir)
+        val cal = s.range(1).select(explode(sequence(
+          lit(Date.valueOf(lo)), lit(Date.valueOf(hi)))).as("day"))
+        val cm = txc.select("commodity_desc").distinct()
+        val daily = txc.groupBy(col("commodity_desc"), col("day"))
+          .agg((sum(col("amount_paid").cast("decimal(18,4)")) * 10000)
+            .cast("long").as("y4"))
+        val spine = cm.crossJoin(cal)
+          .join(daily, Seq("commodity_desc", "day"), "left")
+          .na.fill(0L, Seq("y4"))
+        graft.ops.Forecast.holt(spine, Seq("commodity_desc"), "day", "y4")
+          .select(col("commodity_desc"), col("day"),
+            (col("y4").cast("double") / 10000).as("y"),
+            (col("level4").cast("double") / 10000).as("level"),
+            (col("trend4").cast("double") / 10000).as("trend"),
+            ((col("level4") + col("trend4")).cast("double") / 10000)
+              .as("forecast_next"))
+      },
+      Some {
+        val lvlExpr = graft.ops.Forecast.rndDivSql(
+          "s.y4 + 3 * (h.lvl + h.tr)", 4L)
+        val trExpr = graft.ops.Forecast.rndDivSql(
+          s"($lvlExpr) - h.lvl + 7 * h.tr", 8L)
+        s"""WITH RECURSIVE ${Oracle.txCommodity},
+           |bnd AS (SELECT min(day) AS lo, max(day) AS hi FROM txc),
+           |cal AS (
+           |  SELECT CAST(unnest(generate_series(b.lo, b.hi,
+           |    INTERVAL 1 DAY)) AS DATE) AS day
+           |  FROM bnd b),
+           |cm AS (SELECT DISTINCT commodity_desc FROM txc),
+           |daily AS (
+           |  SELECT commodity_desc, day,
+           |    CAST(SUM(CAST(amount_paid AS DECIMAL(18,4))) * 10000
+           |      AS BIGINT) AS y4
+           |  FROM txc GROUP BY 1, 2),
+           |sp AS (
+           |  SELECT c.commodity_desc, k.day, COALESCE(d.y4, 0) AS y4,
+           |    CAST(ROW_NUMBER() OVER (PARTITION BY c.commodity_desc
+           |      ORDER BY k.day) AS BIGINT) AS rn
+           |  FROM cm c CROSS JOIN cal k
+           |  LEFT JOIN daily d ON d.commodity_desc = c.commodity_desc
+           |    AND d.day = k.day),
+           |hw AS (
+           |  SELECT commodity_desc, day, y4, rn, y4 AS lvl,
+           |    CAST(0 AS BIGINT) AS tr
+           |  FROM sp WHERE rn = 1
+           |  UNION ALL
+           |  SELECT s.commodity_desc, s.day, s.y4, s.rn,
+           |    $lvlExpr AS lvl,
+           |    $trExpr AS tr
+           |  FROM hw h JOIN sp s ON s.commodity_desc = h.commodity_desc
+           |    AND s.rn = h.rn + 1)
+           |SELECT commodity_desc, day,
+           |  CAST(y4 AS DOUBLE) / 10000 AS y,
+           |  CAST(lvl AS DOUBLE) / 10000 AS level,
+           |  CAST(tr AS DOUBLE) / 10000 AS trend,
+           |  CAST(lvl + tr AS DOUBLE) / 10000 AS forecast_next
+           |FROM hw""".stripMargin
+      }),
+
     // Salted replicated equi-join (ops.SkewJoin): the last week's fact
     // rows joined to the product dim on a deliberately salted key —
     // probe salt from row content, dim replicated 8×, join on
