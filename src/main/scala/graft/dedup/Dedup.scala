@@ -207,6 +207,57 @@ object Dedup {
     sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
   }
 
+  /** The LSH band table — (doc_id, band, bucket), one row per (doc,
+    * band) via explode (a union of `bands` selects would re-read and
+    * re-aggregate the signature input once per band). Band bucket = md5
+    * prefix of the joined band values: fixed-width, engine-reproducible
+    * (a native 64-bit hash is the corpus-scale swap, one hash per
+    * doc-band — marginal either way). This table IS the persistable
+    * near-dup index: `bands` × ~20 bytes per doc, no text.
+    */
+  def bandTable(docs: DataFrame, n: Int = 3, numHashes: Int = 16,
+      bands: Int = 4, hasher: Column => Column = md5Hash31): DataFrame = {
+    val sig = minhashSignatures(docs, n, numHashes, hasher)
+    val rowsPerBand = numHashes / bands
+    val bandCols = (0 until bands).map { bd =>
+      val cols = (bd * rowsPerBand until (bd + 1) * rowsPerBand).map(i => col(s"h$i"))
+      struct(lit(bd).as("band"),
+        substring(md5(concat_ws("|", cols: _*).cast("binary")), 1, 16)
+          .as("bucket"))
+    }
+    sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"),
+        col("bb.bucket").as("bucket"))
+  }
+
+  /** Incremental near-dup candidates: a NEW batch probed against the
+    * accumulated corpus's band index, plus within-batch pairs — the
+    * daily-crawl shape of [[incrementalExact]] lifted to NEAR
+    * duplicates. The corpus side is its [[bandTable]] — the persisted
+    * index in production (bands × ~20 bytes per doc): corpus TEXT is
+    * never re-shingled, and the join shuffles the batch's bands against
+    * bucket-matched index rows only. Candidates then go to the exact
+    * verify of the caller's choice (ngram Jaccard on the candidate doc
+    * set), as with [[minhashLshCandidates]].
+    */
+  def incrementalLshCandidates(corpusIndex: DataFrame, batch: DataFrame,
+      n: Int = 3, numHashes: Int = 16, bands: Int = 4,
+      hasher: Column => Column = md5Hash31): DataFrame = {
+    val bb = bandTable(batch, n, numHashes, bands, hasher)
+    val vsCorpus = bb.as("l")
+      .join(corpusIndex.as("r"),
+        col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
+        lit("corpus").as("vs"))
+    val within = bb.as("l")
+      .join(bb.as("r"),
+        col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
+        lit("batch").as("vs"))
+    vsCorpus.unionByName(within).distinct()
+  }
+
   /** LSH banding over minhash signatures: docs sharing any band bucket are
     * candidate near-dups; candidates are then verified with exact Jaccard.
     */
@@ -216,22 +267,7 @@ object Dedup {
     require(bands >= 1 && bands <= numHashes && numHashes % bands == 0,
       s"bands ($bands) must divide numHashes ($numHashes): a remainder would" +
         " silently drop trailing hash functions from every band")
-    val sig = minhashSignatures(docs, n, numHashes, hasher)
-    val rowsPerBand = numHashes / bands
-    // one row per (doc, band) via explode — a union of `bands` selects
-    // would re-read (and re-aggregate) the signature input once per band.
-    // Band bucket = md5 prefix of the joined band values: fixed-width,
-    // engine-reproducible (a native 64-bit hash is the corpus-scale swap,
-    // one hash per doc-band — marginal either way).
-    val bandCols = (0 until bands).map { bd =>
-      val cols = (bd * rowsPerBand until (bd + 1) * rowsPerBand).map(i => col(s"h$i"))
-      struct(lit(bd).as("band"),
-        substring(md5(concat_ws("|", cols: _*).cast("binary")), 1, 16)
-          .as("bucket"))
-    }
-    val banded = sig
-      .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val banded = bandTable(docs, n, numHashes, bands, hasher)
     val l = banded.as("l")
     val r = banded.as("r")
     l.join(r,

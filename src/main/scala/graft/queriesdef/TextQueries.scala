@@ -302,6 +302,45 @@ object TextQueries {
            |  ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id""".stripMargin
       }),
 
+    // Incremental near-dup: the src0 batch probed against the band INDEX
+    // of the already-accepted corpus (everything else) plus within-batch
+    // pairs — dedup_incremental lifted to NEAR duplicates. The corpus
+    // side is its persisted bandTable (bands × ~20 bytes/doc, no text):
+    // corpus text is never re-shingled at ingest time
+    // (Dedup.incrementalLshCandidates scaladoc).
+    Entry(
+      "dedup_incremental_lsh",
+      (s, dir) => {
+        val d = docs(s, dir)
+        val corpusIdx = Dedup.bandTable(d.filter(col("source") =!= "src0"))
+        Dedup.incrementalLshCandidates(corpusIdx,
+          d.filter(col("source") === "src0"))
+      },
+      Some {
+        val perBand = 16 / 4
+        val bandSelects = (0 until 4).map { bd =>
+          val hs = (bd * perBand until (bd + 1) * perBand)
+            .map(i => s"h$i").mkString(", ")
+          s"SELECT doc_id, $bd AS band, substr(md5(concat_ws('|', $hs)), 1, 16) AS bucket FROM sig"
+        }.mkString("\n    UNION ALL ")
+        s"""WITH $minhashSigCtes,
+           |banded AS (
+           |    $bandSelects),
+           |bb AS (
+           |  SELECT b.* FROM banded b JOIN documents d ON b.doc_id = d.doc_id
+           |  WHERE d.source = 'src0'),
+           |cb AS (
+           |  SELECT b.* FROM banded b JOIN documents d ON b.doc_id = d.doc_id
+           |  WHERE d.source <> 'src0')
+           |SELECT DISTINCT doc_a, doc_b, vs FROM (
+           |  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, 'corpus' AS vs
+           |  FROM bb l JOIN cb r ON l.band = r.band AND l.bucket = r.bucket
+           |  UNION ALL
+           |  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, 'batch' AS vs
+           |  FROM bb l JOIN bb r ON l.band = r.band AND l.bucket = r.bucket
+           |   AND l.doc_id < r.doc_id) t""".stripMargin
+      }),
+
     // SimHash near-dup pairs under Hamming radius, hash-verified: the
     // md5-derived 60-bit sketch, bit votes, prefix blocks, and Hamming
     // filter all render identically in DuckDB.

@@ -79,4 +79,24 @@ class DedupSpec extends AnyFunSuite {
       .map(_.getString(2)).toSet
     assert(again == Set("dup_corpus"))
   }
+
+  test("incremental LSH: batch probes corpus index + within-batch pairs") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again ok"
+    val corpus = Seq((100L, base), (101L, "совершенно другой текст здесь"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, base),                 // near-identical to corpus 100
+      (2L, "unrelated words entirely distinct payload nothing shared"),
+      (3L, base + " tail")        // near-dup of both 100 and 1
+    ).toDF("doc_id", "text")
+    val idx = Dedup.bandTable(corpus)
+    val got = Dedup.incrementalLshCandidates(idx, batch).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(got.contains((1L, 100L, "corpus")))
+    assert(got.contains((1L, 3L, "batch")))
+    assert(!got.exists { case (a, b, _) => a == 2L || b == 2L })
+    // the index never carries text — only (doc_id, band, bucket)
+    assert(idx.columns.toSeq == Seq("doc_id", "band", "bucket"))
+  }
 }
