@@ -1464,6 +1464,92 @@ object AnalyticsQueries {
            |${one("product_id")}""".stripMargin
       }),
 
+    // Difference-in-differences readout: per-household pre/post spend
+    // totals (exact decimal), arms hash-assigned (the ab_cuped rule),
+    // DiD = (ΔT) − (ΔC) from the four cell means with a fixed double-op
+    // sequence — the quasi-experimental estimator for launches without
+    // clean randomization. ONE conditional aggregation over the
+    // household frame; no joins.
+    Entry(
+      "ab_diff_in_diff",
+      (s, dir) => {
+        val tx = TransactionsAdj(s, dir)
+        val (lo, hi) = Retail.dayBounds(s, dir)
+        val mid = lo.plusDays(
+          java.time.temporal.ChronoUnit.DAYS.between(lo, hi) / 2)
+        val perHh = tx.groupBy("household_key").agg(
+          sum(when(col("day") <= lit(Date.valueOf(mid)),
+            col("amount_paid")).otherwise(lit(0.0)).cast("decimal(18,4)"))
+            .cast("decimal(18,4)").as("pre"),
+          sum(when(col("day") > lit(Date.valueOf(mid)),
+            col("amount_paid")).otherwise(lit(0.0)).cast("decimal(18,4)"))
+            .cast("decimal(18,4)").as("post"))
+        val a = perHh.withColumn("arm",
+          when(HashSplit.bucket(col("household_key"), 2) === 0,
+            lit("control")).otherwise(lit("treatment")))
+        val isC = col("arm") === "control"
+        val cells = a.agg(
+          count(when(isC, lit(1))).as("n_control"),
+          count(when(!isC, lit(1))).as("n_treatment"),
+          sum(when(isC, col("pre"))).as("c_pre"),
+          sum(when(isC, col("post"))).as("c_post"),
+          sum(when(!isC, col("pre"))).as("t_pre"),
+          sum(when(!isC, col("post"))).as("t_post"))
+        def m(sc: String, nc: String) =
+          col(sc).cast("double") / col(nc).cast("double")
+        cells.select(
+          col("n_control"), col("n_treatment"),
+          round(m("c_pre", "n_control"), 9).as("mean_control_pre"),
+          round(m("c_post", "n_control"), 9).as("mean_control_post"),
+          round(m("t_pre", "n_treatment"), 9).as("mean_treatment_pre"),
+          round(m("t_post", "n_treatment"), 9).as("mean_treatment_post"),
+          round((m("t_post", "n_treatment") - m("t_pre", "n_treatment"))
+            - (m("c_post", "n_control") - m("c_pre", "n_control")), 9)
+            .as("did"))
+      },
+      Some(s"""WITH ${Oracle.txAdjFull},
+        |gb2 AS (
+        |  SELECT min(day) AS lo,
+        |    min(day) + CAST((max(day) - min(day)) // 2 AS INT) AS mid
+        |  FROM tx),
+        |ph AS (
+        |  SELECT household_key,
+        |    CAST(SUM(CAST(CASE WHEN t.day <= g.mid THEN amount_paid
+        |      ELSE 0.0 END AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS pre,
+        |    CAST(SUM(CAST(CASE WHEN t.day > g.mid THEN amount_paid
+        |      ELSE 0.0 END AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS post
+        |  FROM tx t CROSS JOIN gb2 g
+        |  GROUP BY household_key),
+        |a AS (
+        |  SELECT *,
+        |    CASE WHEN ${HashSplit.bucketSql("household_key", 2)} = 0
+        |      THEN 'control' ELSE 'treatment' END AS arm
+        |  FROM ph),
+        |cells AS (
+        |  SELECT
+        |    COUNT(CASE WHEN arm = 'control' THEN 1 END) AS n_control,
+        |    COUNT(CASE WHEN arm = 'treatment' THEN 1 END) AS n_treatment,
+        |    CAST(SUM(CASE WHEN arm = 'control' THEN pre END) AS DOUBLE)
+        |      AS c_pre,
+        |    CAST(SUM(CASE WHEN arm = 'control' THEN post END) AS DOUBLE)
+        |      AS c_post,
+        |    CAST(SUM(CASE WHEN arm = 'treatment' THEN pre END) AS DOUBLE)
+        |      AS t_pre,
+        |    CAST(SUM(CASE WHEN arm = 'treatment' THEN post END) AS DOUBLE)
+        |      AS t_post
+        |  FROM a)
+        |SELECT n_control, n_treatment,
+        |  ROUND(c_pre / CAST(n_control AS DOUBLE), 9) AS mean_control_pre,
+        |  ROUND(c_post / CAST(n_control AS DOUBLE), 9) AS mean_control_post,
+        |  ROUND(t_pre / CAST(n_treatment AS DOUBLE), 9) AS mean_treatment_pre,
+        |  ROUND(t_post / CAST(n_treatment AS DOUBLE), 9)
+        |    AS mean_treatment_post,
+        |  ROUND((t_post / CAST(n_treatment AS DOUBLE)
+        |      - t_pre / CAST(n_treatment AS DOUBLE))
+        |    - (c_post / CAST(n_control AS DOUBLE)
+        |      - c_pre / CAST(n_control AS DOUBLE)), 9) AS did
+        |FROM cells""".stripMargin)),
+
     // Holt linear-trend forecast per commodity over the calendar-dense
     // daily series — EVERY update in exact 1e-4 integer units with one
     // half-up division per recurrence (α=1/4, β=1/8), zero float drift;
