@@ -1277,6 +1277,74 @@ object TextQueries {
            |SELECT 4, l, r, weight FROM t4""".stripMargin
       }),
 
+    // BPE encode — apply the 4 merges trained on this corpus to every
+    // document (the tokenizer pass that actually touches 100 TB): the
+    // corpus collapses to the distinct-word vocab, the merge chain runs
+    // per vocab word, per-doc stats come from the doc→word join
+    // (Subword.bpeEncodeStats scaladoc). The oracle re-trains the same
+    // 4 rounds in SQL with the word carried through the state chain,
+    // then encodes from the final state — trainer AND encoder
+    // hash-proven in one entry.
+    Entry(
+      "bpe_encode",
+      (s, dir) => {
+        val d = docs(s, dir)
+        val merges = graft.text.Subword.bpeTrainMerges(d, rounds = 4)
+          .orderBy("round").collect()
+          .map(r => (r.getString(1), r.getString(2))).toSeq
+        graft.text.Subword.bpeEncodeStats(d, merges)
+      },
+      Some {
+        val maxW = graft.text.Subword.maxWordChars
+        // trainer rounds with `w` carried through the vocab state
+        def roundCtes(k: Int): String =
+          s"""p$k AS (
+             |  SELECT l, r, CAST(SUM(n) AS BIGINT) AS weight
+             |  FROM (
+             |    SELECT v.n, v.syms[g.i] AS l, v.syms[g.i + 1] AS r
+             |    FROM (SELECT n, string_split(s, ' ') AS syms
+             |          FROM v${k - 1}) v
+             |    JOIN generate_series(1, ${maxW - 1}) AS g(i)
+             |      ON g.i <= len(v.syms) - 1) t
+             |  GROUP BY l, r),
+             |t$k AS (SELECT l, r, weight FROM p$k
+             |        ORDER BY weight DESC, l, r LIMIT 1),
+             |v$k AS (
+             |  SELECT v.w, v.n,
+             |    trim(replace(replace(
+             |      '  ' || replace(v.s, ' ', '  ') || '  ',
+             |      ' ' || t.l || '  ' || t.r || ' ',
+             |      ' ' || t.l || t.r || ' '), '  ', ' ')) AS s
+             |  FROM v${k - 1} v CROSS JOIN t$k t)""".stripMargin
+        s"""WITH dw AS (
+           |  SELECT doc_id,
+           |    unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+           |    AS w
+           |  FROM documents),
+           |v0 AS (
+           |  SELECT w, CAST(COUNT(*) AS BIGINT) AS n,
+           |    trim(regexp_replace(w, '([\\s\\S])', '\\1 ', 'g')) AS s
+           |  FROM dw
+           |  WHERE length(w) <= $maxW
+           |  GROUP BY w),
+           |${roundCtes(1)},
+           |${roundCtes(2)},
+           |${roundCtes(3)},
+           |${roundCtes(4)},
+           |enc AS (
+           |  SELECT w, CAST(len(string_split(s, ' ')) AS BIGINT) AS n_toks
+           |  FROM v4)
+           |SELECT d.doc_id,
+           |  COUNT(*) AS n_words,
+           |  CAST(SUM(COALESCE(e.n_toks, 1)) AS BIGINT) AS n_bpe_tokens,
+           |  COUNT(CASE WHEN length(d.w) > $maxW THEN 1 END)
+           |    AS n_long_words,
+           |  ROUND(CAST(SUM(COALESCE(e.n_toks, 1)) AS DOUBLE)
+           |    / CAST(COUNT(*) AS DOUBLE), 9) AS fertility
+           |FROM dw d LEFT JOIN enc e ON d.w = e.w
+           |GROUP BY d.doc_id""".stripMargin
+      }),
+
     // Temperature-balanced multilingual token budgets (alpha = 0.5 →
     // sqrt, the exactly-rounded IEEE op): sampling share ∝ sqrt(p_lang),
     // the standard up-weighting of low-resource languages. sqrt weights

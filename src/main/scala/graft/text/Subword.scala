@@ -131,4 +131,48 @@ object Subword {
     }
     merges.toSeq.toDF("round", "sym_left", "sym_right", "weight")
   }
+
+  /** Apply a TRAINED ordered merge list to the corpus — the tokenizer's
+    * encode side, the pass that actually touches 100 TB (training runs
+    * once on the vocab; encoding runs on every document forever). Per
+    * doc: word count, BPE token count, long-word count, fertility
+    * (tokens/word — the comparative metric tokenizer papers report).
+    *
+    * Scale shape: the corpus collapses to the DISTINCT-WORD vocab
+    * first; the merge chain (one doubled-separator replace per merge,
+    * [[bpeTrainMerges]]'s exact algebra, codegen'd) runs once per vocab
+    * word, not per occurrence; per-doc stats come from joining the doc→
+    * word stream to the encoded vocab (AQE broadcasts the vocab when it
+    * fits). Words over [[maxWordChars]] are outside the BPE contract
+    * and count as 1 token each, reported in `n_long_words`.
+    */
+  def bpeEncodeStats(docs: DataFrame,
+      merges: Seq[(String, String)]): DataFrame = {
+    val words = docs
+      .select(col("doc_id"),
+        explode(filter(split(col("text"), " "),
+          t => length(t) > 0)).as("w"))
+    def q(x: String) = x.replace("\\", "\\\\").replace("'", "\\'")
+    val vocab0 = words.select("w").distinct()
+      .filter(length(col("w")) <= maxWordChars)
+      .withColumn("s",
+        expr("""trim(regexp_replace(w, '([\\s\\S])', '$1 '))"""))
+    val encoded = merges.foldLeft(vocab0) { case (df, (l, r)) =>
+      df.withColumn("s", expr(
+        s"""trim(replace(replace(
+           |  '  ' || replace(s, ' ', '  ') || '  ',
+           |  ' ${q(l)}  ${q(r)} ', ' ${q(l)}${q(r)} '), '  ', ' '))"""
+          .stripMargin))
+    }.select(col("w"), size(split(col("s"), " ")).cast("long").as("n_toks"))
+    words.join(encoded, Seq("w"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(coalesce(col("n_toks"), lit(1L))).as("n_bpe_tokens"),
+        count(when(length(col("w")) > maxWordChars, lit(1)))
+          .as("n_long_words"))
+      .withColumn("fertility",
+        round(col("n_bpe_tokens").cast("double")
+          / col("n_words").cast("double"), 9))
+  }
 }
