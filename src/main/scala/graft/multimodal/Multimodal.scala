@@ -75,6 +75,33 @@ object Multimodal {
     }
   }
 
+  /** Deterministic frame-sampling PLAN: for each asset, the frame
+    * indices a decoder fleet should extract — uniform stride over
+    * `duration × fps` total frames, capped at `maxFrames`, first-frame
+    * anchored. The plan is the relational artifact the expensive decode
+    * stage consumes (each row = one decode task), so making it exact,
+    * engine-reproducible integer algebra matters even though the codec
+    * itself is stubbed: re-runs and retries must schedule the SAME
+    * frames or features drift. Pure per-row arithmetic + one explode —
+    * no shuffle; output is bounded at maxFrames rows per asset.
+    */
+  def frameSamplePlan(assets: org.apache.spark.sql.DataFrame, fps: Int = 30,
+      maxFrames: Int = 8): org.apache.spark.sql.DataFrame = {
+    require(fps >= 1 && maxFrames >= 1, "frameSamplePlan: fps/maxFrames >= 1")
+    assets
+      .filter(col("duration_ms").isNotNull)
+      .withColumn("total_frames",
+        greatest(lit(1L), expr(s"(duration_ms * $fps) div 1000")))
+      .withColumn("n_samples",
+        least(lit(maxFrames.toLong), col("total_frames")))
+      .withColumn("stride", expr("total_frames div n_samples"))
+      .withColumn("sample_seq",
+        explode(sequence(lit(0L), col("n_samples") - 1L)))
+      .select(col("asset_id"), col("media_type"), col("duration_ms"),
+        col("total_frames"), col("n_samples"), col("sample_seq"),
+        (col("sample_seq") * col("stride")).as("frame_index"))
+  }
+
   /** Deterministic synthetic assets derived from the documents table —
     * lets the plumbing run against fixture data with no media libs.
     */

@@ -1031,6 +1031,38 @@ object TextQueries {
       },
       None),
 
+    // Frame-sampling plan for the video assets: the exact integer
+    // schedule (uniform stride over duration×fps frames, capped at 8,
+    // first-frame anchored) the decode fleet consumes — one row per
+    // frame to extract. Unlike the stubbed codec, the PLAN is fully
+    // hash-verified: retries and re-runs must schedule identical frames
+    // or downstream features drift (Multimodal.frameSamplePlan).
+    Entry(
+      "multimodal_frame_plan",
+      (s, dir) => graft.multimodal.Multimodal.frameSamplePlan(
+        graft.multimodal.Multimodal.syntheticAssets(s, dir).toDF()
+          .filter(col("media_type") === "video")),
+      Some("""WITH a AS (
+        |  SELECT doc_id AS asset_id, 'video' AS media_type,
+        |    CAST(n_chars * 100 AS BIGINT) AS duration_ms
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |b AS (
+        |  SELECT *, GREATEST(1, (duration_ms * 30) // 1000)
+        |    AS total_frames
+        |  FROM a),
+        |c AS (
+        |  SELECT *, LEAST(8, total_frames) AS n_samples,
+        |    total_frames // LEAST(8, total_frames) AS stride
+        |  FROM b)
+        |SELECT asset_id, media_type, duration_ms,
+        |  CAST(total_frames AS BIGINT) AS total_frames,
+        |  CAST(n_samples AS BIGINT) AS n_samples,
+        |  CAST(k.k AS BIGINT) AS sample_seq,
+        |  CAST(k.k * stride AS BIGINT) AS frame_index
+        |FROM c
+        |JOIN generate_series(0, 7) AS k(k) ON k.k <= n_samples - 1"""
+        .stripMargin)),
+
     // Token-weighted sampling without replacement: 10 docs per source,
     // inclusion ∝ n_tokens, membership a pure function of md5(doc_id)
     // (Efraimidis-Spirakis priorities; see ops.WeightedSample). The rank
