@@ -489,6 +489,74 @@ object EventQueries {
         |LEFT JOIN s2 ON s1.user_id = s2.user_id
         |LEFT JOIN s3 ON s1.user_id = s3.user_id""".stripMargin)),
 
+    // Time-bounded funnel: each step must land within ONE HOUR of the
+    // previous step (earliest-anchored, the product-analytics
+    // convention — EventOps.funnelWindowed scaladoc).
+    Entry(
+      "funnel_windowed",
+      (s, dir) => EventOps.funnelWindowed(EventOps.events(s, dir),
+        Seq("view", "click", "purchase"), maxGapSeconds = 3600L),
+      Some(s"""WITH $evCte,
+        |s1 AS (SELECT user_id, MIN(ts) AS step1_ts FROM ev
+        |       WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, MIN(e.ts) AS step2_ts
+        |       FROM ev e JOIN s1 ON e.user_id = s1.user_id
+        |       WHERE e.event_type = 'click' AND e.ts > s1.step1_ts
+        |         AND CAST(epoch(e.ts) AS BIGINT)
+        |           - CAST(epoch(s1.step1_ts) AS BIGINT) <= 3600
+        |       GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, MIN(e.ts) AS step3_ts
+        |       FROM ev e JOIN s2 ON e.user_id = s2.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts > s2.step2_ts
+        |         AND CAST(epoch(e.ts) AS BIGINT)
+        |           - CAST(epoch(s2.step2_ts) AS BIGINT) <= 3600
+        |       GROUP BY e.user_id)
+        |SELECT s1.user_id, s1.step1_ts, s2.step2_ts, s3.step3_ts,
+        |  CAST(1 + CASE WHEN s2.user_id IS NOT NULL THEN 1 ELSE 0 END
+        |         + CASE WHEN s3.user_id IS NOT NULL THEN 1 ELSE 0 END
+        |    AS BIGINT) AS reached_stage
+        |FROM s1
+        |LEFT JOIN s2 ON s1.user_id = s2.user_id
+        |LEFT JOIN s3 ON s1.user_id = s3.user_id""".stripMargin)),
+
+    // Position-based (U-shaped) attribution: 0.4 first / 0.4 last /
+    // 0.2 split across middle touches — the heuristic bookend to
+    // time-decay and the Markov removal-effect model.
+    Entry(
+      "attribution_position",
+      (s, dir) => EventOps.attributionPosition(EventOps.events(s, dir)),
+      Some(s"""WITH $evCte,
+        |v AS (SELECT user_id, event_id AS view_id, ts AS view_ts
+        |      FROM ev WHERE event_type = 'view'),
+        |p AS (SELECT user_id, event_id AS purchase_id, ts AS purchase_ts,
+        |        value AS purchase_value
+        |      FROM ev WHERE event_type = 'purchase'),
+        |touch AS (
+        |  SELECT v.user_id, v.view_id, p.purchase_id, p.purchase_value,
+        |    v.view_ts
+        |  FROM v JOIN p ON v.user_id = p.user_id
+        |   AND p.purchase_ts >= v.view_ts
+        |   AND CAST(epoch(p.purchase_ts) AS BIGINT)
+        |       - CAST(epoch(v.view_ts) AS BIGINT) < 1800),
+        |r AS (
+        |  SELECT *,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY purchase_id
+        |      ORDER BY view_ts, view_id) AS BIGINT) AS pos,
+        |    COUNT(*) OVER (PARTITION BY purchase_id) AS n_touches
+        |  FROM touch),
+        |w AS (
+        |  SELECT *, ROUND(
+        |    CASE WHEN n_touches = 1 THEN 1.0
+        |         WHEN n_touches = 2 THEN 0.5
+        |         WHEN pos = 1 THEN 0.4
+        |         WHEN pos = n_touches THEN 0.4
+        |         ELSE 0.2 / CAST(n_touches - 2 AS DOUBLE) END, 9)
+        |    AS weight
+        |  FROM r)
+        |SELECT user_id, purchase_id, view_id, pos, n_touches, weight,
+        |  ROUND(weight * purchase_value, 6) AS attributed_value
+        |FROM w""".stripMargin)),
+
     // Per-group winsorization: clip value to the [p05, p95] band of its
     // event_type (sort-based exact percentiles, 9-decimal-rounded cuts).
     Entry(

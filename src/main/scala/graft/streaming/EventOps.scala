@@ -252,6 +252,66 @@ object EventOps {
     stages.withColumn("reached_stage", reached)
   }
 
+  /** Earliest-anchored funnel with a per-step conversion WINDOW: step
+    * k+1 must land in `(step_k_ts, step_k_ts + maxGapSeconds]`. The
+    * "purchase within an hour of the click" product-analytics form; the
+    * anchor is each user's EARLIEST qualifying event per step (a defined
+    * statistic — the Amplitude-style first-touch convention — not a
+    * search over all anchor combinations, which is exponential and not
+    * what funnel tools report). Same k−1 user-keyed-join shape as
+    * [[funnel]]: no window sort over history.
+    */
+  def funnelWindowed(ev: DataFrame, steps: Seq[String],
+      maxGapSeconds: Long): DataFrame = {
+    require(steps.size >= 2, s"funnelWindowed: need at least 2 steps")
+    require(maxGapSeconds >= 1, "funnelWindowed: maxGapSeconds >= 1")
+    val first = ev.filter(col("event_type") === steps.head)
+      .groupBy("user_id").agg(min(col("ts")).as("step1_ts"))
+    val stages = steps.tail.zipWithIndex.foldLeft(first) {
+      case (acc, (step, i)) =>
+        val prev = s"step${i + 1}_ts"
+        val cur = s"step${i + 2}_ts"
+        val nxt = ev.filter(col("event_type") === step)
+          .select(col("user_id"), col("ts"))
+          .join(acc.select(col("user_id"), col(prev)), "user_id")
+          .filter(col("ts") > col(prev) &&
+            unix_timestamp(col("ts")) - unix_timestamp(col(prev))
+              <= maxGapSeconds)
+          .groupBy("user_id").agg(min(col("ts")).as(cur))
+        acc.join(nxt, Seq("user_id"), "left_outer")
+    }
+    val reached = steps.indices.tail.foldLeft(lit(1L)) { (acc, i) =>
+      acc + when(col(s"step${i + 1}_ts").isNotNull, 1L).otherwise(0L)
+    }
+    stages.withColumn("reached_stage", reached)
+  }
+
+  /** Position-based (U-shaped) multi-touch attribution: per purchase,
+    * in-window views weighted 0.4 first / 0.4 last / 0.2 split across
+    * middles (n=1 → 1.0, n=2 → 0.5 each) — the heuristic bookend to
+    * [[attributionTimeDecay]] (recency-weighted) and the Markov
+    * removal-effect model (data-driven). Same interval join; the
+    * position rank is a window bounded per purchase's touch list.
+    */
+  def attributionPosition(ev: DataFrame): DataFrame = {
+    val touches = attribution(ev)
+    val byPurchase = Window.partitionBy(col("purchase_id"))
+    val ordered = byPurchase.orderBy(col("view_ts"), col("view_id"))
+    touches
+      .withColumn("pos", row_number().over(ordered).cast("long"))
+      .withColumn("n_touches", count(lit(1)).over(byPurchase))
+      .withColumn("weight", round(
+        when(col("n_touches") === 1L, lit(1.0))
+          .when(col("n_touches") === 2L, lit(0.5))
+          .when(col("pos") === 1L, lit(0.4))
+          .when(col("pos") === col("n_touches"), lit(0.4))
+          .otherwise(lit(0.2) / (col("n_touches") - 2L).cast("double")), 9))
+      .withColumn("attributed_value",
+        round(col("weight") * col("purchase_value"), 6))
+      .select("user_id", "purchase_id", "view_id", "pos", "n_touches",
+        "weight", "attributed_value")
+  }
+
   /** Per-user recency/frequency over event history — the events-table
     * variant of the feature A2/A5 family.
     */
