@@ -217,6 +217,9 @@ object Dedup {
     */
   def bandTable(docs: DataFrame, n: Int = 3, numHashes: Int = 16,
       bands: Int = 4, hasher: Column => Column = md5Hash31): DataFrame = {
+    require(bands >= 1 && bands <= numHashes && numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes): a remainder would" +
+        " silently drop trailing hash functions from every band")
     val sig = minhashSignatures(docs, n, numHashes, hasher)
     val rowsPerBand = numHashes / bands
     val bandCols = (0 until bands).map { bd =>
@@ -243,10 +246,18 @@ object Dedup {
   def incrementalLshCandidates(corpusIndex: DataFrame, batch: DataFrame,
       n: Int = 3, numHashes: Int = 16, bands: Int = 4,
       hasher: Column => Column = md5Hash31): DataFrame = {
+    // the batch's band table feeds THREE join sides (corpus probe +
+    // both sides of the within-batch self-join) — checkpoint it so the
+    // shingle+minhash lineage runs once, not 3×
     val bb = bandTable(batch, n, numHashes, bands, hasher)
+      .localCheckpoint(true)
+    // doc_id inequality: a re-crawled doc whose id is ALREADY in the
+    // corpus index matches itself on every band — a self-pair the exact
+    // verify would score 1.0 and "dedup" the document against itself
     val vsCorpus = bb.as("l")
       .join(corpusIndex.as("r"),
-        col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket"))
+        col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
+          col("l.doc_id") =!= col("r.doc_id"))
       .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
         lit("corpus").as("vs"))
     val within = bb.as("l")

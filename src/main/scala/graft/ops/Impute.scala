@@ -55,38 +55,52 @@ object Impute {
 
   /** Impute numeric `numCol` (group mean → global mean) and categorical
     * `catCol` (group mode → global mode) within `groupCols`, adding
-    * `<col>_imputed` audit flags. Output keeps all input columns.
+    * `<col>_imputed` audit flags. Output keeps all input columns. The
+    * global statistics reuse [[groupMeans]]/[[groupModes]] with an
+    * empty grouping (one definition, no drift) and enter the plan as
+    * broadcast 1-row frames — no eager driver actions. A null that
+    * survives every fallback (the column is ENTIRELY null, so no
+    * statistic exists to impute from) fails loud at evaluation time —
+    * imputation is a correctness boundary, not a place for silent
+    * nulls (the HashSplit.split rule).
     */
   def meanMode(df: DataFrame, groupCols: Seq[String], numCol: String,
       catCol: String): DataFrame = {
     val means = groupMeans(df, groupCols, numCol)
     val modes = groupModes(df, groupCols, catCol)
-    val globalMean = df.filter(col(numCol).isNotNull)
-      .agg(round(sum(col(numCol).cast("decimal(18,4)")).cast("double") /
-        count(col(numCol)).cast("double"), 9).as("g"))
-    val globalMode = df.filter(col(catCol).isNotNull)
-      .groupBy(col(catCol).as("__v")).agg(count(lit(1)).as("__c"))
-      .agg(min(struct((-col("__c")).as("nc"), col("__v").as("v"))).as("b"))
-      .select(col("b.v").as("g"))
-    val gm = globalMean.collect().head.getDouble(0)
-    val gc = globalMode.collect().head.getString(0)
+    val gMean = groupMeans(df, Seq.empty, numCol)
+      .select(col("mean_value").as("__gmean"))
+    val gMode = groupModes(df, Seq.empty, catCol)
+      .select(col("mode_value").as("__gmode"))
+    def failArm(what: String) = raise_error(lit(
+      s"Impute.meanMode: $what is entirely null — no statistic to impute from"))
     df.join(broadcast(means), groupCols, "left")
       .join(broadcast(modes), groupCols, "left")
+      .crossJoin(broadcast(gMean))
+      .crossJoin(broadcast(gMode))
       .withColumn(s"${numCol}_imputed", col(numCol).isNull)
       .withColumn(s"${catCol}_imputed", col(catCol).isNull)
       .withColumn(numCol,
-        coalesce(col(numCol), col("mean_value"), lit(gm)))
+        coalesce(col(numCol), col("mean_value"), col("__gmean"),
+          failArm(numCol).cast("double")))
       .withColumn(catCol,
-        coalesce(col(catCol), col("mode_value"), lit(gc)))
-      .drop("mean_value", "mode_value")
+        coalesce(col(catCol), col("mode_value"), col("__gmode"),
+          failArm(catCol).cast("string")))
+      .drop("mean_value", "mode_value", "__gmean", "__gmode")
   }
 
   /** The md5-bucket null-injection rule (engine-identical in DuckDB via
     * [[HashSplit.bucketSql]]) used by the `impute_missing` entry to
     * exercise imputation on a fixture without natural nulls: nulls the
-    * column when the key's bucket falls in [lo, hi).
+    * column for `perMille` of keys — drawn from the bottom of the
+    * bucket range, or the top with `fromTop` (so two injections on the
+    * same key can target disjoint rows). One bucket comparison → the
+    * md5 evaluates once per row.
     */
-  def injectNulls(c: Column, key: Column, lo: Int, hi: Int): Column =
-    when(HashSplit.bucket(key, 1000) >= lo &&
-      HashSplit.bucket(key, 1000) < hi, lit(null)).otherwise(c)
+  def injectNulls(c: Column, key: Column, perMille: Int,
+      fromTop: Boolean = false): Column = {
+    val b = HashSplit.bucket(key, 1000)
+    when(if (fromTop) b >= (1000 - perMille) else b < perMille, lit(null))
+      .otherwise(c)
+  }
 }

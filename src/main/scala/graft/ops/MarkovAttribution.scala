@@ -47,18 +47,12 @@ object MarkovAttribution {
   /** Sessionized, purchase-truncated channel transition counts:
     * (from_state, to_state, n). The single data-sized pass.
     */
-  def transitions(ev: DataFrame, gapSeconds: Long = 1800L,
+  def transitions(ev: DataFrame,
+      gapSeconds: Long = graft.streaming.EventOps.sessionGapSeconds,
       convType: String = "purchase"): DataFrame = {
-    val byUser = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts"), col("event_id"))
-    val sess = ev
-      .withColumn("ep", unix_timestamp(col("ts")))
-      .withColumn("pep", lag(col("ep"), 1).over(byUser))
-      .withColumn("new_session",
-        when(col("pep").isNull || col("ep") - col("pep") > gapSeconds, 1L)
-          .otherwise(0L))
-      .withColumn("session_seq", sum(col("new_session")).over(
-        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // THE sessionizer (EventOps.withSessionSeq) — the 30-minute gap rule
+    // lives in one place for the whole sessionizer family
+    val sess = graft.streaming.EventOps.withSessionSeq(ev, gapSeconds)
     val bySess = Window.partitionBy(col("user_id"), col("session_seq"))
       .orderBy(col("ts"), col("event_id"))
     // truncate at the first conversion: later events in the session are
@@ -86,11 +80,7 @@ object MarkovAttribution {
   private def round9(x: JBigDecimal): JBigDecimal =
     x.setScale(9, RoundingMode.HALF_UP)
 
-  /** Spark's `round(double, 9)` semantics (shortest-decimal HALF_UP) —
-    * the convention the whole oracle suite quantizes doubles with.
-    */
-  private def round9d(x: Double): JBigDecimal =
-    JBigDecimal.valueOf(x).setScale(9, RoundingMode.HALF_UP)
+  private def round9d(x: Double): JBigDecimal = Round9.round9d(x)
 
   /** Per-channel removal effects from a (collected) transition-count
     * frame: (channel, p_base, p_removed, removal_effect,

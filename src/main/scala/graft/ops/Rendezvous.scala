@@ -35,7 +35,9 @@ object Rendezvous {
       struct(weight(key, w).as("h"), lit(w).as("w"))): _*)).getField("w")
   }
 
-  /** The matching DuckDB weight expression for oracle rendering. */
+  /** The matching DuckDB weight expression for oracle rendering (concat
+    * form — safe to embed mid-line in stripMargin oracle builders).
+    */
   def weightSql(keyExpr: String, worker: String): String =
-    s"CAST(('0x' || substr(md5(CAST($keyExpr AS VARCHAR) || '|$worker'), 1, 8)) AS BIGINT)"
+    s"CAST(('0x' || substr(md5(concat(CAST($keyExpr AS VARCHAR), '|$worker')), 1, 8)) AS BIGINT)"
 }

@@ -54,9 +54,7 @@ object Survival {
         col("c_censored")): _*)
   }
 
-  /** Spark `round(_, 9)` semantics: shortest-decimal HALF_UP. */
-  private def round9d(x: Double): JBigDecimal =
-    JBigDecimal.valueOf(x).setScale(9, RoundingMode.HALF_UP)
+  private def round9d(x: Double): JBigDecimal = Round9.round9d(x)
 
   /** Full estimator: [[curve]] + the exact quantized product fold,
     * returning (groupCols..., time, n_risk, d_events, c_censored,

@@ -457,9 +457,9 @@ object CoreQueries {
         val cust = Catalog.table(s, dir, "customer").select(
           col("c_custkey"), col("c_nationkey").as("nation"),
           graft.ops.Impute.injectNulls(col("c_acctbal"),
-            col("c_custkey"), 0, 100).as("acctbal"),
+            col("c_custkey"), 100).as("acctbal"),
           graft.ops.Impute.injectNulls(col("c_mktsegment"),
-            col("c_custkey"), 900, 1000).as("segment"))
+            col("c_custkey"), 100, fromTop = true).as("segment"))
         graft.ops.Impute.meanMode(cust, Seq("nation"), "acctbal", "segment")
           .select("c_custkey", "nation", "acctbal", "segment",
             "acctbal_imputed", "segment_imputed")

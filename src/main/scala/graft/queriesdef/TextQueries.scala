@@ -1557,15 +1557,20 @@ object TextQueries {
           .withColumn("moved", col("worker_before") =!= col("worker_after"))
       },
       Some {
+        // per-worker selects through Rendezvous.weightSql — the oracle
+        // renders the SAME weight derivation as the engine column
         def pick(workers: Seq[String], as: String) = {
-          val vals = workers.map(w => s"('$w')").mkString(", ")
+          val perWorker = workers.map { w =>
+            s"""SELECT doc_id, '$w' AS worker,
+               |      ${graft.ops.Rendezvous.weightSql("doc_id", w)} AS h
+               |    FROM documents""".stripMargin
+          }.mkString("\n    UNION ALL ")
           s"""(SELECT doc_id, worker AS $as FROM (
-             |  SELECT d.doc_id, w.w AS worker,
-             |    ROW_NUMBER() OVER (PARTITION BY d.doc_id ORDER BY
-             |      CAST(('0x' || substr(md5(
-             |        concat(CAST(d.doc_id AS VARCHAR), '|', w.w)),
-             |        1, 8)) AS BIGINT) DESC, w.w DESC) AS rn
-             |  FROM documents d CROSS JOIN (VALUES $vals) w(w)) t
+             |  SELECT doc_id, worker,
+             |    ROW_NUMBER() OVER (PARTITION BY doc_id
+             |      ORDER BY h DESC, worker DESC) AS rn
+             |  FROM (
+             |    $perWorker) u) t
              | WHERE rn = 1)""".stripMargin
         }
         s"""WITH b AS ${pick(Seq("w0", "w1", "w2", "w3"), "worker_before")},

@@ -65,18 +65,31 @@ object EventOps {
     */
   val sessionGapSeconds: Long = 1800L
 
-  def sessionize(ev: DataFrame): DataFrame = {
+  /** Gaps-and-islands session assignment — THE sessionizer, shared by
+    * every consumer of the 30-minute rule (sessionize, sessionPaths,
+    * MarkovAttribution.transitions) so the gap semantics (break at
+    * diff > gap, the boundary the sf0.1 full-corpus audit pinned)
+    * live in exactly one place. Appends `session_seq`; scratch columns
+    * are dropped. One shuffle + one sort per user serves the whole
+    * lineage.
+    */
+  def withSessionSeq(ev: DataFrame,
+      gapSeconds: Long = sessionGapSeconds): DataFrame = {
     val byUser = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
-    val withGap = ev
-      .withColumn("epoch", unix_timestamp(col("ts")))
-      .withColumn("prev_epoch", lag(col("epoch"), 1).over(byUser))
-      .withColumn("new_session",
-        when(col("prev_epoch").isNull ||
-          col("epoch") - col("prev_epoch") > sessionGapSeconds, 1L).otherwise(0L))
-      .withColumn("session_seq", sum(col("new_session")).over(
+    ev.withColumn("__epoch", unix_timestamp(col("ts")))
+      .withColumn("__prev_epoch", lag(col("__epoch"), 1).over(byUser))
+      .withColumn("__new_session",
+        when(col("__prev_epoch").isNull ||
+          col("__epoch") - col("__prev_epoch") > gapSeconds, 1L)
+          .otherwise(0L))
+      .withColumn("session_seq", sum(col("__new_session")).over(
         byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    withGap.groupBy(col("user_id"), col("session_seq"))
+      .drop("__epoch", "__prev_epoch", "__new_session")
+  }
+
+  def sessionize(ev: DataFrame): DataFrame = {
+    withSessionSeq(ev).groupBy(col("user_id"), col("session_seq"))
       .agg(
         min(col("ts")).as("session_start"),
         max(col("ts")).as("session_end"),
@@ -94,17 +107,7 @@ object EventOps {
     * table.
     */
   def sessionPaths(ev: DataFrame): DataFrame = {
-    val byUser = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts"), col("event_id"))
-    val assigned = ev
-      .withColumn("epoch", unix_timestamp(col("ts")))
-      .withColumn("prev_epoch", lag(col("epoch"), 1).over(byUser))
-      .withColumn("new_session",
-        when(col("prev_epoch").isNull ||
-          col("epoch") - col("prev_epoch") > sessionGapSeconds, 1L)
-          .otherwise(0L))
-      .withColumn("session_seq", sum(col("new_session")).over(
-        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val assigned = withSessionSeq(ev)
     val bySession = Window.partitionBy(col("user_id"), col("session_seq"))
       .orderBy(col("ts"), col("event_id"))
     val edges = assigned
