@@ -445,6 +445,55 @@ object CoreQueries {
         | AND abs(length(a.c_name) - length(b.c_name)) <= 1
         |WHERE levenshtein(a.c_name, b.c_name) <= 1""".stripMargin)),
 
+    // Order-independent content digests over three relations (silver
+    // fact with quantized money, part dim, customer dim) — the
+    // post-rewrite reproducibility audit (ops.Digest scaladoc): same
+    // rows in any order/layout → same digest; one changed row → changed
+    // digest. The digest arithmetic itself is hash-proven.
+    Entry(
+      "content_digest",
+      (s, dir) => {
+        val tx = TransactionsAdj(s, dir)
+        val d1 = graft.ops.Digest.tableDigest(tx, "transactions_adj", Seq(
+          col("household_key"), col("basket_id"), col("day"),
+          col("product_id"), col("store_id"),
+          round(col("amount_paid") * 10000).cast("long")))
+        val d2 = graft.ops.Digest.tableDigest(
+          Catalog.table(s, dir, "part"), "part",
+          Seq(col("p_partkey"), col("p_brand")))
+        val d3 = graft.ops.Digest.tableDigest(
+          Catalog.table(s, dir, "customer"), "customer",
+          Seq(col("c_custkey"), col("c_name")))
+        d1.unionByName(d2).unionByName(d3)
+      },
+      Some(s"""WITH ${Oracle.txAdjFull},
+        |h1 AS (
+        |  SELECT CAST(('0x' || substr(md5(concat_ws('|', household_key,
+        |    basket_id, day, product_id, store_id,
+        |    CAST(ROUND(amount_paid * 10000, 0) AS BIGINT))), 1, 15))
+        |    AS BIGINT) AS h
+        |  FROM tx),
+        |h2 AS (
+        |  SELECT CAST(('0x' || substr(md5(concat_ws('|', p_partkey,
+        |    p_brand)), 1, 15)) AS BIGINT) AS h
+        |  FROM part),
+        |h3 AS (
+        |  SELECT CAST(('0x' || substr(md5(concat_ws('|', c_custkey,
+        |    c_name)), 1, 15)) AS BIGINT) AS h
+        |  FROM customer)
+        |SELECT 'transactions_adj' AS relation, COUNT(*) AS n_rows,
+        |  CAST(COALESCE(SUM(h) % 2305843009213693952, 0) AS BIGINT)
+        |    AS digest
+        |FROM h1
+        |UNION ALL
+        |SELECT 'part', COUNT(*),
+        |  CAST(COALESCE(SUM(h) % 2305843009213693952, 0) AS BIGINT)
+        |FROM h2
+        |UNION ALL
+        |SELECT 'customer', COUNT(*),
+        |  CAST(COALESCE(SUM(h) % 2305843009213693952, 0) AS BIGINT)
+        |FROM h3""".stripMargin)),
+
     // Deterministic missing-value imputation (ops.Impute): numeric nulls
     // from the group's exact-decimal mean, categorical nulls from the
     // group's mode (struct-argmax, value tiebreak — no window sort),
