@@ -4,6 +4,9 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Order-independent table content digests — the reproducibility audit
+  * the reference's verification counts approximate with row counts
+  * alone (`04a:639-643`, SURVEY.md A9; counts miss value-level drift,
+  * digests don't), and the one
   * a 100 TB pipeline runs after every rewrite (compaction, cluster
   * migration, engine upgrade): did the TABLE change, independent of row
   * order, file layout, and partitioning? Row-level: a 60-bit md5-derived

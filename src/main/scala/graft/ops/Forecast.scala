@@ -4,7 +4,10 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Holt linear-trend exponential smoothing — the demand-forecast
-  * primitive (next-day spend per commodity) — run ENTIRELY in exact
+  * primitive (next-day spend per commodity) a propensity platform grows
+  * next to the reference's classifier (which predicts WHO buys,
+  * `04b_Task__Model_Training.py`; a forecaster predicts HOW MUCH and
+  * WHEN — SURVEY.md §1 "not present: dedicated time-series types") — run ENTIRELY in exact
   * 1e-4 integer units, the `spend_seasonal_decompose` treatment applied
   * to a recursive statistic:
   *

@@ -6,8 +6,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Markov removal-effect attribution (Anderl et al. 2016) — the
-  * data-driven multi-touch attribution model that replaces positional
+/** Markov removal-effect attribution (Anderl et al. 2016): the
+  * data-driven multi-touch attribution model the reference's propensity
+  * scores feed in production (SURVEY.md §1 — the reference stops at
+  * daily batch scoring; which touchpoint CAUSED the purchase is the
+  * question it leaves open). It replaces positional
   * heuristics (first/last-touch): model user journeys as a first-order
   * Markov chain over channels, and credit each channel by how much the
   * chain's conversion probability DROPS when that channel is removed.

@@ -5,7 +5,10 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Quantile normalization — map every group's distribution onto the
-  * GLOBAL distribution: each value is replaced by the global value at
+  * GLOBAL distribution (the reference's only scaling is
+  * cast-all-to-double, `04a_Task__Feature_Engineering.py:556-558` /
+  * SURVEY.md P11 — shape normalization is absent from it entirely):
+  * each value is replaced by the global value at
   * its group-relative rank. The cross-cohort feature-scaling transform
   * (microarray-famous, equally at home normalizing per-source quality
   * scores before a corpus-wide cutoff) that z-scoring cannot replicate

@@ -4,7 +4,9 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** Rendezvous (highest-random-weight) routing — the consistent
-  * assignment rule for elastic scale-out: each key goes to the worker
+  * assignment rule for elastic scale-out, absent from the reference
+  * (its daily jobs re-read whole tables, `03_Define_Workflow.py:96-99`;
+  * pinned state needs stable placement): each key goes to the worker
   * with the highest hash(key, worker), so adding a worker moves only
   * ~1/(n+1) of the keys (and only INTO the new worker), instead of the
   * near-total reshuffle a `hash(key) % n` routing causes. The shape a

@@ -7,7 +7,10 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Kaplan–Meier survival estimation (right-censored) — the
-  * purchase-cycle / churn statistic behind "how long until the customer
+  * purchase-cycle / churn statistic the reference's fixed-30-day label
+  * horizon flattens away (`04b_Task__Model_Training.py:122` stamps
+  * purchased-within-window flags and discards WHEN within the window —
+  * SURVEY.md §2.6): the statistic behind "how long until the customer
   * buys again", fed by the same inter-purchase gaps as
   * `repurchase_intervals` but answering the censoring-aware question
   * that a plain gap histogram gets wrong (households whose NEXT purchase

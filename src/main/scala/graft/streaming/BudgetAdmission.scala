@@ -4,8 +4,10 @@ import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
-/** Streaming token-budget admission control — the ingestion-time twin of
-  * [[graft.ops.TokenBudget]]: a live document stream (crawl output,
+/** Streaming token-budget admission control — the ingestion-time twin
+  * of [[graft.ops.TokenBudget]], part of the engine's Structured
+  * Streaming extension family (the reference has no streaming surface
+  * at all — SURVEY.md §1 "Not present: streams"): a live document stream (crawl output,
   * vendor feed) is admitted per source until that source's TOKEN budget
   * fills, then the tap closes. Batch TokenBudget selects in content-hash
   * order from a corpus at rest; admission control decides in ARRIVAL
