@@ -1464,6 +1464,100 @@ object AnalyticsQueries {
            |${one("product_id")}""".stripMargin
       }),
 
+    // Gini concentration of spend across households per commodity
+    // (Lorenz-curve inequality — "do 10% of households carry 90% of the
+    // category"): rank-weighted exact decimal sums close the standard
+    // identity G = (2·Σi·xᵢ − (n+1)·Σx)/(n·Σx); windows bounded per
+    // commodity, doubles only at the closing division.
+    Entry(
+      "spend_gini",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val hh = FeatureBuilder.txWithCommodity(s, dir)
+          .groupBy(col("commodity_desc"), col("household_key"))
+          .agg(sum(col("amount_paid").cast("decimal(18,4)"))
+            .cast("decimal(18,4)").as("x"))
+        val w = Window.partitionBy("commodity_desc")
+          .orderBy(col("x"), col("household_key"))
+        val ranked = hh.withColumn("i", row_number().over(w).cast("long"))
+        ranked.groupBy("commodity_desc").agg(
+          count(lit(1)).as("n_households"),
+          sum(col("x")).cast("double").as("total_spend"),
+          round((lit(2.0) * sum(col("x") * col("i")).cast("double")
+            - (count(lit(1)) + lit(1L)).cast("double")
+              * sum(col("x")).cast("double"))
+            / (count(lit(1)).cast("double") * sum(col("x")).cast("double")),
+            9).as("gini"))
+      },
+      Some(s"""WITH ${Oracle.txCommodity},
+        |hh AS (
+        |  SELECT commodity_desc, household_key,
+        |    CAST(SUM(CAST(amount_paid AS DECIMAL(18,4))) AS DECIMAL(18,4))
+        |      AS x
+        |  FROM txc GROUP BY 1, 2),
+        |r AS (
+        |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY commodity_desc
+        |    ORDER BY x, household_key) AS BIGINT) AS i
+        |  FROM hh)
+        |SELECT commodity_desc, COUNT(*) AS n_households,
+        |  CAST(SUM(x) AS DOUBLE) AS total_spend,
+        |  ROUND((2.0 * CAST(SUM(x * i) AS DOUBLE)
+        |    - CAST(COUNT(*) + 1 AS DOUBLE) * CAST(SUM(x) AS DOUBLE))
+        |    / (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(x) AS DOUBLE)), 9)
+        |    AS gini
+        |FROM r GROUP BY commodity_desc""".stripMargin)),
+
+    // Theil–Sen robust trend per commodity: the MEDIAN of all pairwise
+    // weekly-spend slopes — a single outlier week cannot move it, unlike
+    // the OLS slope (price_quantity_corr family). The pair space is
+    // calendar-bounded (weeks² per commodity, identical at any sf);
+    // slopes are 9-dp-quantized before the interpolated median
+    // (the repurchase_intervals percentile convention).
+    Entry(
+      "theil_sen_trend",
+      (s, dir) => {
+        val (lo, _) = Retail.dayBounds(s, dir)
+        val weekly = FeatureBuilder.txWithCommodity(s, dir)
+          .withColumn("week_idx",
+            expr(s"datediff(day, DATE '${lo}') div 7").cast("long"))
+          .groupBy(col("commodity_desc"), col("week_idx"))
+          .agg(sum(col("amount_paid").cast("decimal(18,4)"))
+            .cast("double").as("y"))
+        val a = weekly.select(col("commodity_desc"),
+          col("week_idx").as("w1"), col("y").as("y1"))
+        val b = weekly.select(col("commodity_desc"),
+          col("week_idx").as("w2"), col("y").as("y2"))
+        val slopes = a.join(b, Seq("commodity_desc"))
+          .filter(col("w2") > col("w1"))
+          .select(col("commodity_desc"),
+            round((col("y2") - col("y1"))
+              / (col("w2") - col("w1")).cast("double"), 9).as("slope"))
+        val med = graft.ops.ExactPercentiles.perGroup(slopes,
+          Seq("commodity_desc"), "slope", Seq("median_slope" -> 0.5))
+        slopes.groupBy("commodity_desc")
+          .agg(count(lit(1)).as("n_pairs"))
+          .join(med, Seq("commodity_desc"))
+          .select(col("commodity_desc"), col("n_pairs"),
+            round(col("median_slope"), 6).as("median_slope"))
+      },
+      Some(s"""WITH ${Oracle.txCommodity},
+        |gbt AS (SELECT min(day) AS lo FROM txc),
+        |weekly AS (
+        |  SELECT commodity_desc,
+        |    CAST((t.day - g.lo) // 7 AS BIGINT) AS week_idx,
+        |    CAST(SUM(CAST(amount_paid AS DECIMAL(18,4))) AS DOUBLE) AS y
+        |  FROM txc t CROSS JOIN gbt g GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT a.commodity_desc,
+        |    ROUND((b.y - a.y) / CAST(b.week_idx - a.week_idx AS DOUBLE), 9)
+        |      AS slope
+        |  FROM weekly a JOIN weekly b
+        |    ON a.commodity_desc = b.commodity_desc
+        |   AND b.week_idx > a.week_idx)
+        |SELECT commodity_desc, COUNT(*) AS n_pairs,
+        |  ROUND(quantile_cont(slope, 0.5), 6) AS median_slope
+        |FROM pairs GROUP BY commodity_desc""".stripMargin)),
+
     // Difference-in-differences readout: per-household pre/post spend
     // totals (exact decimal), arms hash-assigned (the ab_cuped rule),
     // DiD = (ΔT) − (ΔC) from the four cell means with a fixed double-op

@@ -445,6 +445,49 @@ object CoreQueries {
         | AND abs(length(a.c_name) - length(b.c_name)) <= 1
         |WHERE levenshtein(a.c_name, b.c_name) <= 1""".stripMargin)),
 
+    // Benford first-digit audit over payment amounts (the fraud /
+    // fabricated-data screen): the digit comes from the INTEGER
+    // rendering of the 1e-4-quantized amount (scaling by a power of 10
+    // preserves the leading digit; integer→string rendering is
+    // engine-identical, double→string is NOT), expected shares from
+    // ln(1+1/d)/ln(10) on constants. Deviations close the audit.
+    Entry(
+      "benford_audit",
+      (s, dir) => {
+        val q = TransactionsAdj(s, dir)
+          .select(round(col("amount_paid") * 10000).cast("long").as("q"))
+          .filter(col("q") > 0L)
+          .withColumn("digit",
+            substring(col("q").cast("string"), 1, 1).cast("long"))
+        val tot = q.agg(count(lit(1)).as("n_total"))
+        q.groupBy("digit").agg(count(lit(1)).as("n"))
+          .crossJoin(broadcast(tot))
+          .select(col("digit"), col("n"),
+            round(col("n").cast("double") / col("n_total").cast("double"), 9)
+              .as("observed_share"),
+            round(log(lit(1.0) + lit(1.0) / col("digit").cast("double"))
+              / log(lit(10.0)), 9).as("expected_share"))
+          .withColumn("deviation",
+            round(col("observed_share") - col("expected_share"), 9))
+      },
+      Some(s"""WITH ${Oracle.txAdjFull},
+        |q AS (
+        |  SELECT CAST(substr(CAST(q AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        |  FROM (SELECT CAST(ROUND(amount_paid * 10000, 0) AS BIGINT) AS q
+        |        FROM tx) t
+        |  WHERE q > 0),
+        |tot AS (SELECT COUNT(*) AS n_total FROM q),
+        |d AS (SELECT digit, COUNT(*) AS n FROM q GROUP BY digit)
+        |SELECT d.digit, d.n,
+        |  ROUND(CAST(d.n AS DOUBLE) / CAST(t.n_total AS DOUBLE), 9)
+        |    AS observed_share,
+        |  ROUND(ln(1.0 + 1.0 / CAST(d.digit AS DOUBLE)) / ln(10.0), 9)
+        |    AS expected_share,
+        |  ROUND(ROUND(CAST(d.n AS DOUBLE) / CAST(t.n_total AS DOUBLE), 9)
+        |    - ROUND(ln(1.0 + 1.0 / CAST(d.digit AS DOUBLE)) / ln(10.0), 9),
+        |    9) AS deviation
+        |FROM d CROSS JOIN tot t""".stripMargin)),
+
     // Order-independent content digests over three relations (silver
     // fact with quantized money, part dim, customer dim) — the
     // post-rewrite reproducibility audit (ops.Digest scaladoc): same
