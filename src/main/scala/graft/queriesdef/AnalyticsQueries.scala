@@ -1534,8 +1534,11 @@ object AnalyticsQueries {
               / (col("w2") - col("w1")).cast("double"), 9).as("slope"))
         val med = graft.ops.ExactPercentiles.perGroup(slopes,
           Seq("commodity_desc"), "slope", Seq("median_slope" -> 0.5))
-        slopes.groupBy("commodity_desc")
-          .agg(count(lit(1)).as("n_pairs"))
+        // n_pairs = C(n_weeks, 2) from the weekly table — counting the
+        // slopes frame would re-execute the whole pair join a second time
+        weekly.groupBy("commodity_desc")
+          .agg((count(lit(1)) * (count(lit(1)) - 1L) / lit(2L))
+            .cast("long").as("n_pairs"))
           .join(med, Seq("commodity_desc"))
           .select(col("commodity_desc"), col("n_pairs"),
             round(col("median_slope"), 6).as("median_slope"))
