@@ -445,6 +445,56 @@ object CoreQueries {
         | AND abs(length(a.c_name) - length(b.c_name)) <= 1
         |WHERE levenshtein(a.c_name, b.c_name) <= 1""".stripMargin)),
 
+    // Referential-integrity audit over the star schema's FK edges
+    // (fact→orders, orders→customer, fact→part): row count, orphan
+    // count (FK with no dim row), distinct-key coverage — the
+    // constraint check a warehouse without enforced FKs (parquet lakes,
+    // like the reference's Delta tables) must run as a query. Each edge
+    // is one left join + conditional counts; the dim side's distinct
+    // keys collapse map-side.
+    Entry(
+      "fk_integrity_audit",
+      (s, dir) => {
+        def edge(name: String, fact: org.apache.spark.sql.DataFrame,
+            fk: String, dim: org.apache.spark.sql.DataFrame,
+            pk: String) = {
+          val keys = dim.select(col(pk).as("__pk")).distinct()
+          fact.select(col(fk).as("__fk"))
+            .join(keys, col("__fk") === col("__pk"), "left")
+            .agg(
+              count(lit(1)).as("n_rows"),
+              count(when(col("__pk").isNull, lit(1))).as("n_orphans"),
+              countDistinct(col("__fk")).as("n_distinct_fk"))
+            .select(lit(name).as("fk_edge"), col("n_rows"),
+              col("n_orphans"), col("n_distinct_fk"))
+        }
+        val li = Catalog.table(s, dir, "lineitem")
+        val ord = Catalog.table(s, dir, "orders")
+        edge("lineitem->orders", li, "l_orderkey", ord, "o_orderkey")
+          .unionByName(edge("orders->customer", ord, "o_custkey",
+            Catalog.table(s, dir, "customer"), "c_custkey"))
+          .unionByName(edge("lineitem->part", li, "l_partkey",
+            Catalog.table(s, dir, "part"), "p_partkey"))
+      },
+      Some {
+        def edge(name: String, fact: String, fk: String, dim: String,
+            pk: String) =
+          s"""SELECT '$name' AS fk_edge, COUNT(*) AS n_rows,
+             |  COUNT(CASE WHEN d.__pk IS NULL THEN 1 END) AS n_orphans,
+             |  COUNT(DISTINCT f.$fk) AS n_distinct_fk
+             |FROM $fact f LEFT JOIN
+             |  (SELECT DISTINCT $pk AS __pk FROM $dim) d
+             |  ON f.$fk = d.__pk""".stripMargin
+        s"""${edge("lineitem->orders", "lineitem", "l_orderkey",
+              "orders", "o_orderkey")}
+           |UNION ALL
+           |${edge("orders->customer", "orders", "o_custkey",
+              "customer", "c_custkey")}
+           |UNION ALL
+           |${edge("lineitem->part", "lineitem", "l_partkey",
+              "part", "p_partkey")}""".stripMargin
+      }),
+
     // Benford first-digit audit over payment amounts (the fraud /
     // fabricated-data screen): the digit comes from the INTEGER
     // rendering of the 1e-4-quantized amount (scaling by a power of 10
