@@ -13,15 +13,15 @@ import graft.similarity.Similarity
   */
 object SimilarityQueries {
 
-  /** Ordered Σ a[i]·b[i] over 64 dims (both operands DOUBLE-cast). */
-  private def dotSql(a: String, b: String): String =
+  /** Ordered Σ a[i]·b[i] over the first `dims` dims (DOUBLE-cast). */
+  private def dotSql(a: String, b: String, dims: Int = 64): String =
     s"""(SELECT SUM(CAST($a.embedding[i] AS DOUBLE) * CAST($b.embedding[i] AS DOUBLE) ORDER BY i)
-       | FROM generate_series(1, 64) t(i))""".stripMargin.replace("\n", " ")
+       | FROM generate_series(1, $dims) t(i))""".stripMargin.replace("\n", " ")
 
   /** Same zero-vector convention as Similarity.cosine: cos(0, ·) = 0.0. */
-  private def cosSql(a: String, b: String): String = {
-    val den = s"(sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
-    s"round(CASE WHEN $den <> 0.0 THEN ${dotSql(a, b)} / $den ELSE 0.0 END, 9)"
+  private def cosSql(a: String, b: String, dims: Int = 64): String = {
+    val den = s"(sqrt(${dotSql(a, a, dims)}) * sqrt(${dotSql(b, b, dims)}))"
+    s"round(CASE WHEN $den <> 0.0 THEN ${dotSql(a, b, dims)} / $den ELSE 0.0 END, 9)"
   }
 
   def entries: Seq[Entry] = Seq(
@@ -258,5 +258,64 @@ object SimilarityQueries {
         |SELECT vec_id, COUNT(*) AS n_dims, MIN(q) AS q_min, MAX(q) AS q_max,
         |  CAST(SUM(q) AS BIGINT) AS q_sum,
         |  ROUND(MAX(err), 9) AS max_abs_err
-        |FROM qe GROUP BY vec_id""".stripMargin)))
+        |FROM qe GROUP BY vec_id""".stripMargin)),
+
+    // Truncated-embedding recall audit (the Matryoshka / dimension-cut
+    // question): exact top-5 under the 16-dim PREFIX vs the full 64-dim
+    // top-5, overlap per query — the cost/quality readout before
+    // shipping a 4× cheaper index. Both rankings are the exact
+    // brute-force operator; recall is exact integer overlap. At corpus
+    // scale the truncated side is the candidate stage (4× less data
+    // per distance), the full side its re-rank — this entry certifies
+    // what the cut costs.
+    Entry(
+      "truncated_recall",
+      (s, dir) => {
+        val emb = Catalog.table(s, dir, "embeddings")
+        val trunc = emb.select(col("vec_id"),
+          slice(col("embedding"), 1, 16).as("embedding"))
+        val full = Similarity.bruteForceTopK(
+          emb.filter(col("vec_id") < 20), emb, k = 5)
+          .select(col("query_id"), col("neighbor_id"))
+        val cut = Similarity.bruteForceTopK(
+          trunc.filter(col("vec_id") < 20), trunc, k = 5)
+          .select(col("query_id"), col("neighbor_id"))
+        // left join (not semi): a query whose truncated list shares
+        // NOTHING with the full list must still report 0, not vanish
+        full.join(cut.withColumn("__hit", lit(1)),
+            Seq("query_id", "neighbor_id"), "left")
+          .groupBy("query_id").agg(
+            count(col("__hit")).as("n_overlap"),
+            count(lit(1)).as("k"))
+          .select(col("query_id"), col("n_overlap"),
+            round(col("n_overlap").cast("double")
+              / col("k").cast("double"), 9).as("recall_at_5"))
+      },
+      Some {
+        def ranked(name: String, dims: Int) =
+          s"""$name AS (
+             |  SELECT * FROM (
+             |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+             |        ORDER BY ${cosSql("q", "c", dims)} DESC, c.vec_id)
+             |        AS rank
+             |    FROM (SELECT vec_id, embedding FROM embeddings
+             |          WHERE vec_id < 20) q,
+             |      embeddings c
+             |    WHERE q.vec_id <> c.vec_id) t
+             |  WHERE rank <= 5)""".stripMargin
+        s"""WITH ${ranked("f", 64)},
+           |${ranked("tr", 16)},
+           |ov AS (
+           |  SELECT f.query_id, COUNT(*) AS n_overlap
+           |  FROM f JOIN tr ON f.query_id = tr.query_id
+           |    AND f.neighbor_id = tr.neighbor_id
+           |  GROUP BY f.query_id),
+           |kk AS (SELECT query_id, COUNT(*) AS k FROM f GROUP BY query_id)
+           |SELECT kk.query_id,
+           |  CAST(COALESCE(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+           |  ROUND(CAST(COALESCE(ov.n_overlap, 0) AS DOUBLE)
+           |    / CAST(kk.k AS DOUBLE), 9) AS recall_at_5
+           |FROM kk LEFT JOIN ov ON kk.query_id = ov.query_id""".stripMargin
+      }))
 }
