@@ -20,6 +20,7 @@ object QueryRegistry {
     queriesdef.TrainScoreQueries.entries,
     queriesdef.EvalQueries.entries,
     queriesdef.AnalyticsQueries.entries,
+    queriesdef.CausalQueries.entries,
     queriesdef.TextQueries.entries,
     queriesdef.SimilarityQueries.entries,
     queriesdef.EventQueries.entries)

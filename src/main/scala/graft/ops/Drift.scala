@@ -89,6 +89,75 @@ object Drift {
         max(col("cdf_gap")).as("ks"))
   }
 
+  /** EXACT two-sample Kolmogorov-Smirnov statistic — the unbinned
+    * companion to [[perGroup]]'s binned KS: sup over the pooled sample of
+    * |F_a(v) − F_b(v)|, evaluated at every distinct value, with the
+    * maximizing value reported. The sup of an ECDF difference is attained
+    * at a sample point, so "every distinct value" IS exact.
+    *
+    * Integer-exact throughout: the gap at value v is
+    * |c_a(v)·n_b − c_b(v)·n_a| (cross-multiplied cumulative counts, exact
+    * int128 via DECIMAL(19,0) products); the statistic is the max gap
+    * divided ONCE by n_a·n_b. No double accumulates, so the result is
+    * engine-bit-exact.
+    *
+    * Scale shape: a map-combinable groupBy collapses the data to its
+    * distinct-value domain; the cumulative counts then come from the
+    * [[Ntile]] trick — repartitionByRange over values, per-partition
+    * prefix sums (window partitioned by `spark_partition_id`), plus
+    * broadcast per-partition offsets — so no single-task global window
+    * ever sees the value table.
+    *
+    * Output: ONE row (n_a, n_b, ks, ks_at) — ks_at is the smallest value
+    * attaining the sup (deterministic tie-break).
+    */
+  def exactKs(df: DataFrame, valueCol: String, isA: Column): DataFrame = {
+    val byValue = df
+      .filter(col(valueCol).isNotNull)
+      .groupBy(col(valueCol).cast("decimal(18,4)").as("v"))
+      .agg(
+        sum(when(isA, 1L).otherwise(0L)).as("a"),
+        sum(when(isA, 0L).otherwise(1L)).as("b"))
+    // distributed prefix: range-partition by value, rank only within the
+    // task's slice, add the broadcast offset of preceding partitions
+    val parted = byValue.repartitionByRange(col("v"))
+      .withColumn("__pid", spark_partition_id())
+    val offsets = parted.groupBy("__pid")
+      .agg(sum(col("a")).as("__ca"), sum(col("b")).as("__cb"))
+      .withColumn("__offa", coalesce(sum(col("__ca")).over(
+        Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .withColumn("__offb", coalesce(sum(col("__cb")).over(
+        Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .withColumn("__na", sum(col("__ca")).over(Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("__nb", sum(col("__cb")).over(Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select("__pid", "__offa", "__offb", "__na", "__nb")
+    val local = Window.partitionBy(col("__pid")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val gaps = parted
+      .withColumn("__la", sum(col("a")).over(local))
+      .withColumn("__lb", sum(col("b")).over(local))
+      .join(broadcast(offsets), Seq("__pid"))
+      .select(col("v"), col("__na").as("n_a"), col("__nb").as("n_b"),
+        abs((col("__offa") + col("__la")).cast("decimal(19,0)")
+            * col("__nb").cast("decimal(19,0)")
+          - (col("__offb") + col("__lb")).cast("decimal(19,0)")
+            * col("__na").cast("decimal(19,0)")).as("gap"))
+    val maxGap = gaps.agg(max(col("gap")).as("mg"))
+    gaps.join(broadcast(maxGap), col("gap") === col("mg"))
+      .agg(
+        max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+        max(col("gap")).as("gap"), min(col("v")).as("ks_at"))
+      .select(col("n_a"), col("n_b"),
+        round(col("gap").cast("double")
+          / (col("n_a").cast("decimal(19,0)")
+            * col("n_b").cast("decimal(19,0)")).cast("double"), 9).as("ks"),
+        col("ks_at").cast("double").as("ks_at"))
+  }
+
   /** The matching DuckDB SQL over relation `rel` (must expose groupCols,
     * a `v` value column, and an `is_base` boolean).
     */

@@ -1,0 +1,91 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Univariate feature screening against a binary label — the filter-stage
+  * companion to [[ModelEval]]'s AUC screen: the chi-square test of
+  * independence and Cramér's V for each candidate binary feature. The
+  * standard pre-model triage on wide feature tables (the reference's
+  * grain tables run to ~400 columns, `04b`; at that width you screen
+  * before you fit).
+  *
+  * For a 2×2 contingency table [[a, b], [c, d]] (a = feature∧label,
+  * b = feature∧¬label, c = ¬feature∧label, d = neither) the chi-square
+  * statistic has the exact single-ratio form
+  *
+  *   χ² = n·(a·d − b·c)² / ((a+b)(c+d)(a+c)(b+d)),   n = a+b+c+d
+  *
+  * and Cramér's V = √(χ²/n) — so both close with ONE double division
+  * (plus a correctly-rounded IEEE sqrt) over exact integer products.
+  * Engine-bit-exact with no rounding convention needed beyond round9.
+  *
+  * Overflow headroom: products accumulate in DECIMAL(38,0) (int128).
+  * n·(ad−bc)² ≤ n⁵/16 stays inside 38 digits for n up to ~10⁸ units;
+  * past that (beyond any per-unit table this engine screens) the closing
+  * would move to double. The `a..d` counts come from ONE map-side hash
+  * aggregate over the unpivoted (feature, f, label) rows — no window,
+  * no join, output rows = #features.
+  */
+object Screen {
+
+  /** Chi-square screen over long-form rows (feature: String, f: 0/1,
+    * label: 0/1) — one output row per feature, ordered by feature:
+    * (feature, n_f1_l1, n_f1_l0, n_f0_l1, n_f0_l0, chi2, cramers_v).
+    */
+  def chi2(rows: DataFrame): DataFrame = {
+    val f = col("f").cast("long"); val l = col("label").cast("long")
+    val counts = rows.groupBy("feature").agg(
+      sum(f * l).as("a"),
+      sum(f * (lit(1L) - l)).as("b"),
+      sum((lit(1L) - f) * l).as("c"),
+      sum((lit(1L) - f) * (lit(1L) - l)).as("d"))
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(19,0)")
+    val n = col("a") + col("b") + col("c") + col("d")
+    // |ad−bc| ≤ n²/4, so every product below stays inside DECIMAL(38,0)
+    // (scale-0 multiplies keep scale 0 under Spark's precision cap) for
+    // n up to ~10⁸ units — exact int128 arithmetic at any realistic
+    // per-unit table; beyond that the closing would move to double
+    val adbc = dec(col("a")) * dec(col("d")) - dec(col("b")) * dec(col("c"))
+    val adbc2 = adbc * adbc
+    val num = dec(n) * adbc2
+    val den = dec(col("a") + col("b")) * dec(col("c") + col("d")) *
+      dec(col("a") + col("c")) * dec(col("b") + col("d"))
+    counts.select(
+      col("feature"),
+      col("a").as("n_f1_l1"), col("b").as("n_f1_l0"),
+      col("c").as("n_f0_l1"), col("d").as("n_f0_l0"),
+      // a degenerate margin (a feature or label constant over the whole
+      // table) has undefined chi2 — surface NULL, not an ANSI div error
+      round(when(den === 0, lit(null))
+        .otherwise(num.cast("double") / den.cast("double")), 9).as("chi2"),
+      round(when(den === 0, lit(null))
+        .otherwise(sqrt(adbc2.cast("double") / den.cast("double"))), 9)
+        .as("cramers_v"))
+      .orderBy("feature")
+  }
+
+  /** The matching DuckDB closing SQL over a relation exposing
+    * (feature, a, b, c, d) — HUGEINT arithmetic mirrors the decimal path.
+    */
+  def chi2Sql(rel: String): String =
+    s"""SELECT feature,
+       |  a AS n_f1_l1, b AS n_f1_l0, c AS n_f0_l1, d AS n_f0_l0,
+       |  ROUND(CAST(CAST(a+b+c+d AS HUGEINT)
+       |      * ((CAST(a AS HUGEINT)*CAST(d AS HUGEINT)
+       |        - CAST(b AS HUGEINT)*CAST(c AS HUGEINT))
+       |       * (CAST(a AS HUGEINT)*CAST(d AS HUGEINT)
+       |        - CAST(b AS HUGEINT)*CAST(c AS HUGEINT))) AS DOUBLE)
+       |    / CAST(CAST(a+b AS HUGEINT)*CAST(c+d AS HUGEINT)
+       |      * CAST(a+c AS HUGEINT)*CAST(b+d AS HUGEINT) AS DOUBLE), 9)
+       |    AS chi2,
+       |  ROUND(SQRT(CAST((CAST(a AS HUGEINT)*CAST(d AS HUGEINT)
+       |        - CAST(b AS HUGEINT)*CAST(c AS HUGEINT))
+       |       * (CAST(a AS HUGEINT)*CAST(d AS HUGEINT)
+       |        - CAST(b AS HUGEINT)*CAST(c AS HUGEINT)) AS DOUBLE)
+       |    / CAST(CAST(a+b AS HUGEINT)*CAST(c+d AS HUGEINT)
+       |      * CAST(a+c AS HUGEINT)*CAST(b+d AS HUGEINT) AS DOUBLE)), 9)
+       |    AS cramers_v
+       |FROM $rel
+       |ORDER BY feature""".stripMargin
+}

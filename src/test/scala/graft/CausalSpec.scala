@@ -1,0 +1,240 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.{Causal, Drift, Screen, ShapleyAttribution}
+
+class CausalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // ---- ipwStratified -------------------------------------------------
+
+  test("ipw: recovers a zero effect the naive pooled difference misses") {
+    // stratum a: y = 10 for everyone; stratum b: y = 100 for everyone —
+    // treatment has NO effect, but b is mostly treated and a mostly not,
+    // so the pooled treated mean is pulled up by composition alone
+    val rows =
+      (1 to 8).map(i => ("a", if (i <= 2) 1 else 0, 10.0)) ++
+      (1 to 8).map(i => ("b", if (i <= 6) 1 else 0, 100.0))
+    val out = Causal.ipwStratified(rows.toDF("stratum", "treated", "y"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("a").getAs[Double]("effect") == 0.0)
+    assert(out("b").getAs[Double]("effect") == 0.0)
+    assert(out("__all__").getAs[Double]("effect") == 0.0)
+    // the confounding is real: pooled naive difference is way off zero
+    val naive = (2 * 10.0 + 6 * 100.0) / 8 - (6 * 10.0 + 2 * 100.0) / 8
+    assert(naive > 40.0)
+    assert(out("__all__").getAs[Long]("n") == 16L)
+    assert(out("__all__").getAs[Long]("n_treat") == 8L)
+    assert(out("a").getAs[Double]("e_hat") == 0.25)
+  }
+
+  test("ipw: nonzero per-stratum effects aggregate size-weighted") {
+    // stratum a (n=4): effect +2; stratum b (n=12): effect -1
+    val rows =
+      Seq(("a", 1, 12.0), ("a", 1, 12.0), ("a", 0, 10.0), ("a", 0, 10.0)) ++
+      (1 to 6).map(_ => ("b", 1, 9.0)) ++ (1 to 6).map(_ => ("b", 0, 10.0))
+    val out = Causal.ipwStratified(rows.toDF("stratum", "treated", "y"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("a").getAs[Double]("effect") == 2.0)
+    assert(out("b").getAs[Double]("effect") == -1.0)
+    // ATE = (4/16)*2 + (12/16)*(-1) = 0.5 - 0.75 = -0.25
+    assert(out("__all__").getAs[Double]("effect") == -0.25)
+  }
+
+  test("ipw: one-armed stratum gets null means and is excluded from ATE") {
+    val rows = Seq(("a", 1, 5.0), ("a", 0, 5.0), ("only_t", 1, 99.0))
+    val out = Causal.ipwStratified(rows.toDF("stratum", "treated", "y"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("only_t").isNullAt(out("only_t").fieldIndex("mean_ctrl")))
+    assert(out("__all__").getAs[Double]("effect") == 0.0)
+  }
+
+  // ---- matchedAtt ----------------------------------------------------
+
+  test("matched ATT: nearest control, tie prefers the <= side") {
+    val rows = Seq(
+      // (id, stratum, treated, x, y)
+      (1L, "s", 0, 10.0, 100.0),
+      (2L, "s", 0, 20.0, 200.0),
+      (3L, "s", 1, 14.0, 150.0), // nearer 10 → match y=100, diff  50
+      (4L, "s", 1, 15.0, 150.0), // tie 5/5  → prefer ≤ → 100, diff 50
+      (5L, "s", 1, 5.0, 80.0),   // nothing below → next → 100, diff -20
+      (6L, "t", 1, 1.0, 1.0))    // stratum with no controls → unmatched
+    val out = Causal.matchedAtt(rows.toDF("id", "stratum", "treated", "x", "y"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("s").getAs[Long]("n_treated") == 3L)
+    assert(out("s").getAs[Long]("n_matched") == 3L)
+    // (50 + 50 - 20) / 3
+    assert(out("s").getAs[Double]("att") == BigDecimal(80.0 / 3)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(out("t").getAs[Long]("n_matched") == 0L)
+    assert(out("t").isNullAt(out("t").fieldIndex("att")))
+    assert(out("__all__").getAs[Long]("n_treated") == 4L)
+    assert(out("__all__").getAs[Long]("n_matched") == 3L)
+  }
+
+  test("matched ATT: matching is with replacement") {
+    // one control, three treated — all three take it
+    val rows = Seq(
+      (1L, "s", 0, 10.0, 7.0),
+      (2L, "s", 1, 9.0, 10.0), (3L, "s", 1, 11.0, 14.0),
+      (4L, "s", 1, 30.0, 27.0))
+    val out = Causal.matchedAtt(rows.toDF("id", "stratum", "treated", "x", "y"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    // diffs: 3, 7, 20 → mean 10
+    assert(out("s").getAs[Double]("att") == 10.0)
+  }
+
+  // ---- upliftQini ----------------------------------------------------
+
+  test("qini: matches a direct reimplementation on random data") {
+    val rnd = new scala.util.Random(7)
+    val rows = (1L to 400L).map { id =>
+      val t = rnd.nextInt(2)
+      val score = rnd.nextInt(1000).toDouble
+      // genuine uplift at high scores: treated convert more
+      val p = if (t == 1 && score > 500) 0.6 else 0.3
+      (id, t, score, if (rnd.nextDouble() < p) 1 else 0)
+    }
+    val got = Causal.upliftQini(
+      rows.toDF("id", "treated", "score", "converted").repartition(7))
+      .collect().map(r => r.getAs[Long]("decile") -> r).toMap
+    // reference: ntile(10) over (score desc, id) then cumulative counts
+    val ranked = rows.sortBy(r => (-r._3, r._1))
+    val n = ranked.size; val ss = n / 10; val nb = n % 10
+    val deciles = ranked.zipWithIndex.map { case (r, i) =>
+      val rank = i + 1
+      val d = if (rank <= nb * (ss + 1)) (rank - 1) / (ss + 1)
+        else nb + (rank - nb * (ss + 1) - 1) / ss
+      (d + 1, r)
+    }
+    var cnt = (0L, 0L, 0L, 0L) // nt, nc, ct, cc
+    (1 to 10).foreach { d =>
+      val rs = deciles.filter(_._1 == d).map(_._2)
+      val nt = rs.count(_._2 == 1).toLong
+      val nc = rs.size - nt
+      val ct = rs.count(r => r._2 == 1 && r._4 == 1).toLong
+      val cc = rs.count(r => r._2 == 0 && r._4 == 1).toLong
+      cnt = (cnt._1 + nt, cnt._2 + nc, cnt._3 + ct, cnt._4 + cc)
+      val expQini = BigDecimal(
+        (cnt._3 * cnt._2 - cnt._4 * cnt._1).toDouble / cnt._2.toDouble)
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(got(d.toLong).getAs[Double]("qini") == expQini, s"decile $d")
+      assert(got(d.toLong).getAs[Long]("n") == rs.size.toLong)
+    }
+    // top decile of a genuinely-uplifted score should carry positive qini
+    assert(got(1L).getAs[Double]("qini") > 0.0)
+  }
+
+  // ---- Drift.exactKs -------------------------------------------------
+
+  test("exact KS: identical samples → 0, disjoint samples → 1") {
+    val same = (1 to 50).flatMap(v => Seq((v.toDouble, true), (v.toDouble, false)))
+    val r0 = Drift.exactKs(same.toDF("value", "is_a"), "value", col("is_a"))
+      .head()
+    assert(r0.getAs[Double]("ks") == 0.0)
+    val apart = (1 to 50).map(v => (v.toDouble, true)) ++
+      (51 to 100).map(v => (v.toDouble, false))
+    val r1 = Drift.exactKs(apart.toDF("value", "is_a"), "value", col("is_a"))
+      .head()
+    assert(r1.getAs[Double]("ks") == 1.0)
+    assert(r1.getAs[Double]("ks_at") == 50.0) // sup first attained at a's max
+  }
+
+  test("exact KS: matches a direct reimplementation, unequal sizes") {
+    val rnd = new scala.util.Random(23)
+    val rows = (1 to 3000).map { _ =>
+      val a = rnd.nextInt(3) > 0 // ~2:1 sizes
+      val v = math.round((rnd.nextGaussian() * 5 +
+        (if (a) 0.0 else 1.5)) * 100) / 100.0
+      (v, a)
+    }
+    val got = Drift.exactKs(rows.toDF("value", "is_a").repartition(11),
+      "value", col("is_a")).head()
+    val na = rows.count(_._2).toLong; val nb = rows.size - na
+    val byV = rows.groupBy(_._1).toSeq.sortBy(_._1)
+    var ca = 0L; var cb = 0L; var best = BigInt(0); var at = Double.NaN
+    byV.foreach { case (v, rs) =>
+      ca += rs.count(_._2); cb += rs.size - rs.count(_._2)
+      val gap = (BigInt(ca) * nb - BigInt(cb) * na).abs
+      if (gap > best) { best = gap; at = v }
+    }
+    assert(got.getAs[Long]("n_a") == na && got.getAs[Long]("n_b") == nb)
+    assert(got.getAs[Double]("ks") == BigDecimal(
+      best.toDouble / (BigInt(na) * BigInt(nb)).toDouble)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(got.getAs[Double]("ks_at") == at)
+  }
+
+  // ---- Screen.chi2 ---------------------------------------------------
+
+  test("chi2: hand-checked table, independence → 0, degenerate → null") {
+    val mk = (f: Int, l: Int, n: Int) => Seq.fill(n)(("x", f, l))
+    // dependent feature: a=30 b=10 c=10 d=50
+    val dep = mk(1, 1, 30) ++ mk(1, 0, 10) ++ mk(0, 1, 10) ++ mk(0, 0, 50)
+    // independent: a=20 b=20 c=30 d=30 → ad = bc → chi2 = 0
+    val ind = (mk(1, 1, 20) ++ mk(1, 0, 20) ++ mk(0, 1, 30) ++ mk(0, 0, 30))
+      .map { case (_, f, l) => ("y", f, l) }
+    // degenerate: label constant → (a+b)(c+d)(a+c)(b+d) has a zero margin
+    val deg = (mk(1, 1, 5) ++ mk(0, 1, 5)).map { case (_, f, l) => ("z", f, l) }
+    val out = Screen.chi2((dep ++ ind ++ deg).toDF("feature", "f", "label"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val n = 100.0; val adbc = 30.0 * 50 - 10.0 * 10
+    val den = 40.0 * 60 * 40 * 60
+    assert(out("x").getAs[Double]("chi2") == BigDecimal(n * adbc * adbc / den)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(out("x").getAs[Double]("cramers_v") == BigDecimal(
+      math.sqrt(adbc * adbc / den)).setScale(9,
+      BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(out("y").getAs[Double]("chi2") == 0.0)
+    assert(out("z").isNullAt(out("z").fieldIndex("chi2")))
+    assert(out("x").getAs[Long]("n_f1_l1") == 30L)
+  }
+
+  // ---- ShapleyAttribution --------------------------------------------
+
+  private def ev(rows: Seq[(Long, Int, String)]) =
+    rows.zipWithIndex.map { case ((u, sec, t), i) =>
+      (i.toLong, new Timestamp(sec * 1000L), u, t)
+    }.toDF("event_id", "ts", "user_id", "event_type")
+
+  test("shapley: hand-computed two-channel game") {
+    // u1: A then buy; u2: A,B then buy; u3: B then buy
+    val events = ev(Seq(
+      (1L, 1, "A"), (1L, 2, "purchase"),
+      (2L, 1, "A"), (2L, 2, "B"), (2L, 3, "purchase"),
+      (3L, 1, "B"), (3L, 2, "purchase")))
+    val out = ShapleyAttribution(events, Seq("A", "B"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    // v(∅)=0 v(A)=1 v(B)=1 v(AB)=3 → φ_A = φ_B = (1·1 + 1·2)/2 = 1.5
+    assert(out("A").getAs[Double]("shapley_conv") == 1.5)
+    assert(out("B").getAs[Double]("shapley_conv") == 1.5)
+    assert(out("A").getAs[Double]("share") == 0.5)
+  }
+
+  test("shapley: efficiency — credits sum to touched conversions") {
+    val rnd = new scala.util.Random(41)
+    val chans = Seq("c0", "c1", "c2")
+    val rows = (1L to 120L).flatMap { u =>
+      val touches = chans.filter(_ => rnd.nextBoolean())
+        .zipWithIndex.map { case (c, i) => (u, i + 1, c) }
+      val buys = if (rnd.nextBoolean()) Seq((u, 10, "purchase")) else Seq()
+      // post-purchase touches must NOT count
+      val post = Seq((u, 11, chans(rnd.nextInt(3))))
+      touches ++ buys ++ post
+    }
+    val events = ev(rows)
+    val out = ShapleyAttribution(events, chans).collect()
+    val total = out.map(_.getAs[Double]("shapley_conv")).sum
+    // touched conversions: users with a purchase AND ≥1 pre-purchase touch
+    val touched = rows.groupBy(_._1).count { case (_, es) =>
+      es.exists(_._3 == "purchase") &&
+        es.exists(e => e._3 != "purchase" && e._2 < 10)
+    }
+    assert(math.abs(total - touched) < 1e-6)
+  }
+}
