@@ -11,12 +11,14 @@ import org.apache.spark.sql.functions._
   * weighting for the ATE, and nearest-neighbor covariate matching (with
   * replacement) for the ATT.
   *
-  * Exactness contract (the engine-wide convention): counts are integers,
-  * money totals accumulate as DECIMAL(18,4) (combine-order independent),
-  * every per-stratum double closes with one pinned association, and
-  * cross-stratum sums of doubles go through DECIMAL(18,9) quantization
-  * before the (exact) sum — so both estimators hash-match a DuckDB oracle
-  * bit for bit.
+  * Exactness contract: counts are integers, money totals accumulate as
+  * DECIMAL(18,4) (combine-order independent), every per-stratum double
+  * closes with one pinned association, and cross-stratum sums of doubles
+  * go through DECIMAL(18,9) quantization before the (exact) sum. The
+  * closings are deliberately UNROUNDED: pure rational arithmetic over
+  * exact operands is already bit-identical across engines, and round(x,9)
+  * at money magnitudes is itself implementation-divergent by 1 ulp (found
+  * the hard way at sf0.1).
   *
   * Scale shape: IPW is ONE map-side-combinable hash aggregate over units
   * (the stratum table is control-sized); matching is a window partitioned
@@ -59,11 +61,14 @@ object Causal {
     val muC = when(nc > 0L, col("sy_c").cast("double") / nc.cast("double"))
     val per = strata.select(
       col("stratum"), col("n"), col("n_treat"),
-      round(col("n_treat").cast("double") / col("n").cast("double"), 9)
-        .as("e_hat"),
-      round(muT, 9).as("mean_treat"),
-      round(muC, 9).as("mean_ctrl"),
-      round(muT - muC, 9).as("effect"),
+      // pure rational closings (exact decimal casts + IEEE divisions)
+      // are bit-identical across engines UNROUNDED; round(x, 9) at this
+      // magnitude is the one step whose implementation differs by 1 ulp
+      // between engines, so it is deliberately absent
+      (col("n_treat").cast("double") / col("n").cast("double")).as("e_hat"),
+      muT.as("mean_treat"),
+      muC.as("mean_ctrl"),
+      (muT - muC).as("effect"),
       // ATE building blocks: quantized per-stratum term (exact to sum)
       when(col("n_treat") > 0L && nc > 0L, (muT - muC))
         .as("dim_raw"))
@@ -79,9 +84,9 @@ object Causal {
       .agg(
         max(col("n_all")).as("n"),
         sum(col("n_treat")).as("n_treat"),
-        round(sum(col("term")).cast("double"), 9).as("effect"))
+        sum(col("term")).cast("double").as("effect"))
       .select(lit("__all__").as("stratum"), col("n"), col("n_treat"),
-        round(col("n_treat").cast("double") / col("n").cast("double"), 9)
+        (col("n_treat").cast("double") / col("n").cast("double"))
           .as("e_hat"),
         lit(null).cast("double").as("mean_treat"),
         lit(null).cast("double").as("mean_ctrl"),
@@ -135,9 +140,10 @@ object Causal {
       sum(col("y") - col("y_match")).as("sdiff"))
     def close(df: DataFrame) = df.select(
       col("stratum"), col("n_treated"), col("n_matched"),
-      // a block with no controls matches nobody: NULL att, not /0
-      round(when(col("n_matched") > 0L,
-        col("sdiff").cast("double") / col("n_matched").cast("double")), 9)
+      // a block with no controls matches nobody: NULL att, not /0.
+      // No round: one division over exact operands is already engine-exact
+      when(col("n_matched") > 0L,
+        col("sdiff").cast("double") / col("n_matched").cast("double"))
         .as("att"))
     close(per).unionByName(close(per.agg(
       sum(col("n_treated")).as("n_treated"),
@@ -180,16 +186,17 @@ object Causal {
       .select(
         col("decile"), col("n"), col("n_treat"),
         col("conv_treat"), col("conv_ctrl"),
-        // incremental uplift: rate_t − rate_c, one division each
-        round(col("conv_treat").cast("double") / nt.cast("double")
-          - col("conv_ctrl").cast("double") / nc.cast("double"), 9)
+        // incremental uplift: rate_t − rate_c, one division each —
+        // unrounded (pure rational arithmetic is engine-exact as is)
+        (col("conv_treat").cast("double") / nt.cast("double")
+          - col("conv_ctrl").cast("double") / nc.cast("double"))
           .as("uplift"),
         // Qini: (C_t·N_c − C_c·N_t) / N_c — exact int128 numerator
-        round((col("cum_ct").cast("decimal(19,0)")
+        ((col("cum_ct").cast("decimal(19,0)")
             * col("cum_nc").cast("decimal(19,0)")
           - col("cum_cc").cast("decimal(19,0)")
             * col("cum_nt").cast("decimal(19,0)")).cast("double")
-          / col("cum_nc").cast("double"), 9).as("qini"))
+          / col("cum_nc").cast("double")).as("qini"))
       .orderBy("decile")
   }
 }

@@ -152,9 +152,10 @@ object Drift {
         max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
         max(col("gap")).as("gap"), min(col("v")).as("ks_at"))
       .select(col("n_a"), col("n_b"),
-        round(col("gap").cast("double")
+        // one division over exact int128 casts — engine-exact unrounded
+        (col("gap").cast("double")
           / (col("n_a").cast("decimal(19,0)")
-            * col("n_b").cast("decimal(19,0)")).cast("double"), 9).as("ks"),
+            * col("n_b").cast("decimal(19,0)")).cast("double")).as("ks"),
         col("ks_at").cast("double").as("ks_at"))
   }
 

@@ -18,7 +18,7 @@ import org.apache.spark.sql.functions._
   *
   * and Cramér's V = √(χ²/n) — so both close with ONE double division
   * (plus a correctly-rounded IEEE sqrt) over exact integer products.
-  * Engine-bit-exact with no rounding convention needed beyond round9.
+  * Engine-bit-exact UNROUNDED — no rounding convention needed at all.
   *
   * Overflow headroom: products accumulate in DECIMAL(38,0) (int128).
   * n·(ad−bc)² ≤ n⁵/16 stays inside 38 digits for n up to ~10⁸ units;
@@ -56,11 +56,13 @@ object Screen {
       col("a").as("n_f1_l1"), col("b").as("n_f1_l0"),
       col("c").as("n_f0_l1"), col("d").as("n_f0_l0"),
       // a degenerate margin (a feature or label constant over the whole
-      // table) has undefined chi2 — surface NULL, not an ANSI div error
-      round(when(den === 0, lit(null))
-        .otherwise(num.cast("double") / den.cast("double")), 9).as("chi2"),
-      round(when(den === 0, lit(null))
-        .otherwise(sqrt(adbc2.cast("double") / den.cast("double"))), 9)
+      // table) has undefined chi2 — surface NULL, not an ANSI div error.
+      // Unrounded: one division (and one IEEE sqrt) over exact int128
+      // casts is engine-exact as is
+      when(den === 0, lit(null))
+        .otherwise(num.cast("double") / den.cast("double")).as("chi2"),
+      when(den === 0, lit(null))
+        .otherwise(sqrt(adbc2.cast("double") / den.cast("double")))
         .as("cramers_v"))
       .orderBy("feature")
   }
@@ -71,20 +73,20 @@ object Screen {
   def chi2Sql(rel: String): String =
     s"""SELECT feature,
        |  a AS n_f1_l1, b AS n_f1_l0, c AS n_f0_l1, d AS n_f0_l0,
-       |  ROUND(CAST(CAST(a+b+c+d AS HUGEINT)
+       |  CAST(CAST(a+b+c+d AS HUGEINT)
        |      * ((CAST(a AS HUGEINT)*CAST(d AS HUGEINT)
        |        - CAST(b AS HUGEINT)*CAST(c AS HUGEINT))
        |       * (CAST(a AS HUGEINT)*CAST(d AS HUGEINT)
        |        - CAST(b AS HUGEINT)*CAST(c AS HUGEINT))) AS DOUBLE)
        |    / CAST(CAST(a+b AS HUGEINT)*CAST(c+d AS HUGEINT)
-       |      * CAST(a+c AS HUGEINT)*CAST(b+d AS HUGEINT) AS DOUBLE), 9)
+       |      * CAST(a+c AS HUGEINT)*CAST(b+d AS HUGEINT) AS DOUBLE)
        |    AS chi2,
-       |  ROUND(SQRT(CAST((CAST(a AS HUGEINT)*CAST(d AS HUGEINT)
+       |  SQRT(CAST((CAST(a AS HUGEINT)*CAST(d AS HUGEINT)
        |        - CAST(b AS HUGEINT)*CAST(c AS HUGEINT))
        |       * (CAST(a AS HUGEINT)*CAST(d AS HUGEINT)
        |        - CAST(b AS HUGEINT)*CAST(c AS HUGEINT)) AS DOUBLE)
        |    / CAST(CAST(a+b AS HUGEINT)*CAST(c+d AS HUGEINT)
-       |      * CAST(a+c AS HUGEINT)*CAST(b+d AS HUGEINT) AS DOUBLE)), 9)
+       |      * CAST(a+c AS HUGEINT)*CAST(b+d AS HUGEINT) AS DOUBLE))
        |    AS cramers_v
        |FROM $rel
        |ORDER BY feature""".stripMargin

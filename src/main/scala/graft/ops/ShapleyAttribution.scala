@@ -24,7 +24,7 @@ import org.apache.spark.sql.functions._
   * Exactness: with n channels the weights are rationals with common
   * denominator n!, so φ_c·n! = Σ |S|!(n−1−|S|)!·Δv(S) is an exact
   * integer; the ONLY floating step is the single closing division by n!.
-  * Engine-exact with no rounding convention needed beyond round9.
+  * Engine-exact UNROUNDED — no rounding convention needed at all.
   *
   * Scale shape: one data-sized pass (per-user channel-set bitmask — a
   * groupBy user with per-channel conditional max, map-side combinable);
@@ -96,10 +96,11 @@ object ShapleyAttribution {
       .withColumn("num_tot", sum(col("num")).over(tot))
       .select(
         col("channel"),
-        round(col("num").cast("double") / lit(fact(n).toDouble), 9)
+        // single divisions over exact integers — engine-exact unrounded
+        (col("num").cast("double") / lit(fact(n).toDouble))
           .as("shapley_conv"),
-        round(when(col("num_tot") =!= 0L,
-          col("num").cast("double") / col("num_tot").cast("double")), 9)
+        when(col("num_tot") =!= 0L,
+          col("num").cast("double") / col("num_tot").cast("double"))
           .as("share"))
       .orderBy("channel")
   }

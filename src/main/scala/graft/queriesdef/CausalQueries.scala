@@ -127,14 +127,14 @@ object CausalQueries {
         |  FROM asg GROUP BY stratum),
         |per AS (
         |  SELECT stratum, n, n_treat,
-        |    ROUND(CAST(n_treat AS DOUBLE) / CAST(n AS DOUBLE), 9) AS e_hat,
-        |    ROUND(CAST(sy_t AS DOUBLE) / NULLIF(CAST(n_treat AS DOUBLE), 0),
-        |      9) AS mean_treat,
-        |    ROUND(CAST(sy_c AS DOUBLE)
-        |      / NULLIF(CAST(n - n_treat AS DOUBLE), 0), 9) AS mean_ctrl,
-        |    ROUND(CAST(sy_t AS DOUBLE) / NULLIF(CAST(n_treat AS DOUBLE), 0)
+        |    CAST(n_treat AS DOUBLE) / CAST(n AS DOUBLE) AS e_hat,
+        |    CAST(sy_t AS DOUBLE) / NULLIF(CAST(n_treat AS DOUBLE), 0)
+        |      AS mean_treat,
+        |    CAST(sy_c AS DOUBLE) / NULLIF(CAST(n - n_treat AS DOUBLE), 0)
+        |      AS mean_ctrl,
+        |    CAST(sy_t AS DOUBLE) / NULLIF(CAST(n_treat AS DOUBLE), 0)
         |      - CAST(sy_c AS DOUBLE)
-        |        / NULLIF(CAST(n - n_treat AS DOUBLE), 0), 9) AS effect,
+        |        / NULLIF(CAST(n - n_treat AS DOUBLE), 0) AS effect,
         |    CASE WHEN n_treat > 0 AND n - n_treat > 0 THEN
         |      CAST(sy_t AS DOUBLE) / CAST(n_treat AS DOUBLE)
         |        - CAST(sy_c AS DOUBLE) / CAST(n - n_treat AS DOUBLE)
@@ -144,13 +144,12 @@ object CausalQueries {
         |    CAST(SUM(n_treat) AS BIGINT) AS nt_all FROM per),
         |allr AS (
         |  SELECT '__all__' AS stratum, t.n_all AS n, t.nt_all AS n_treat,
-        |    ROUND(CAST(t.nt_all AS DOUBLE) / CAST(t.n_all AS DOUBLE), 9)
-        |      AS e_hat,
+        |    CAST(t.nt_all AS DOUBLE) / CAST(t.n_all AS DOUBLE) AS e_hat,
         |    CAST(NULL AS DOUBLE) AS mean_treat,
         |    CAST(NULL AS DOUBLE) AS mean_ctrl,
-        |    ROUND(CAST(SUM(CAST((CAST(p.n AS DOUBLE)
+        |    CAST(SUM(CAST((CAST(p.n AS DOUBLE)
         |        / CAST(t.n_all AS DOUBLE)) * p.dim_raw
-        |      AS DECIMAL(18,9))) AS DOUBLE), 9) AS effect
+        |      AS DECIMAL(18,9))) AS DOUBLE) AS effect
         |  FROM per p CROSS JOIN tot t
         |  GROUP BY t.n_all, t.nt_all)
         |SELECT stratum, n, n_treat, e_hat, mean_treat, mean_ctrl, effect
@@ -202,14 +201,13 @@ object CausalQueries {
         |    SUM(y - y_match) AS sdiff
         |  FROM tr GROUP BY stratum)
         |SELECT stratum, n_treated, n_matched,
-        |  ROUND(CAST(sdiff AS DOUBLE) / NULLIF(CAST(n_matched AS DOUBLE), 0),
-        |    9) AS att
+        |  CAST(sdiff AS DOUBLE) / NULLIF(CAST(n_matched AS DOUBLE), 0) AS att
         |FROM per
         |UNION ALL
         |SELECT '__all__', CAST(SUM(n_treated) AS BIGINT),
         |  CAST(SUM(n_matched) AS BIGINT),
-        |  ROUND(CAST(SUM(sdiff) AS DOUBLE)
-        |    / NULLIF(CAST(SUM(n_matched) AS DOUBLE), 0), 9)
+        |  CAST(SUM(sdiff) AS DOUBLE)
+        |    / NULLIF(CAST(SUM(n_matched) AS DOUBLE), 0)
         |FROM per
         |ORDER BY stratum""".stripMargin)),
 
@@ -255,12 +253,12 @@ object CausalQueries {
         |  WINDOW w AS (ORDER BY decile
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
         |SELECT decile, n, n_treat, conv_treat, conv_ctrl,
-        |  ROUND(CAST(conv_treat AS DOUBLE) / CAST(n_treat AS DOUBLE)
-        |    - CAST(conv_ctrl AS DOUBLE) / CAST(n - n_treat AS DOUBLE), 9)
+        |  CAST(conv_treat AS DOUBLE) / CAST(n_treat AS DOUBLE)
+        |    - CAST(conv_ctrl AS DOUBLE) / CAST(n - n_treat AS DOUBLE)
         |    AS uplift,
-        |  ROUND(CAST(CAST(cum_ct AS HUGEINT) * CAST(cum_nc AS HUGEINT)
+        |  CAST(CAST(cum_ct AS HUGEINT) * CAST(cum_nc AS HUGEINT)
         |      - CAST(cum_cc AS HUGEINT) * CAST(cum_nt AS HUGEINT)
-        |      AS DOUBLE) / CAST(cum_nc AS DOUBLE), 9) AS qini
+        |      AS DOUBLE) / CAST(cum_nc AS DOUBLE) AS qini
         |FROM cum ORDER BY decile""".stripMargin)),
 
     // EXACT two-sample KS between first-half and second-half basket
@@ -314,9 +312,9 @@ object CausalQueries {
         |  FROM c),
         |mg AS (SELECT MAX(gap) AS mg FROM gaps)
         |SELECT MAX(na) AS n_a, MAX(nb) AS n_b,
-        |  ROUND(CAST(MAX(gap) AS DOUBLE)
+        |  CAST(MAX(gap) AS DOUBLE)
         |    / CAST(CAST(MAX(na) AS HUGEINT) * CAST(MAX(nb) AS HUGEINT)
-        |      AS DOUBLE), 9) AS ks,
+        |      AS DOUBLE) AS ks,
         |  CAST(MIN(v) AS DOUBLE) AS ks_at
         |FROM gaps, mg WHERE gap = mg.mg""".stripMargin)),
 
@@ -428,8 +426,7 @@ object CausalQueries {
         |  GROUP BY channel),
         |tt AS (SELECT CAST(SUM(num) AS BIGINT) AS num_tot FROM nums)
         |SELECT channel,
-        |  ROUND(CAST(num AS DOUBLE) / 24.0, 9) AS shapley_conv,
-        |  ROUND(CAST(num AS DOUBLE) / NULLIF(CAST(num_tot AS DOUBLE), 0), 9)
-        |    AS share
+        |  CAST(num AS DOUBLE) / 24.0 AS shapley_conv,
+        |  CAST(num AS DOUBLE) / NULLIF(CAST(num_tot AS DOUBLE), 0) AS share
         |FROM nums, tt ORDER BY channel""".stripMargin)))
 }

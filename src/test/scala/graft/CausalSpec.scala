@@ -68,9 +68,8 @@ class CausalSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r).toMap
     assert(out("s").getAs[Long]("n_treated") == 3L)
     assert(out("s").getAs[Long]("n_matched") == 3L)
-    // (50 + 50 - 20) / 3
-    assert(out("s").getAs[Double]("att") == BigDecimal(80.0 / 3)
-      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // (50 + 50 - 20) / 3 — raw IEEE division, no rounding step
+    assert(out("s").getAs[Double]("att") == 80.0 / 3)
     assert(out("t").getAs[Long]("n_matched") == 0L)
     assert(out("t").isNullAt(out("t").fieldIndex("att")))
     assert(out("__all__").getAs[Long]("n_treated") == 4L)
@@ -120,9 +119,8 @@ class CausalSpec extends AnyFunSuite {
       val ct = rs.count(r => r._2 == 1 && r._4 == 1).toLong
       val cc = rs.count(r => r._2 == 0 && r._4 == 1).toLong
       cnt = (cnt._1 + nt, cnt._2 + nc, cnt._3 + ct, cnt._4 + cc)
-      val expQini = BigDecimal(
-        (cnt._3 * cnt._2 - cnt._4 * cnt._1).toDouble / cnt._2.toDouble)
-        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val expQini =
+        (cnt._3 * cnt._2 - cnt._4 * cnt._1).toDouble / cnt._2.toDouble
       assert(got(d.toLong).getAs[Double]("qini") == expQini, s"decile $d")
       assert(got(d.toLong).getAs[Long]("n") == rs.size.toLong)
     }
@@ -164,9 +162,8 @@ class CausalSpec extends AnyFunSuite {
       if (gap > best) { best = gap; at = v }
     }
     assert(got.getAs[Long]("n_a") == na && got.getAs[Long]("n_b") == nb)
-    assert(got.getAs[Double]("ks") == BigDecimal(
+    assert(got.getAs[Double]("ks") ==
       best.toDouble / (BigInt(na) * BigInt(nb)).toDouble)
-      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
     assert(got.getAs[Double]("ks_at") == at)
   }
 
@@ -185,11 +182,9 @@ class CausalSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r).toMap
     val n = 100.0; val adbc = 30.0 * 50 - 10.0 * 10
     val den = 40.0 * 60 * 40 * 60
-    assert(out("x").getAs[Double]("chi2") == BigDecimal(n * adbc * adbc / den)
-      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
-    assert(out("x").getAs[Double]("cramers_v") == BigDecimal(
-      math.sqrt(adbc * adbc / den)).setScale(9,
-      BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(out("x").getAs[Double]("chi2") == n * adbc * adbc / den)
+    assert(out("x").getAs[Double]("cramers_v")
+      == math.sqrt(adbc * adbc / den))
     assert(out("y").getAs[Double]("chi2") == 0.0)
     assert(out("z").isNullAt(out("z").fieldIndex("chi2")))
     assert(out("x").getAs[Long]("n_f1_l1") == 30L)
