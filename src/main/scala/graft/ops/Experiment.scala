@@ -68,6 +68,79 @@ object Experiment {
         round(col("theta"), 9).as("theta"))
   }
 
+  /** Two-proportion experiment readout: pooled z statistic, per-arm
+    * Wilson score intervals (the CI that behaves at small n and extreme
+    * rates, unlike the Wald interval), and the minimum detectable effect
+    * at the same design — the conversion-rate significance test that
+    * complements [[cuped]]'s continuous-metric readout.
+    *
+    * Input: one row per unit with `arm` ('control'/'treatment') and
+    * `converted` (0/1). Output: ONE row with counts, rates, diff, the
+    * pooled z, Wilson bounds per arm (z = 1.96), and the two-sided
+    * MDE at α = 0.05, power = 0.80 (z_α/2 + z_β = 1.96 + 0.8416).
+    *
+    * Scale shape: one map-side-combinable aggregate producing four
+    * integers; every statistic closes from those with pinned-association
+    * IEEE arithmetic (divisions and correctly-rounded sqrt only — no
+    * transcendental, no rounding step), so the row is engine-bit-exact.
+    */
+  def proportionTest(df: DataFrame): DataFrame = {
+    val t = when(col("arm") === "treatment", 1L).otherwise(0L)
+    val c = col("converted").cast("long")
+    val m = df.agg(
+      sum(lit(1L) - t).as("n_c"), sum(t).as("n_t"),
+      sum((lit(1L) - t) * c).as("conv_c"), sum(t * c).as("conv_t"))
+    val nC = col("n_c").cast("double"); val nT = col("n_t").cast("double")
+    val pC = col("conv_c").cast("double") / nC
+    val pT = col("conv_t").cast("double") / nT
+    val pPool = (col("conv_c") + col("conv_t")).cast("double") /
+      (col("n_c") + col("n_t")).cast("double")
+    val invN = lit(1.0) / nC + lit(1.0) / nT
+    val z = lit(1.96)
+    def wilson(p: org.apache.spark.sql.Column,
+        n: org.apache.spark.sql.Column, sign: Double) =
+      (p + z * z / (lit(2.0) * n)
+        + lit(sign) * z * sqrt(p * (lit(1.0) - p) / n
+          + z * z / (lit(4.0) * n * n))) / (lit(1.0) + z * z / n)
+    m.select(
+      col("n_c"), col("n_t"), col("conv_c"), col("conv_t"),
+      pC.as("p_ctrl"), pT.as("p_treat"), (pT - pC).as("diff"),
+      ((pT - pC) / sqrt(pPool * (lit(1.0) - pPool) * invN)).as("z_stat"),
+      wilson(pC, nC, -1.0).as("ctrl_lo"), wilson(pC, nC, 1.0).as("ctrl_hi"),
+      wilson(pT, nT, -1.0).as("treat_lo"), wilson(pT, nT, 1.0).as("treat_hi"),
+      // MDE: (z_α/2 + z_β) · √(p̄(1−p̄)·(1/n_c + 1/n_t))
+      (lit(1.96 + 0.8416) * sqrt(pPool * (lit(1.0) - pPool) * invN))
+        .as("mde"))
+  }
+
+  /** The matching DuckDB closing SQL over a relation exposing
+    * (n_c, n_t, conv_c, conv_t) — identical association step for step.
+    */
+  def proportionTestSql(rel: String): String = {
+    def w(p: String, n: String, sign: String) =
+      s"""($p + 1.96 * 1.96 / (2.0 * $n)
+         | $sign 1.96 * SQRT($p * (1.0 - $p) / $n
+         |   + 1.96 * 1.96 / (4.0 * $n * $n))) / (1.0 + 1.96 * 1.96 / $n)"""
+        .stripMargin.replaceAll("\n", "")
+    s"""SELECT n_c, n_t, conv_c, conv_t, p_c AS p_ctrl, p_t AS p_treat,
+       |  p_t - p_c AS diff,
+       |  (p_t - p_c) / SQRT(pp * (1.0 - pp) * inv_n) AS z_stat,
+       |  ${w("p_c", "nc", "-")} AS ctrl_lo,
+       |  ${w("p_c", "nc", "+")} AS ctrl_hi,
+       |  ${w("p_t", "nt", "-")} AS treat_lo,
+       |  ${w("p_t", "nt", "+")} AS treat_hi,
+       |  (1.96 + 0.8416) * SQRT(pp * (1.0 - pp) * inv_n) AS mde
+       |FROM (
+       |  SELECT n_c, n_t, conv_c, conv_t,
+       |    CAST(n_c AS DOUBLE) AS nc, CAST(n_t AS DOUBLE) AS nt,
+       |    CAST(conv_c AS DOUBLE) / CAST(n_c AS DOUBLE) AS p_c,
+       |    CAST(conv_t AS DOUBLE) / CAST(n_t AS DOUBLE) AS p_t,
+       |    CAST(conv_c + conv_t AS DOUBLE) / CAST(n_c + n_t AS DOUBLE)
+       |      AS pp,
+       |    1.0 / CAST(n_c AS DOUBLE) + 1.0 / CAST(n_t AS DOUBLE) AS inv_n
+       |  FROM $rel)""".stripMargin
+  }
+
   /** Per-arm RATIO-metric readout with delta-method standard errors —
     * the estimator for "spend per basket"-style metrics where the unit
     * of analysis (household) differs from the ratio's denominator

@@ -67,6 +67,85 @@ object Screen {
       .orderBy("feature")
   }
 
+  /** Mutual information (nats) between each binary feature and the
+    * label, with the marginal entropies and the normalized MI — the
+    * information-theoretic companion to [[chi2]] (captures the same 2×2
+    * dependence on a comparable-across-features scale).
+    *
+    *   MI = Σ_{ij} p_ij·ln(p_ij / (p_i·q_j)),  NMI = MI / min(H_f, H_l)
+    *
+    * Exactness: ln is transcendental (libm last-ulp varies by engine),
+    * so every ln TERM quantizes to DECIMAL(18,9) before the exact sum —
+    * the Drift.psi convention. Zero cells contribute zero (the measure's
+    * own convention). Same one-hash-aggregate scale shape as [[chi2]].
+    */
+  def mutualInfo(rows: DataFrame): DataFrame = {
+    val f = col("f").cast("long"); val l = col("label").cast("long")
+    val counts = rows.groupBy("feature").agg(
+      sum(f * l).as("a"),
+      sum(f * (lit(1L) - l)).as("b"),
+      sum((lit(1L) - f) * l).as("c"),
+      sum((lit(1L) - f) * (lit(1L) - l)).as("d"))
+    val n = (col("a") + col("b") + col("c") + col("d")).cast("double")
+    // p_ij·ln(p_ij·n² / (row·col)) — association pinned; o=0 → 0
+    def term(o: org.apache.spark.sql.Column,
+        row: org.apache.spark.sql.Column, cc: org.apache.spark.sql.Column) =
+      when(o === 0L, lit(0).cast("decimal(18,9)")).otherwise(
+        ((o.cast("double") / n) * log(o.cast("double") * n
+          / (row.cast("double") * cc.cast("double"))))
+          .cast("decimal(18,9)"))
+    def hterm(o: org.apache.spark.sql.Column) =
+      when(o === 0L, lit(0).cast("decimal(18,9)")).otherwise(
+        (-(o.cast("double") / n) * log(o.cast("double") / n))
+          .cast("decimal(18,9)"))
+    val rF = col("a") + col("b"); val rNf = col("c") + col("d")
+    val cL = col("a") + col("c"); val cNl = col("b") + col("d")
+    val mi = (term(col("a"), rF, cL) + term(col("b"), rF, cNl)
+      + term(col("c"), rNf, cL) + term(col("d"), rNf, cNl))
+      .cast("decimal(18,9)")
+    val hF = (hterm(rF) + hterm(rNf)).cast("decimal(18,9)")
+    val hL = (hterm(cL) + hterm(cNl)).cast("decimal(18,9)")
+    counts.select(
+      col("feature"),
+      mi.cast("double").as("mi"),
+      hF.cast("double").as("h_feature"),
+      hL.cast("double").as("h_label"),
+      // min entropy 0 ⟺ a margin is constant ⟺ MI undefined → NULL
+      when(least(hF, hL) > 0,
+        mi.cast("double") / least(hF, hL).cast("double")).as("nmi"))
+      .orderBy("feature")
+  }
+
+  /** The matching DuckDB closing SQL over a relation exposing
+    * (feature, a, b, c, d). */
+  def mutualInfoSql(rel: String): String = {
+    def term(o: String, row: String, cc: String) =
+      s"""CASE WHEN $o = 0 THEN CAST(0 AS DECIMAL(18,9)) ELSE
+         | CAST((CAST($o AS DOUBLE) / n) * LN(CAST($o AS DOUBLE) * n
+         |   / (CAST($row AS DOUBLE) * CAST($cc AS DOUBLE)))
+         |  AS DECIMAL(18,9)) END""".stripMargin.replaceAll("\n", "")
+    def hterm(o: String) =
+      s"""CASE WHEN $o = 0 THEN CAST(0 AS DECIMAL(18,9)) ELSE
+         | CAST(-(CAST($o AS DOUBLE) / n) * LN(CAST($o AS DOUBLE) / n)
+         |  AS DECIMAL(18,9)) END""".stripMargin.replaceAll("\n", "")
+    s"""SELECT feature,
+       |  CAST(mi AS DOUBLE) AS mi,
+       |  CAST(hf AS DOUBLE) AS h_feature,
+       |  CAST(hl AS DOUBLE) AS h_label,
+       |  CASE WHEN LEAST(hf, hl) > 0 THEN
+       |    CAST(mi AS DOUBLE) / CAST(LEAST(hf, hl) AS DOUBLE) END AS nmi
+       |FROM (
+       |  SELECT feature,
+       |    CAST(${term("a", "(a+b)", "(a+c)")} + ${term("b", "(a+b)", "(b+d)")}
+       |      + ${term("c", "(c+d)", "(a+c)")} + ${term("d", "(c+d)", "(b+d)")}
+       |      AS DECIMAL(18,9)) AS mi,
+       |    CAST(${hterm("(a+b)")} + ${hterm("(c+d)")} AS DECIMAL(18,9)) AS hf,
+       |    CAST(${hterm("(a+c)")} + ${hterm("(b+d)")} AS DECIMAL(18,9)) AS hl
+       |  FROM (SELECT feature, a, b, c, d,
+       |      CAST(a + b + c + d AS DOUBLE) AS n FROM $rel))
+       |ORDER BY feature""".stripMargin
+  }
+
   /** The matching DuckDB closing SQL over a relation exposing
     * (feature, a, b, c, d) — HUGEINT arithmetic mirrors the decimal path.
     */

@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 
 import graft.QueryRegistry.Entry
 import graft.core.Retail
-import graft.ops.{Causal, Drift, HashSplit, Screen, ShapleyAttribution}
+import graft.ops.{Causal, Drift, Experiment, HashSplit, Screen, ShapleyAttribution}
 import graft.silver.TransactionsAdj
 import graft.streaming.EventOps
 
@@ -100,6 +100,64 @@ object CausalQueries {
       |  SELECT event_id, CAST(date_trunc('second', ts) AS TIMESTAMP) AS ts,
       |    user_id, event_type, value
       |  FROM events)""".stripMargin
+
+  /** Brand screen fixtures shared by chi2_screen / mi_screen: five
+    * first-half brand-purchase indicators vs a second-half target-brand
+    * label, long form (feature, f, label).
+    */
+  private val screenBrands =
+    Seq("Brand#5", "Brand#11", "Brand#17", "Brand#21", "Brand#24")
+
+  private def brandScreenRows(s: SparkSession, dir: String): DataFrame = {
+    val txc = graft.features.FeatureBuilder.txWithCommodity(s, dir)
+    val (lo, hi) = Retail.dayBounds(s, dir)
+    val mid = Date.valueOf(
+      lo.plusDays(ChronoUnit.DAYS.between(lo, hi) / 2))
+    val hh = txc.groupBy("household_key").agg(
+      max(when(col("day") > lit(mid)
+        && col("commodity_desc") === "Brand#12", 1L).otherwise(0L))
+        .as("label"),
+      screenBrands.map(b =>
+        max(when(col("day") <= lit(mid)
+          && col("commodity_desc") === b, 1L).otherwise(0L))
+          .as(s"f$b")): _*)
+    hh.select(col("label"), expr(
+      "stack(5, " + screenBrands.map(b => s"'$b', `f$b`").mkString(", ")
+        + ") AS (feature, f)"))
+  }
+
+  /** Oracle CTE chain ending at `ct` = (feature, a, b, c, d) — the 2x2
+    * contingency counts of [[brandScreenRows]].
+    */
+  private val screenCtCtes: String = {
+    val flags = screenBrands.map(b =>
+      s"""MAX(CASE WHEN t.day <= g.mid AND commodity_desc = '$b'
+         | THEN 1 ELSE 0 END) AS "f$b"""".stripMargin
+        .replaceAll("\n", "")).mkString(",\n        |    ")
+    val unioned = screenBrands.map(b =>
+      s"""SELECT '$b' AS feature, "f$b" AS f, label FROM hh""")
+      .mkString("\n        |  UNION ALL ")
+    s"""${Oracle.txCommodity},
+        |gb2 AS (
+        |  SELECT min(day) AS lo,
+        |    min(day) + CAST((max(day) - min(day)) // 2 AS INT) AS mid
+        |  FROM tx),
+        |hh AS (
+        |  SELECT household_key,
+        |    MAX(CASE WHEN t.day > g.mid AND commodity_desc = 'Brand#12'
+        |      THEN 1 ELSE 0 END) AS label,
+        |    $flags
+        |  FROM txc t CROSS JOIN gb2 g GROUP BY household_key),
+        |lf AS (
+        |  $unioned),
+        |ct AS (
+        |  SELECT feature,
+        |    CAST(SUM(f * label) AS BIGINT) AS a,
+        |    CAST(SUM(f * (1 - label)) AS BIGINT) AS b,
+        |    CAST(SUM((1 - f) * label) AS BIGINT) AS c,
+        |    CAST(SUM((1 - f) * (1 - label)) AS BIGINT) AS d
+        |  FROM lf GROUP BY feature)""".stripMargin
+  }
 
   def entries: Seq[Entry] = Seq(
 
@@ -323,58 +381,18 @@ object CausalQueries {
     // ONE double division over exact int128 products (Screen scaladoc).
     Entry(
       "chi2_screen",
-      (s, dir) => {
-        val txc = graft.features.FeatureBuilder.txWithCommodity(s, dir)
-        val (lo, hi) = Retail.dayBounds(s, dir)
-        val mid = Date.valueOf(
-          lo.plusDays(ChronoUnit.DAYS.between(lo, hi) / 2))
-        val brands = Seq("Brand#5", "Brand#11", "Brand#17", "Brand#21",
-          "Brand#24")
-        val hh = txc.groupBy("household_key").agg(
-          max(when(col("day") > lit(mid)
-            && col("commodity_desc") === "Brand#12", 1L).otherwise(0L))
-            .as("label"),
-          brands.map(b =>
-            max(when(col("day") <= lit(mid)
-              && col("commodity_desc") === b, 1L).otherwise(0L))
-              .as(s"f$b")): _*)
-        val stacked = hh.select(col("label"), expr(
-          "stack(5, " + brands.map(b => s"'$b', `f$b`").mkString(", ")
-            + ") AS (feature, f)"))
-        Screen.chi2(stacked)
-      },
-      Some {
-        val brands = Seq("Brand#5", "Brand#11", "Brand#17", "Brand#21",
-          "Brand#24")
-        val flags = brands.map(b =>
-          s"""MAX(CASE WHEN t.day <= g.mid AND commodity_desc = '$b'
-             | THEN 1 ELSE 0 END) AS "f$b"""".stripMargin
-            .replaceAll("\n", "")).mkString(",\n        |    ")
-        val unioned = brands.map(b =>
-          s"""SELECT '$b' AS feature, "f$b" AS f, label FROM hh""")
-          .mkString("\n        |  UNION ALL ")
-        s"""WITH ${Oracle.txCommodity},
-        |gb2 AS (
-        |  SELECT min(day) AS lo,
-        |    min(day) + CAST((max(day) - min(day)) // 2 AS INT) AS mid
-        |  FROM tx),
-        |hh AS (
-        |  SELECT household_key,
-        |    MAX(CASE WHEN t.day > g.mid AND commodity_desc = 'Brand#12'
-        |      THEN 1 ELSE 0 END) AS label,
-        |    $flags
-        |  FROM txc t CROSS JOIN gb2 g GROUP BY household_key),
-        |lf AS (
-        |  $unioned),
-        |ct AS (
-        |  SELECT feature,
-        |    CAST(SUM(f * label) AS BIGINT) AS a,
-        |    CAST(SUM(f * (1 - label)) AS BIGINT) AS b,
-        |    CAST(SUM((1 - f) * label) AS BIGINT) AS c,
-        |    CAST(SUM((1 - f) * (1 - label)) AS BIGINT) AS d
-        |  FROM lf GROUP BY feature)
-        |${Screen.chi2Sql("ct")}""".stripMargin
-      }),
+      (s, dir) => Screen.chi2(brandScreenRows(s, dir)),
+      Some(s"""WITH $screenCtCtes
+        |${Screen.chi2Sql("ct")}""".stripMargin)),
+
+    // Mutual-information screen over the same brand indicators: MI in
+    // nats, marginal entropies, and normalized MI — ln terms quantized
+    // to 9dp decimals before the exact sum (Screen.mutualInfo scaladoc).
+    Entry(
+      "mi_screen",
+      (s, dir) => Screen.mutualInfo(brandScreenRows(s, dir)),
+      Some(s"""WITH $screenCtCtes
+        |${Screen.mutualInfoSql("ct")}""".stripMargin)),
 
     // Exact Shapley multi-touch attribution over the four touch channels:
     // coalition values from pre-conversion channel-set bitmasks, credits
@@ -428,5 +446,38 @@ object CausalQueries {
         |SELECT channel,
         |  CAST(num AS DOUBLE) / 24.0 AS shapley_conv,
         |  CAST(num AS DOUBLE) / NULLIF(CAST(num_tot AS DOUBLE), 0) AS share
-        |FROM nums, tt ORDER BY channel""".stripMargin)))
+        |FROM nums, tt ORDER BY channel""".stripMargin)),
+
+    // Two-proportion conversion test on the randomized arms: pooled z,
+    // per-arm Wilson intervals, and the design's minimum detectable
+    // effect — one aggregate to four integers, every statistic closed
+    // with pinned-association IEEE arithmetic, unrounded
+    // (Experiment.proportionTest scaladoc).
+    Entry(
+      "ab_proportion",
+      (s, dir) => {
+        val units = perHousehold(s, dir).select(
+          when(HashSplit.bucket(col("household_key"), 2) === 0,
+            lit("control")).otherwise(lit("treatment")).as("arm"),
+          when(col("y") > 1000000, 1).otherwise(0).as("converted"))
+        Experiment.proportionTest(units)
+      },
+      Some(s"""WITH $unitsCtes,
+        |u AS (
+        |  SELECT CASE WHEN ${HashSplit.bucketSql("household_key", 2)} = 0
+        |      THEN 'control' ELSE 'treatment' END AS arm,
+        |    CASE WHEN y > 1000000 THEN 1 ELSE 0 END AS converted
+        |  FROM ph),
+        |agg AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN arm = 'control' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_c,
+        |    CAST(SUM(CASE WHEN arm = 'treatment' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_t,
+        |    CAST(SUM(CASE WHEN arm = 'control' THEN converted ELSE 0 END)
+        |      AS BIGINT) AS conv_c,
+        |    CAST(SUM(CASE WHEN arm = 'treatment' THEN converted ELSE 0 END)
+        |      AS BIGINT) AS conv_t
+        |  FROM u)
+        |${Experiment.proportionTestSql("agg")}""".stripMargin)))
 }

@@ -190,6 +190,55 @@ class CausalSpec extends AnyFunSuite {
     assert(out("x").getAs[Long]("n_f1_l1") == 30L)
   }
 
+  // ---- Experiment.proportionTest ---------------------------------------
+
+  test("proportion test: hand-checked z, Wilson bounds, MDE") {
+    val rows = (1 to 100).map(i => ("control", if (i <= 30) 1 else 0)) ++
+      (1 to 100).map(i => ("treatment", if (i <= 40) 1 else 0))
+    val out = graft.ops.Experiment.proportionTest(
+      rows.toDF("arm", "converted")).head()
+    assert(out.getAs[Long]("n_c") == 100L && out.getAs[Long]("conv_t") == 40L)
+    assert(out.getAs[Double]("p_ctrl") == 0.3)
+    assert(out.getAs[Double]("diff") == 0.4 - 0.3)
+    val pp = 70.0 / 200.0; val invN = 1.0 / 100 + 1.0 / 100
+    assert(out.getAs[Double]("z_stat") ==
+      (0.4 - 0.3) / math.sqrt(pp * (1.0 - pp) * invN))
+    // Wilson lower bound for control, same association as the operator
+    val z = 1.96; val p = 0.3; val n = 100.0
+    val lo = (p + z * z / (2.0 * n)
+      - z * math.sqrt(p * (1.0 - p) / n + z * z / (4.0 * n * n))) /
+      (1.0 + z * z / n)
+    assert(out.getAs[Double]("ctrl_lo") == lo)
+    assert(out.getAs[Double]("ctrl_lo") < 0.3 &&
+      out.getAs[Double]("ctrl_hi") > 0.3)
+    assert(out.getAs[Double]("mde") ==
+      (1.96 + 0.8416) * math.sqrt(pp * (1.0 - pp) * invN))
+  }
+
+  // ---- Screen.mutualInfo -----------------------------------------------
+
+  test("mutual info: perfect dependence → ln2, independence → 0") {
+    val mk = (g: String, f: Int, l: Int, n: Int) => Seq.fill(n)((g, f, l))
+    val perfect = mk("p", 1, 1, 50) ++ mk("p", 0, 0, 50)
+    val indep = mk("i", 1, 1, 25) ++ mk("i", 1, 0, 25) ++
+      mk("i", 0, 1, 25) ++ mk("i", 0, 0, 25)
+    val degenerate = mk("z", 1, 1, 5) ++ mk("z", 0, 1, 5) // label constant
+    val out = graft.ops.Screen.mutualInfo(
+      (perfect ++ indep ++ degenerate).toDF("feature", "f", "label"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    // each 0.5·ln2 term quantizes to 9 dp before the exact sum
+    val halfLn2q = BigDecimal(0.5 * math.log(2.0))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out("p").getAs[Double]("mi") == 2 * halfLn2q)
+    assert(out("p").getAs[Double]("nmi") == 1.0)
+    assert(out("i").getAs[Double]("mi") == 0.0)
+    assert(out("i").getAs[Double]("nmi") == 0.0)
+    assert(out("i").getAs[Double]("h_label") == 2 * halfLn2q)
+    assert(out("z").getAs[Double]("mi") == 0.0)
+    assert(out("z").getAs[Double]("h_label") == 0.0)
+    assert(out("z").isNullAt(out("z").fieldIndex("nmi")))
+  }
+
   // ---- ShapleyAttribution --------------------------------------------
 
   private def ev(rows: Seq[(Long, Int, String)]) =
