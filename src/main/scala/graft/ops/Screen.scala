@@ -146,6 +146,81 @@ object Screen {
        |ORDER BY feature""".stripMargin
   }
 
+  /** Weight of evidence + information value per binary feature — the
+    * credit-scoring-lineage encoder/screen (Siddiqi, "Credit Risk
+    * Scorecards"): for each feature value v ∈ {1, 0},
+    *
+    *   WoE_v = ln( (n_{v,1}/n_1) / (n_{v,0}/n_0) ),
+    *   IV    = Σ_v (n_{v,1}/n_1 − n_{v,0}/n_0) · WoE_v
+    *
+    * with the conventional +0.5 continuity smoothing on every cell so
+    * empty cells stay finite. ln terms quantize to DECIMAL(18,9) before
+    * the exact IV sum (the [[mutualInfo]] convention). Same
+    * one-hash-aggregate scale shape as [[chi2]].
+    */
+  def woeIv(rows: DataFrame): DataFrame = {
+    val f = col("f").cast("long"); val l = col("label").cast("long")
+    val counts = rows.groupBy("feature").agg(
+      sum(f * l).as("a"),
+      sum(f * (lit(1L) - l)).as("b"),
+      sum((lit(1L) - f) * l).as("c"),
+      sum((lit(1L) - f) * (lit(1L) - l)).as("d"))
+    // smoothed shares: (cell + 0.5) / (margin + 1) — margins gain one
+    // unit total so shares still sum to 1 per class
+    val n1 = (col("a") + col("c")).cast("double") + lit(1.0)
+    val n0 = (col("b") + col("d")).cast("double") + lit(1.0)
+    def share1(o: org.apache.spark.sql.Column) =
+      (o.cast("double") + lit(0.5)) / n1
+    def share0(o: org.apache.spark.sql.Column) =
+      (o.cast("double") + lit(0.5)) / n0
+    val woe1 = log(share1(col("a")) / share0(col("b")))
+      .cast("decimal(18,9)")
+    val woe0 = log(share1(col("c")) / share0(col("d")))
+      .cast("decimal(18,9)")
+    val iv = (((share1(col("a")) - share0(col("b")))
+        * woe1.cast("double")).cast("decimal(18,9)")
+      + ((share1(col("c")) - share0(col("d")))
+        * woe0.cast("double")).cast("decimal(18,9)"))
+      .cast("decimal(18,9)")
+    counts.select(
+      col("feature"),
+      col("a").as("n_f1_l1"), col("b").as("n_f1_l0"),
+      col("c").as("n_f0_l1"), col("d").as("n_f0_l0"),
+      woe1.cast("double").as("woe_f1"),
+      woe0.cast("double").as("woe_f0"),
+      iv.cast("double").as("iv"))
+      .orderBy("feature")
+  }
+
+  /** The matching DuckDB closing SQL over a relation exposing
+    * (feature, a, b, c, d). */
+  def woeIvSql(rel: String): String =
+    s"""SELECT feature,
+       |  a AS n_f1_l1, b AS n_f1_l0, c AS n_f0_l1, d AS n_f0_l0,
+       |  CAST(w1 AS DOUBLE) AS woe_f1,
+       |  CAST(w0 AS DOUBLE) AS woe_f0,
+       |  CAST(CAST(
+       |      (s1a - s0b) * CAST(w1 AS DOUBLE) AS DECIMAL(18,9))
+       |    + CAST(
+       |      (s1c - s0d) * CAST(w0 AS DOUBLE) AS DECIMAL(18,9))
+       |    AS DOUBLE) AS iv
+       |FROM (
+       |  SELECT feature, a, b, c, d, s1a, s0b, s1c, s0d,
+       |    CAST(LN(s1a / s0b) AS DECIMAL(18,9)) AS w1,
+       |    CAST(LN(s1c / s0d) AS DECIMAL(18,9)) AS w0
+       |  FROM (
+       |    SELECT feature, a, b, c, d,
+       |      (CAST(a AS DOUBLE) + 0.5) / (CAST(a + c AS DOUBLE) + 1.0)
+       |        AS s1a,
+       |      (CAST(b AS DOUBLE) + 0.5) / (CAST(b + d AS DOUBLE) + 1.0)
+       |        AS s0b,
+       |      (CAST(c AS DOUBLE) + 0.5) / (CAST(a + c AS DOUBLE) + 1.0)
+       |        AS s1c,
+       |      (CAST(d AS DOUBLE) + 0.5) / (CAST(b + d AS DOUBLE) + 1.0)
+       |        AS s0d
+       |    FROM $rel))
+       |ORDER BY feature""".stripMargin
+
   /** The matching DuckDB closing SQL over a relation exposing
     * (feature, a, b, c, d) — HUGEINT arithmetic mirrors the decimal path.
     */

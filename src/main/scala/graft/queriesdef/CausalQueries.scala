@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 
 import graft.QueryRegistry.Entry
 import graft.core.Retail
-import graft.ops.{Causal, Drift, Experiment, HashSplit, Screen, ShapleyAttribution}
+import graft.ops.{Causal, Drift, Experiment, HashSplit, Screen, SeriesStats, ShapleyAttribution}
 import graft.silver.TransactionsAdj
 import graft.streaming.EventOps
 
@@ -158,6 +158,31 @@ object CausalQueries {
         |    CAST(SUM((1 - f) * (1 - label)) AS BIGINT) AS d
         |  FROM lf GROUP BY feature)""".stripMargin
   }
+
+  /** Weekly total-spend series (t = weeks since the first day) — the
+    * calendar-bounded control-sized series the SeriesStats diagnostics
+    * run on (hundreds of rows at any data scale).
+    */
+  private def weeklySpend(s: SparkSession, dir: String): DataFrame = {
+    val tx = TransactionsAdj(s, dir)
+    val (lo, _) = Retail.dayBounds(s, dir)
+    tx.groupBy(expr(s"datediff(day, DATE '$lo') div 7").as("t"))
+      .agg(sum(col("amount_paid").cast("decimal(18,4)"))
+        .cast("decimal(18,4)").as("x"))
+  }
+
+  /** Oracle CTEs ending at `si` = (t, ix HUGEINT 1e-4 units). */
+  private val weeklyCtes: String =
+    s"""${Oracle.txAdjFull},
+       |gb2 AS (SELECT min(day) AS lo FROM tx),
+       |wk AS (
+       |  SELECT CAST((t.day - g.lo) // 7 AS BIGINT) AS t,
+       |    CAST(SUM(CAST(amount_paid AS DECIMAL(18,4)))
+       |      AS DECIMAL(18,4)) AS x
+       |  FROM tx t CROSS JOIN gb2 g
+       |  GROUP BY CAST((t.day - g.lo) // 7 AS BIGINT)),
+       |si AS (SELECT t, CAST(x * 10000 AS HUGEINT) AS ix FROM wk)"""
+      .stripMargin
 
   def entries: Seq[Entry] = Seq(
 
@@ -479,5 +504,68 @@ object CausalQueries {
         |    CAST(SUM(CASE WHEN arm = 'treatment' THEN converted ELSE 0 END)
         |      AS BIGINT) AS conv_t
         |  FROM u)
-        |${Experiment.proportionTestSql("agg")}""".stripMargin)))
+        |${Experiment.proportionTestSql("agg")}""".stripMargin)),
+
+    // Weight-of-evidence / information value over the brand indicators —
+    // the scorecard encoder+screen; smoothed shares, ln terms quantized
+    // to 9dp decimals before the exact IV sum (Screen.woeIv scaladoc).
+    Entry(
+      "woe_iv",
+      (s, dir) => Screen.woeIv(brandScreenRows(s, dir)),
+      Some(s"""WITH $screenCtCtes
+        |${Screen.woeIvSql("ct")}""".stripMargin)),
+
+    // Weekly-spend autocorrelation at lags 1..8: after normalizing to
+    // integer 1e-4 money units every statistic is ONE division of exact
+    // int128 products (SeriesStats scaladoc — scale-0 casts are the only
+    // decimal→double conversions both engines single-round identically).
+    Entry(
+      "spend_acf",
+      (s, dir) => SeriesStats.acf(weeklySpend(s, dir), maxLag = 8),
+      Some(s"""WITH $weeklyCtes,
+        |tot AS (
+        |  SELECT COUNT(*) AS n, CAST(SUM(ix) AS HUGEINT) AS sx,
+        |    CAST(SUM(ix * ix) AS HUGEINT) AS ssq
+        |  FROM si),
+        |lg AS (SELECT CAST(range AS BIGINT) + 1 AS lag FROM range(8)),
+        |pr AS (
+        |  SELECT lag, COUNT(*) AS n_pairs,
+        |    CAST(SUM(a.ix) AS HUGEINT) AS s1,
+        |    CAST(SUM(b.ix) AS HUGEINT) AS s2,
+        |    CAST(SUM(a.ix * b.ix) AS HUGEINT) AS c
+        |  FROM lg CROSS JOIN si a JOIN si b ON b.t = a.t + lg.lag
+        |  GROUP BY lag)
+        |SELECT lag, n_pairs,
+        |  CAST(n_pairs * c - s1 * s2 AS DOUBLE)
+        |    / CAST(n * ssq - sx * sx AS DOUBLE) AS acf
+        |FROM pr CROSS JOIN tot
+        |ORDER BY lag""".stripMargin)),
+
+    // CUSUM binary-segmentation changepoint on the weekly spend series:
+    // the split maximizing (n·S_t − t·S_n)²/(n·t·(n−t)) — exact integer
+    // candidates, deterministic argmax, smallest index on ties.
+    Entry(
+      "spend_changepoint",
+      (s, dir) => SeriesStats.changepoint(weeklySpend(s, dir)),
+      Some(s"""WITH $weeklyCtes,
+        |pre AS (
+        |  SELECT t, ROW_NUMBER() OVER (ORDER BY t) AS i,
+        |    CAST(SUM(ix) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+        |      AS HUGEINT) AS st,
+        |    COUNT(*) OVER () AS n,
+        |    CAST(SUM(ix) OVER () AS HUGEINT) AS sn
+        |  FROM si),
+        |cand AS (
+        |  SELECT *,
+        |    CAST((n * st - i * sn) * (n * st - i * sn) AS DOUBLE)
+        |      / CAST(n * i * (n - i) AS DOUBLE) AS tsq_i
+        |  FROM pre WHERE i < n),
+        |mx AS (SELECT MAX(tsq_i) AS mx FROM cand)
+        |SELECT i AS t_split, t AS split_t_value, n,
+        |  CAST(st AS DOUBLE) / (CAST(i AS DOUBLE) * 10000.0) AS mean_before,
+        |  CAST(sn - st AS DOUBLE) / (CAST(n - i AS DOUBLE) * 10000.0)
+        |    AS mean_after,
+        |  tsq_i / 1.0e8 AS tsq
+        |FROM cand, mx WHERE tsq_i = mx.mx
+        |ORDER BY i LIMIT 1""".stripMargin)))
 }

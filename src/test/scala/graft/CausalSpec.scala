@@ -239,6 +239,69 @@ class CausalSpec extends AnyFunSuite {
     assert(out("z").isNullAt(out("z").fieldIndex("nmi")))
   }
 
+  // ---- Screen.woeIv ----------------------------------------------------
+
+  test("woe/iv: hand-checked smoothed table; independence → iv ~ 0") {
+    def q9(x: Double) = BigDecimal(x)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val mk = (g: String, f: Int, l: Int, n: Int) => Seq.fill(n)((g, f, l))
+    val dep = mk("x", 1, 1, 30) ++ mk("x", 1, 0, 10) ++
+      mk("x", 0, 1, 10) ++ mk("x", 0, 0, 50)
+    val ind = mk("i", 1, 1, 20) ++ mk("i", 1, 0, 20) ++
+      mk("i", 0, 1, 30) ++ mk("i", 0, 0, 30)
+    val out = graft.ops.Screen.woeIv((dep ++ ind).toDF("feature", "f", "label"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val s1a = 30.5 / 41.0; val s0b = 10.5 / 61.0
+    val s1c = 10.5 / 41.0; val s0d = 50.5 / 61.0
+    val w1 = q9(math.log(s1a / s0b)); val w0 = q9(math.log(s1c / s0d))
+    assert(out("x").getAs[Double]("woe_f1") == w1)
+    assert(out("x").getAs[Double]("woe_f0") == w0)
+    assert(out("x").getAs[Double]("iv") ==
+      BigDecimal(q9((s1a - s0b) * w1)) .bigDecimal
+        .add(BigDecimal(q9((s1c - s0d) * w0)).bigDecimal).doubleValue)
+    assert(out("x").getAs[Double]("iv") > 0.5) // strong dependence
+    assert(math.abs(out("i").getAs[Double]("iv")) < 0.01)
+  }
+
+  // ---- SeriesStats -----------------------------------------------------
+
+  test("acf: alternating series — negative at lag 1, positive at lag 2") {
+    val series = (0L until 40L).map(t => (t, 10.0 + (t % 2)))
+    val out = graft.ops.SeriesStats.acf(series.toDF("t", "x"), maxLag = 4)
+      .collect().map(r => r.getAs[Int]("lag") -> r).toMap
+    // direct reimplementation in exact integers (1e-4 units)
+    val ix = series.map { case (t, x) =>
+      t -> BigInt(math.round(x * 10000)) }.toMap
+    val n = BigInt(series.size)
+    val sx = ix.values.sum; val ssq = ix.values.map(v => v * v).sum
+    (1 to 4).foreach { k =>
+      val ts = series.map(_._1).filter(t => ix.contains(t + k))
+      val m = BigInt(ts.size)
+      val c = ts.map(t => ix(t) * ix(t + k)).sum
+      val s1 = ts.map(ix).sum; val s2 = ts.map(t => ix(t + k)).sum
+      val exp = (m * c - s1 * s2).toDouble / (n * ssq - sx * sx).toDouble
+      assert(out(k).getAs[Double]("acf") == exp, s"lag $k")
+      assert(out(k).getAs[Long]("n_pairs") == ts.size.toLong)
+    }
+    assert(out(1).getAs[Double]("acf") < -0.9)
+    assert(out(2).getAs[Double]("acf") > 0.9)
+  }
+
+  test("changepoint: finds the exact step in a level-shifted series") {
+    val series = (0L until 20L).map(t => (t, 10.0)) ++
+      (20L until 40L).map(t => (t, 30.0))
+    val out = graft.ops.SeriesStats.changepoint(series.toDF("t", "x")).head()
+    assert(out.getAs[Long]("t_split") == 20L)
+    assert(out.getAs[Long]("split_t_value") == 19L)
+    assert(out.getAs[Double]("mean_before") == 10.0)
+    assert(out.getAs[Double]("mean_after") == 30.0)
+    // T² at the true split: (n·S_t − t·S_n)²/(n·t·(n−t)) / 1e8
+    val st = BigInt(20) * 100000; val sn = st + BigInt(20) * 300000
+    val a = BigInt(40) * st - BigInt(20) * sn
+    val exp = (a * a).toDouble / (BigInt(40) * 20 * 20).toDouble / 1.0e8
+    assert(out.getAs[Double]("tsq") == exp)
+  }
+
   // ---- ShapleyAttribution --------------------------------------------
 
   private def ev(rows: Seq[(Long, Int, String)]) =
