@@ -1,0 +1,97 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Split-conformal prediction intervals (Vovk et al., "Algorithmic
+  * Learning in a Random World"; Lei et al. 2018 JASA) — the
+  * distribution-free way to put a finite-sample coverage guarantee on ANY
+  * point predictor, and the modern ML-pipeline op for "ship intervals,
+  * not points". Three disjoint content-hash splits: fit on TRAIN,
+  * calibrate on CAL (the conformal quantile q = the
+  * ⌈(n_cal+1)·(1−α)⌉-th smallest absolute residual), audit on TEST
+  * (empirical coverage of ŷ ± q, guaranteed ≥ 1−α in expectation under
+  * exchangeability).
+  *
+  * The predictor here is the per-stratum train mean — deliberately
+  * simple: conformal wraps any predictor, and a closed-form one keeps
+  * the whole operator engine-exact (μ and every residual are single
+  * IEEE operations over exact decimal/integer casts; the rank k is pure
+  * integer arithmetic; coverage comparisons are between bit-identical
+  * doubles).
+  *
+  * Scale shape: train means are one hash aggregate broadcast back; the
+  * calibration quantile is found WITHOUT a global sort-to-one-task —
+  * residuals collapse to their distinct-value domain (map-combinable
+  * groupBy), then the range-partitioned prefix trick (the Drift.exactKs
+  * machinery) locates the k-th order statistic; the test audit is one
+  * more hash aggregate.
+  */
+object Conformal {
+
+  /** Split-conformal coverage audit. `units` needs (stratum, split ∈
+    * train/cal/test, y money-scale); `alphaPct` ∈ (0,100) is the target
+    * miscoverage in percent. Output: per-stratum test rows + `__all__`:
+    * (stratum, n_test, covered, coverage, q_resid) — q_resid is the one
+    * global calibration quantile (the audit column), coverage should sit
+    * at or above 1−α on exchangeable data.
+    */
+  def splitConformal(units: DataFrame, alphaPct: Int = 10): DataFrame = {
+    require(alphaPct > 0 && alphaPct < 100,
+      s"Conformal: alphaPct in (0,100), got $alphaPct")
+    val mu = units.filter(col("split") === "train")
+      .groupBy("stratum")
+      .agg(sum(col("y").cast("decimal(18,4)")).as("sy"),
+        count(lit(1)).as("n_train"))
+      .select(col("stratum"),
+        (col("sy").cast("double") / col("n_train").cast("double")).as("mu"))
+    val withR = units.filter(col("split") =!= "train")
+      .join(broadcast(mu), Seq("stratum"))
+      .withColumn("r", abs(col("y").cast("double") - col("mu")))
+
+    // k-th smallest calibration residual, k = ⌈(n+1)(100−α)/100⌉, via
+    // the distinct-value + range-partitioned-prefix machinery
+    val byV = withR.filter(col("split") === "cal")
+      .groupBy("r").agg(count(lit(1)).as("cnt"))
+    val parted = byV.repartitionByRange(col("r"))
+      .withColumn("__pid", spark_partition_id())
+    val offsets = parted.groupBy("__pid")
+      .agg(sum(col("cnt")).as("__c"))
+      .withColumn("__off", coalesce(sum(col("__c")).over(
+        Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .withColumn("__n", sum(col("__c")).over(Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select("__pid", "__off", "__n")
+    val local = Window.partitionBy(col("__pid")).orderBy(col("r"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    // integral div — Spark's `/` on longs is double division
+    val k = expr(s"((__n + 1L) * ${100 - alphaPct}L + 99L) div 100L")
+    val q = parted
+      .withColumn("__lc", sum(col("cnt")).over(local))
+      .join(broadcast(offsets), Seq("__pid"))
+      .withColumn("cum", col("__off") + col("__lc"))
+      .withColumn("k", k)
+      .filter(col("cum") >= col("k") && col("cum") - col("cnt") < col("k"))
+      .agg(min(col("r")).as("q_resid"))
+
+    val test = withR.filter(col("split") === "test")
+      .crossJoin(broadcast(q))
+    val per = test.groupBy("stratum").agg(
+      count(lit(1)).as("n_test"),
+      sum(when(col("r") <= col("q_resid"), 1L).otherwise(0L)).as("covered"),
+      max(col("q_resid")).as("q_resid"))
+    def close(df: DataFrame) = df.select(
+      col("stratum"), col("n_test"), col("covered"),
+      (col("covered").cast("double") / col("n_test").cast("double"))
+        .as("coverage"),
+      col("q_resid"))
+    close(per).unionByName(close(per.agg(
+      sum(col("n_test")).as("n_test"),
+      sum(col("covered")).as("covered"),
+      max(col("q_resid")).as("q_resid"))
+      .select(lit("__all__").as("stratum"), col("n_test"), col("covered"),
+        col("q_resid"))))
+  }
+}

@@ -567,5 +567,66 @@ object CausalQueries {
         |    AS mean_after,
         |  tsq_i / 1.0e8 AS tsq
         |FROM cand, mx WHERE tsq_i = mx.mx
-        |ORDER BY i LIMIT 1""".stripMargin)))
+        |ORDER BY i LIMIT 1""".stripMargin)),
+
+    // Split-conformal prediction-interval audit (alpha = 10%): train the
+    // per-stratum mean predictor on the train split, calibrate the
+    // residual quantile on cal (k-th order statistic via the
+    // range-partitioned prefix machinery), audit empirical coverage on
+    // test — expected >= 0.90 under exchangeability (Conformal scaladoc).
+    Entry(
+      "conformal_interval",
+      (s, dir) => {
+        val b = HashSplit.bucket(col("household_key"), 1000)
+        val units = perHousehold(s, dir)
+          .withColumn("stratum", stratumCol)
+          .withColumn("split",
+            when(b < 600, "train").when(b < 800, "cal").otherwise("test"))
+        graft.ops.Conformal.splitConformal(units, alphaPct = 10)
+          .orderBy("stratum")
+      },
+      Some(s"""WITH $unitsCtes,
+        |sp AS (
+        |  SELECT *, CASE WHEN b < 600 THEN 'train'
+        |    WHEN b < 800 THEN 'cal' ELSE 'test' END AS split
+        |  FROM (SELECT *, ${HashSplit.bucketSql("household_key", 1000)} AS b
+        |        FROM strat)),
+        |mu AS (
+        |  SELECT stratum,
+        |    CAST(SUM(CAST(y AS DECIMAL(18,4))) AS DOUBLE)
+        |      / CAST(COUNT(*) AS DOUBLE) AS mu
+        |  FROM sp WHERE split = 'train' GROUP BY stratum),
+        |wr AS (
+        |  SELECT sp.stratum, sp.split, ABS(CAST(y AS DOUBLE) - mu.mu) AS r
+        |  FROM sp JOIN mu ON sp.stratum = mu.stratum
+        |  WHERE split <> 'train'),
+        |bv AS (SELECT r, COUNT(*) AS cnt FROM wr WHERE split = 'cal'
+        |       GROUP BY r),
+        |cu AS (
+        |  SELECT r, cnt,
+        |    CAST(SUM(cnt) OVER (ORDER BY r ROWS UNBOUNDED PRECEDING)
+        |      AS BIGINT) AS cum,
+        |    CAST(SUM(cnt) OVER () AS BIGINT) AS n
+        |  FROM bv),
+        |q AS (
+        |  SELECT MIN(r) AS q_resid FROM cu
+        |  WHERE cum >= ((n + 1) * 90 + 99) // 100
+        |    AND cum - cnt < ((n + 1) * 90 + 99) // 100),
+        |per AS (
+        |  SELECT stratum, COUNT(*) AS n_test,
+        |    CAST(SUM(CASE WHEN r <= q.q_resid THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS covered,
+        |    MAX(q.q_resid) AS q_resid
+        |  FROM wr, q WHERE split = 'test' GROUP BY stratum)
+        |SELECT stratum, n_test, covered,
+        |  CAST(covered AS DOUBLE) / CAST(n_test AS DOUBLE) AS coverage,
+        |  q_resid
+        |FROM per
+        |UNION ALL
+        |SELECT '__all__', CAST(SUM(n_test) AS BIGINT),
+        |  CAST(SUM(covered) AS BIGINT),
+        |  CAST(SUM(covered) AS DOUBLE) / CAST(SUM(n_test) AS DOUBLE),
+        |  MAX(q_resid)
+        |FROM per
+        |ORDER BY stratum""".stripMargin)))
 }

@@ -66,6 +66,24 @@ class CausalPlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), s"no window:\n$p")
   }
 
+  test("conformal: quantile range-partitions; means broadcast back") {
+    val rows = (1 to 500).map { i =>
+      val split = i % 10 match {
+        case x if x < 6 => "train"; case x if x < 8 => "cal"
+        case _ => "test"
+      }
+      (s"u$i", s"s${i % 3}", split, i * 1.0)
+    }
+    val p = plan(graft.ops.Conformal.splitConformal(
+      rows.toDF("id", "stratum", "split", "y")))
+    assert(p.toLowerCase.contains("rangepartitioning"),
+      s"order statistic must use the range-partition prefix trick:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"train means must broadcast onto cal/test:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"nothing data-sized may shuffle-join:\n$p")
+  }
+
   test("qini: deciles come from the range-partitioned ntile") {
     val rows = (1L to 400L).map(i => (i, (i % 2).toInt, i * 1.0,
       (i % 3 == 0).compareTo(false)))

@@ -302,6 +302,41 @@ class CausalSpec extends AnyFunSuite {
     assert(out.getAs[Double]("tsq") == exp)
   }
 
+  // ---- Conformal ---------------------------------------------------------
+
+  test("conformal: hand-checked calibration quantile and coverage") {
+    // train fixes mu = 10; cal residuals are exactly 1..10 → with
+    // alpha = 10%, k = ceil(11 * 0.9) = 10 → q = 10
+    val train = (1 to 5).map(i => (s"tr$i", "s", "train", 10.0))
+    val cal = (1 to 10).map(i => (s"c$i", "s", "cal", 10.0 + i))
+    val test = Seq(("t1", "s", "test", 15.0), ("t2", "s", "test", 0.5),
+      ("t3", "s", "test", 22.0)) // residuals 5, 9.5, 12 → last uncovered
+    val out = graft.ops.Conformal.splitConformal(
+      (train ++ cal ++ test).toDF("id", "stratum", "split", "y"),
+      alphaPct = 10)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("s").getAs[Double]("q_resid") == 10.0)
+    assert(out("s").getAs[Long]("n_test") == 3L)
+    assert(out("s").getAs[Long]("covered") == 2L)
+    assert(out("__all__").getAs[Double]("coverage") == 2.0 / 3)
+  }
+
+  test("conformal: ~1-alpha coverage on exchangeable data") {
+    val rnd = new scala.util.Random(99)
+    val rows = (1 to 4000).map { i =>
+      val split = i % 10 match {
+        case x if x < 6 => "train"; case x if x < 8 => "cal"
+        case _ => "test"
+      }
+      (s"u$i", s"s${i % 3}", split, 100.0 + rnd.nextGaussian() * 15)
+    }
+    val out = graft.ops.Conformal.splitConformal(
+      rows.toDF("id", "stratum", "split", "y").repartition(9), alphaPct = 10)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val cov = out("__all__").getAs[Double]("coverage")
+    assert(cov >= 0.86 && cov <= 0.96, s"coverage $cov out of band")
+  }
+
   // ---- ShapleyAttribution --------------------------------------------
 
   private def ev(rows: Seq[(Long, Int, String)]) =
