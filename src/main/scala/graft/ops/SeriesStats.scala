@@ -69,6 +69,53 @@ object SeriesStats {
       .orderBy("lag")
   }
 
+  /** Per-group ordinary-least-squares trend of x against t — slope,
+    * intercept, and R², the parametric companion to the Theil-Sen robust
+    * trend. Input: (group, t, x DECIMAL(18,4)); one output row per group.
+    *
+    * Same integer-unit exactness as [[acf]]: with iy = x·10⁴,
+    *
+    *   slope·10⁴ = (n·Σt·iy − Σt·Σiy) / (n·Σt² − (Σt)²)
+    *   R²        = (n·Σt·iy − Σt·Σiy)² / ((n·Σt²−(Σt)²)·(n·Σiy²−(Σiy)²))
+    *
+    * — every operand an exact int128, each statistic closing in one or
+    * two pinned IEEE operations. One map-side-combinable aggregate per
+    * group; no window, no join.
+    */
+  def olsPerGroup(df: DataFrame): DataFrame = {
+    val s = df.select(col("group"), col("t").cast("long").as("t"),
+      (col("x").cast("decimal(18,4)") * lit(10000))
+        .cast("decimal(19,0)").as("iy"))
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(19,0)")
+    val m = s.groupBy("group").agg(
+      count(lit(1)).as("n"),
+      sum(col("t")).cast("decimal(19,0)").as("st"),
+      sum(dec(col("t")) * dec(col("t"))).cast("decimal(38,0)").as("stt"),
+      sum(col("iy")).cast("decimal(19,0)").as("sy"),
+      sum(dec(col("t")) * col("iy")).cast("decimal(38,0)").as("sty"),
+      sum(col("iy") * col("iy")).cast("decimal(38,0)").as("syy"))
+    val dn = (c: org.apache.spark.sql.Column) => c.cast("decimal(10,0)")
+    val num = (dn(col("n")) * col("sty") - col("st") * col("sy"))
+      .cast("decimal(19,0)")
+    val denT = (dn(col("n")) * col("stt") - col("st") * col("st"))
+      .cast("decimal(19,0)")
+    val denY = dn(col("n")) * col("syy") - col("sy") * col("sy")
+    // slope in iy/t units → /10⁴ to money; intercept = ȳ − slope·t̄
+    val slope = num.cast("double") / denT.cast("double") / lit(10000.0)
+    val meanY = col("sy").cast("double") /
+      (col("n").cast("double") * lit(10000.0))
+    val meanT = col("st").cast("double") / col("n").cast("double")
+    m.select(
+      col("group"), col("n"),
+      slope.as("slope"),
+      (meanY - slope * meanT).as("intercept"),
+      // degenerate variance (constant t or constant x) → NULL R²
+      when(denT =!= 0 && denY =!= 0,
+        (num * num).cast("decimal(38,0)").cast("double")
+          / (denT * denY).cast("decimal(38,0)").cast("double")).as("r2"))
+      .orderBy("group")
+  }
+
   /** Single CUSUM changepoint: the split index t (1-based count of rows
     * in the "before" side, ordered by `t`) maximizing
     * T²_t = (n·S_t − t·S_n)²/(n·t·(n−t)); ties take the smallest t.

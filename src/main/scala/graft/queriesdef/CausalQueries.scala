@@ -628,5 +628,84 @@ object CausalQueries {
         |  CAST(SUM(covered) AS DOUBLE) / CAST(SUM(n_test) AS DOUBLE),
         |  MAX(q_resid)
         |FROM per
-        |ORDER BY stratum""".stripMargin)))
+        |ORDER BY stratum""".stripMargin)),
+
+    // Per-commodity top-p (nucleus) truncation: the smallest
+    // spend-descending product prefix carrying 80% of each commodity's
+    // spend — keep membership decided in exact integer-scaled decimal
+    // arithmetic, never doubles (TopShare scaladoc).
+    Entry(
+      "nucleus_per_group",
+      (s, dir) => {
+        val txc = graft.features.FeatureBuilder.txWithCommodity(s, dir)
+        val perProd = txc.groupBy("commodity_desc", "product_id")
+          .agg(sum(col("amount_paid").cast("decimal(18,4)"))
+            .cast("decimal(18,4)").as("spend"))
+        graft.ops.TopShare.nucleusPerGroup(perProd, Seq("commodity_desc"),
+          "product_id", "spend", pPct = 80)
+      },
+      Some(s"""WITH ${Oracle.txCommodity},
+        |pp AS (
+        |  SELECT commodity_desc, product_id,
+        |    CAST(SUM(CAST(amount_paid AS DECIMAL(18,4)))
+        |      AS DECIMAL(18,4)) AS spend
+        |  FROM txc GROUP BY commodity_desc, product_id),
+        |r AS (
+        |  SELECT *, CAST(ROW_NUMBER() OVER w AS BIGINT) AS rank,
+        |    CAST(SUM(spend) OVER (PARTITION BY commodity_desc
+        |      ORDER BY spend DESC, product_id ROWS UNBOUNDED PRECEDING)
+        |      AS DECIMAL(28,4)) AS cum,
+        |    CAST(SUM(spend) OVER (PARTITION BY commodity_desc)
+        |      AS DECIMAL(28,4)) AS tot
+        |  FROM pp
+        |  WINDOW w AS (PARTITION BY commodity_desc
+        |    ORDER BY spend DESC, product_id))
+        |SELECT commodity_desc, product_id, spend, rank,
+        |  CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE) AS cum_share
+        |FROM r WHERE (cum - spend) * 100 < tot * 80""".stripMargin)),
+
+    // Per-commodity OLS weekly-spend trend — slope/intercept/R² as
+    // exact-int128 ratios after 1e-4 unit normalization, the parametric
+    // companion to theil_sen_trend (SeriesStats.olsPerGroup scaladoc).
+    Entry(
+      "spend_ols_trend",
+      (s, dir) => {
+        val txc = graft.features.FeatureBuilder.txWithCommodity(s, dir)
+        val (lo, _) = Retail.dayBounds(s, dir)
+        val wkly = txc.groupBy(col("commodity_desc").as("group"),
+            expr(s"datediff(day, DATE '$lo') div 7").as("t"))
+          .agg(sum(col("amount_paid").cast("decimal(18,4)"))
+            .cast("decimal(18,4)").as("x"))
+        SeriesStats.olsPerGroup(wkly)
+      },
+      Some(s"""WITH ${Oracle.txCommodity},
+        |gb2 AS (SELECT min(day) AS lo FROM tx),
+        |wk AS (
+        |  SELECT commodity_desc AS "group",
+        |    CAST((t.day - g.lo) // 7 AS BIGINT) AS t,
+        |    CAST(SUM(CAST(amount_paid AS DECIMAL(18,4)))
+        |      AS DECIMAL(18,4)) AS x
+        |  FROM txc t CROSS JOIN gb2 g
+        |  GROUP BY commodity_desc, CAST((t.day - g.lo) // 7 AS BIGINT)),
+        |si AS (SELECT "group", t, CAST(x * 10000 AS HUGEINT) AS iy FROM wk),
+        |m AS (
+        |  SELECT "group", COUNT(*) AS n,
+        |    CAST(SUM(t) AS HUGEINT) AS st,
+        |    CAST(SUM(t * t) AS HUGEINT) AS stt,
+        |    CAST(SUM(iy) AS HUGEINT) AS sy,
+        |    CAST(SUM(t * iy) AS HUGEINT) AS sty,
+        |    CAST(SUM(iy * iy) AS HUGEINT) AS syy
+        |  FROM si GROUP BY "group")
+        |SELECT "group", n,
+        |  CAST(n * sty - st * sy AS DOUBLE)
+        |    / CAST(n * stt - st * st AS DOUBLE) / 10000.0 AS slope,
+        |  CAST(sy AS DOUBLE) / (CAST(n AS DOUBLE) * 10000.0)
+        |    - (CAST(n * sty - st * sy AS DOUBLE)
+        |      / CAST(n * stt - st * st AS DOUBLE) / 10000.0)
+        |      * (CAST(st AS DOUBLE) / CAST(n AS DOUBLE)) AS intercept,
+        |  CASE WHEN n * stt - st * st <> 0 AND n * syy - sy * sy <> 0 THEN
+        |    CAST((n * sty - st * sy) * (n * sty - st * sy) AS DOUBLE)
+        |      / CAST((n * stt - st * st) * (n * syy - sy * sy) AS DOUBLE)
+        |  END AS r2
+        |FROM m ORDER BY "group"""".stripMargin)))
 }

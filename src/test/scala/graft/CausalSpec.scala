@@ -337,6 +337,67 @@ class CausalSpec extends AnyFunSuite {
     assert(cov >= 0.86 && cov <= 0.96, s"coverage $cov out of band")
   }
 
+  // ---- TopShare.nucleusPerGroup ----------------------------------------
+
+  test("nucleus: smallest prefix reaching p, at least one item kept") {
+    val rows = Seq(
+      ("g", "a", 50.0), ("g", "b", 30.0), ("g", "c", 15.0), ("g", "d", 5.0),
+      ("h", "only", 10.0), // p=80 still keeps the single item
+      ("i", "x", 10.0), ("i", "y", 10.0), ("i", "z", 80.0))
+    val out = graft.ops.TopShare.nucleusPerGroup(
+      rows.toDF("grp", "item", "w"), Seq("grp"), "item", "w", pPct = 80)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    // g: 50 (cum .5) + 30 (cum .8) kept; 15 would start at .8 → dropped
+    assert(out.keySet.filter(_._1 == "g").map(_._2) == Set("a", "b"))
+    assert(out(("g", "a")).getAs[Double]("cum_share") == 0.5)
+    assert(out(("g", "b")).getAs[Double]("cum_share") == 0.8)
+    assert(out(("g", "b")).getAs[Long]("rank") == 2L)
+    assert(out.keySet.filter(_._1 == "h").map(_._2) == Set("only"))
+    // i: z=80% first (cum .8), then x (tie-break by item) starts at .8 →
+    // dropped; prefix rule is strict
+    assert(out.keySet.filter(_._1 == "i").map(_._2) == Set("z"))
+  }
+
+  // ---- SeriesStats.olsPerGroup -----------------------------------------
+
+  test("ols: exact line recovered; constant series → null r2") {
+    val line = (0L until 30L).map(t => ("lin", t, 2.0 * t + 5.0))
+    val const = (0L until 10L).map(t => ("const", t, 7.0))
+    val out = graft.ops.SeriesStats.olsPerGroup(
+      (line ++ const).toDF("group", "t", "x"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("lin").getAs[Double]("slope") == 2.0)
+    assert(out("lin").getAs[Double]("intercept") == 5.0)
+    assert(out("lin").getAs[Double]("r2") == 1.0)
+    assert(out("const").getAs[Double]("slope") == 0.0)
+    assert(out("const").getAs[Double]("intercept") == 7.0)
+    assert(out("const").isNullAt(out("const").fieldIndex("r2")))
+  }
+
+  test("ols: matches the direct formula on noisy data") {
+    val rnd = new scala.util.Random(31)
+    val rows = (0L until 200L).map(t =>
+      ("g", t, 3.5 * t + 100 + rnd.nextInt(2000) / 100.0))
+    val out = graft.ops.SeriesStats.olsPerGroup(rows.toDF("group", "t", "x"))
+      .head()
+    val iy = rows.map { case (_, t, x) =>
+      t -> BigInt(math.round(x * 10000)) }
+    val n = BigInt(rows.size)
+    val st = iy.map(p => BigInt(p._1)).sum
+    val stt = iy.map(p => BigInt(p._1) * BigInt(p._1)).sum
+    val sy = iy.map(_._2).sum
+    val sty = iy.map(p => BigInt(p._1) * p._2).sum
+    val syy = iy.map(p => p._2 * p._2).sum
+    val num = n * sty - st * sy; val denT = n * stt - st * st
+    val slope = num.toDouble / denT.toDouble / 10000.0
+    assert(out.getAs[Double]("slope") == slope)
+    assert(out.getAs[Double]("intercept") ==
+      sy.toDouble / (n.toDouble * 10000.0) - slope * (st.toDouble / n.toDouble))
+    assert(out.getAs[Double]("r2") ==
+      (num * num).toDouble / (denT * (n * syy - sy * sy)).toDouble)
+    assert(out.getAs[Double]("r2") > 0.99) // the trend dominates the noise
+  }
+
   // ---- ShapleyAttribution --------------------------------------------
 
   private def ev(rows: Seq[(Long, Int, String)]) =
