@@ -317,5 +317,72 @@ object SimilarityQueries {
            |  ROUND(CAST(COALESCE(ov.n_overlap, 0) AS DOUBLE)
            |    / CAST(kk.k AS DOUBLE), 9) AS recall_at_5
            |FROM kk LEFT JOIN ov ON kk.query_id = ov.query_id""".stripMargin
+      }),
+
+    // Deterministic top principal component of the 16-dim embedding
+    // prefix: exact quantized covariance (one d²-row hash aggregate)
+    // plus an 8-step ROUND9-quantized power iteration — an iterative
+    // numerical algorithm hash-proven cross-engine (the Markov/BPE
+    // unrolled-oracle treatment; EmbeddingPca scaladoc).
+    Entry(
+      "embedding_pca",
+      (s, dir) => graft.similarity.EmbeddingPca.topComponent(
+        Catalog.table(s, dir, "embeddings"), d = 16, steps = 8),
+      Some {
+        val d = 16
+        val steps = 8
+        val v0 = java.math.BigDecimal.ONE.divide(
+          new java.math.BigDecimal(d), 9, java.math.RoundingMode.HALF_UP)
+        val stepCtes = (1 to steps).map { k =>
+          s"""w$k AS (
+             |  SELECT c.i, CAST(SUM(ROUND(c.c * v.v, 9)) AS DECIMAL(18,9))
+             |    AS w
+             |  FROM cov c JOIN v${k - 1} v ON v.i = c.j GROUP BY c.i),
+             |s$k AS (
+             |  SELECT CAST(SUM(ROUND(w * w, 9)) AS DECIMAL(18,9)) AS ssq
+             |  FROM w$k),
+             |v$k AS (
+             |  SELECT i, CAST(ROUND(CAST(w AS DOUBLE)
+             |    / SQRT(CAST(ssq AS DOUBLE)), 9) AS DECIMAL(18,9)) AS v
+             |  FROM w$k, s$k)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n
+        |  FROM embeddings),
+        |ij AS (SELECT a.range AS i, b.range AS j
+        |  FROM range($d) a, range($d) b),
+        |sij AS (
+        |  SELECT ij.i, ij.j,
+        |    CAST(SUM(CAST(CAST(embedding[ij.i + 1] AS DOUBLE)
+        |      * CAST(embedding[ij.j + 1] AS DOUBLE) AS DECIMAL(28,8)))
+        |      AS DECIMAL(28,8)) AS sij
+        |  FROM embeddings CROSS JOIN ij GROUP BY ij.i, ij.j),
+        |si AS (
+        |  SELECT r.range AS i,
+        |    CAST(SUM(CAST(CAST(embedding[r.range + 1] AS DOUBLE)
+        |      AS DECIMAL(28,8))) AS DECIMAL(28,8)) AS s
+        |  FROM embeddings CROSS JOIN range($d) r GROUP BY r.range),
+        |cov AS (
+        |  SELECT sij.i, sij.j,
+        |    CAST(ROUND(CAST(sij AS DOUBLE) / nn.n
+        |      - (CAST(a.s AS DOUBLE) / nn.n) * (CAST(b.s AS DOUBLE) / nn.n),
+        |      9) AS DECIMAL(18,9)) AS c
+        |  FROM sij JOIN si a ON a.i = sij.i JOIN si b ON b.i = sij.j
+        |  CROSS JOIN nn),
+        |v0 AS (SELECT r.range AS i, CAST($v0 AS DECIMAL(18,9)) AS v
+        |  FROM range($d) r),
+        |$stepCtes,
+        |cv AS (
+        |  SELECT c.i, CAST(SUM(ROUND(c.c * v.v, 9)) AS DECIMAL(18,9)) AS w
+        |  FROM cov c JOIN v$steps v ON v.i = c.j GROUP BY c.i),
+        |lam AS (
+        |  SELECT CAST(SUM(ROUND(v.v * cv.w, 9)) AS DECIMAL(18,9)) AS lambda
+        |  FROM v$steps v JOIN cv ON cv.i = v.i),
+        |tr AS (SELECT CAST(SUM(c) AS DECIMAL(18,9)) AS trace
+        |  FROM cov WHERE i = j)
+        |SELECT v.i AS dim, CAST(v.v AS DOUBLE) AS loading,
+        |  CAST(lam.lambda AS DOUBLE) AS lambda,
+        |  CAST(lam.lambda AS DOUBLE) / CAST(tr.trace AS DOUBLE)
+        |    AS var_explained
+        |FROM v$steps v, lam, tr ORDER BY dim""".stripMargin
       }))
 }

@@ -398,6 +398,32 @@ class CausalSpec extends AnyFunSuite {
     assert(out.getAs[Double]("r2") > 0.99) // the trend dominates the noise
   }
 
+  // ---- EmbeddingPca ----------------------------------------------------
+
+  test("pca: recovers a planted dominant direction") {
+    // vectors concentrated on u = (1,1,0,0)/√2 with small deterministic
+    // off-axis noise → top component ≈ u with high variance share
+    val rows = (0 until 200).map { k =>
+      val s = if (k % 2 == 0) 1.0 + k % 5 * 0.1 else -(1.0 + k % 7 * 0.1)
+      val e = (k % 11 - 5) * 0.01
+      (k.toLong, Array(
+        (s * 0.7071 + e).toFloat, (s * 0.7071 - e).toFloat,
+        (e * 0.5).toFloat, (-e * 0.5).toFloat))
+    }
+    val out = graft.similarity.EmbeddingPca.topComponent(
+      rows.toDF("vec_id", "embedding"), d = 4, steps = 8)
+      .collect().map(r => r.getAs[Long]("dim") -> r).toMap
+    val l0 = out(0L).getAs[Double]("loading")
+    val l1 = out(1L).getAs[Double]("loading")
+    assert(math.abs(math.abs(l0) - 0.7071) < 0.02, s"l0=$l0")
+    assert(math.abs(math.abs(l1) - 0.7071) < 0.02, s"l1=$l1")
+    assert(math.abs(out(2L).getAs[Double]("loading")) < 0.1)
+    assert(out(0L).getAs[Double]("var_explained") > 0.95)
+    // unit vector (within the 9dp quantization of each coordinate)
+    val norm = out.values.map(r => math.pow(r.getAs[Double]("loading"), 2)).sum
+    assert(math.abs(norm - 1.0) < 1e-6)
+  }
+
   // ---- ShapleyAttribution --------------------------------------------
 
   private def ev(rows: Seq[(Long, Int, String)]) =
