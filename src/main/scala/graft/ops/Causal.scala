@@ -193,16 +193,22 @@ object Causal {
         col("decile"), col("n"), col("n_treat"),
         col("conv_treat"), col("conv_ctrl"),
         // incremental uplift: rate_t − rate_c, one division each —
-        // unrounded (pure rational arithmetic is engine-exact as is)
-        (col("conv_treat").cast("double") / nt.cast("double")
-          - col("conv_ctrl").cast("double") / nc.cast("double"))
+        // unrounded (pure rational arithmetic is engine-exact as is).
+        // NULLIF guards: a decile holding only one arm (tiny n, or a
+        // score that perfectly separates the arms) would divide by 0 —
+        // an ANSI-mode query abort — so the degenerate rate is NULL.
+        (col("conv_treat").cast("double")
+            / nullif(nt.cast("double"), lit(0.0))
+          - col("conv_ctrl").cast("double")
+            / nullif(nc.cast("double"), lit(0.0)))
           .as("uplift"),
-        // Qini: (C_t·N_c − C_c·N_t) / N_c — exact int128 numerator
+        // Qini: (C_t·N_c − C_c·N_t) / N_c — exact int128 numerator;
+        // NULL until the running window has seen a control unit
         ((col("cum_ct").cast("decimal(19,0)")
             * col("cum_nc").cast("decimal(19,0)")
           - col("cum_cc").cast("decimal(19,0)")
             * col("cum_nt").cast("decimal(19,0)")).cast("double")
-          / col("cum_nc").cast("double")).as("qini"))
+          / nullif(col("cum_nc").cast("double"), lit(0.0))).as("qini"))
       .orderBy("decile")
   }
 }

@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Split-conformal prediction intervals (Vovk et al., "Algorithmic
@@ -51,36 +50,28 @@ object Conformal {
       .withColumn("r", abs(col("y").cast("double") - col("mu")))
 
     // k-th smallest calibration residual, k = ⌈(n+1)(100−α)/100⌉, via
-    // the distinct-value + range-partitioned-prefix machinery
+    // the distinct-value + range-partitioned-prefix machinery.
+    // Integral div — Spark's `/` on longs is double division.
     val byV = withR.filter(col("split") === "cal")
       .groupBy("r").agg(count(lit(1)).as("cnt"))
-    val parted = byV.repartitionByRange(col("r"))
-      .withColumn("__pid", spark_partition_id())
-    val offsets = parted.groupBy("__pid")
-      .agg(sum(col("cnt")).as("__c"))
-      .withColumn("__off", coalesce(sum(col("__c")).over(
-        Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)),
-        lit(0L)))
-      .withColumn("__n", sum(col("__c")).over(Window.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing)))
-      .select("__pid", "__off", "__n")
-    val local = Window.partitionBy(col("__pid")).orderBy(col("r"))
-      .rowsBetween(Window.unboundedPreceding, 0)
-    // integral div — Spark's `/` on longs is double division
-    val k = expr(s"((__n + 1L) * ${100 - alphaPct}L + 99L) div 100L")
-    val q = parted
-      .withColumn("__lc", sum(col("cnt")).over(local))
-      .join(broadcast(offsets), Seq("__pid"))
-      .withColumn("cum", col("__off") + col("__lc"))
+    val k = expr(s"((cnt_tot + 1L) * ${100 - alphaPct}L + 99L) div 100L")
+    val q = RangePrefix.prefixSums(byV, Seq(col("r")), Seq("cnt"))
       .withColumn("k", k)
-      .filter(col("cum") >= col("k") && col("cum") - col("cnt") < col("k"))
+      .filter(col("cnt_cum") >= col("k")
+        && col("cnt_cum") - col("cnt") < col("k"))
       .agg(min(col("r")).as("q_resid"))
 
     val test = withR.filter(col("split") === "test")
       .crossJoin(broadcast(q))
+    // A NULL q_resid means k = ⌈(n_cal+1)(1−α)⌉ exceeded n_cal (a tiny
+    // or empty calibration split): the conformal quantile is +∞ and the
+    // interval covers EVERYTHING — count the row covered, don't let the
+    // NULL comparison silently report total coverage failure. q_resid
+    // itself stays NULL in the output (there is no finite quantile).
     val per = test.groupBy("stratum").agg(
       count(lit(1)).as("n_test"),
-      sum(when(col("r") <= col("q_resid"), 1L).otherwise(0L)).as("covered"),
+      sum(when(col("q_resid").isNull || col("r") <= col("q_resid"), 1L)
+        .otherwise(0L)).as("covered"),
       max(col("q_resid")).as("q_resid"))
     def close(df: DataFrame) = df.select(
       col("stratum"), col("n_test"), col("covered"),

@@ -118,44 +118,26 @@ object Drift {
       .agg(
         sum(when(isA, 1L).otherwise(0L)).as("a"),
         sum(when(isA, 0L).otherwise(1L)).as("b"))
-    // distributed prefix: range-partition by value, rank only within the
-    // task's slice, add the broadcast offset of preceding partitions
-    val parted = byValue.repartitionByRange(col("v"))
-      .withColumn("__pid", spark_partition_id())
-    val offsets = parted.groupBy("__pid")
-      .agg(sum(col("a")).as("__ca"), sum(col("b")).as("__cb"))
-      .withColumn("__offa", coalesce(sum(col("__ca")).over(
-        Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)),
-        lit(0L)))
-      .withColumn("__offb", coalesce(sum(col("__cb")).over(
-        Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)),
-        lit(0L)))
-      .withColumn("__na", sum(col("__ca")).over(Window.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing)))
-      .withColumn("__nb", sum(col("__cb")).over(Window.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing)))
-      .select("__pid", "__offa", "__offb", "__na", "__nb")
-    val local = Window.partitionBy(col("__pid")).orderBy(col("v"))
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val gaps = parted
-      .withColumn("__la", sum(col("a")).over(local))
-      .withColumn("__lb", sum(col("b")).over(local))
-      .join(broadcast(offsets), Seq("__pid"))
-      .select(col("v"), col("__na").as("n_a"), col("__nb").as("n_b"),
-        abs((col("__offa") + col("__la")).cast("decimal(19,0)")
-            * col("__nb").cast("decimal(19,0)")
-          - (col("__offb") + col("__lb")).cast("decimal(19,0)")
-            * col("__na").cast("decimal(19,0)")).as("gap"))
+    // distributed prefix over the distinct-value domain (RangePrefix)
+    val gaps = RangePrefix.prefixSums(byValue, Seq(col("v")), Seq("a", "b"))
+      .select(col("v"), col("a_tot").as("n_a"), col("b_tot").as("n_b"),
+        abs(col("a_cum").cast("decimal(19,0)")
+            * col("b_tot").cast("decimal(19,0)")
+          - col("b_cum").cast("decimal(19,0)")
+            * col("a_tot").cast("decimal(19,0)")).as("gap"))
     val maxGap = gaps.agg(max(col("gap")).as("mg"))
     gaps.join(broadcast(maxGap), col("gap") === col("mg"))
       .agg(
         max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
         max(col("gap")).as("gap"), min(col("v")).as("ks_at"))
       .select(col("n_a"), col("n_b"),
-        // one division over exact int128 casts — engine-exact unrounded
+        // one division over exact int128 casts — engine-exact unrounded.
+        // NULLIF: an empty sample (every row on one side of the split)
+        // makes n_a·n_b = 0 — NULL statistic, not an ANSI abort.
         (col("gap").cast("double")
-          / (col("n_a").cast("decimal(19,0)")
-            * col("n_b").cast("decimal(19,0)")).cast("double")).as("ks"),
+          / nullif((col("n_a").cast("decimal(19,0)")
+            * col("n_b").cast("decimal(19,0)")).cast("double"), lit(0.0)))
+          .as("ks"),
         col("ks_at").cast("double").as("ks_at"))
   }
 

@@ -90,11 +90,17 @@ object Experiment {
     val m = df.agg(
       sum(lit(1L) - t).as("n_c"), sum(t).as("n_t"),
       sum((lit(1L) - t) * c).as("conv_c"), sum(t * c).as("conv_t"))
-    val nC = col("n_c").cast("double"); val nT = col("n_t").cast("double")
+    // Degenerate-margin guards: an empty arm (n=0) or a pooled rate of
+    // exactly 0 or 1 would divide by zero — a query-killing error under
+    // ANSI mode (and engine-divergent inf/NaN without it). NULL-valued
+    // statistics instead, like the chi2 screen's convention; the oracle
+    // SQL mirrors with NULLIF.
+    val nC = nullif(col("n_c").cast("double"), lit(0.0))
+    val nT = nullif(col("n_t").cast("double"), lit(0.0))
     val pC = col("conv_c").cast("double") / nC
     val pT = col("conv_t").cast("double") / nT
     val pPool = (col("conv_c") + col("conv_t")).cast("double") /
-      (col("n_c") + col("n_t")).cast("double")
+      nullif((col("n_c") + col("n_t")).cast("double"), lit(0.0))
     val invN = lit(1.0) / nC + lit(1.0) / nT
     val z = lit(1.96)
     def wilson(p: org.apache.spark.sql.Column,
@@ -105,7 +111,8 @@ object Experiment {
     m.select(
       col("n_c"), col("n_t"), col("conv_c"), col("conv_t"),
       pC.as("p_ctrl"), pT.as("p_treat"), (pT - pC).as("diff"),
-      ((pT - pC) / sqrt(pPool * (lit(1.0) - pPool) * invN)).as("z_stat"),
+      ((pT - pC) / nullif(sqrt(pPool * (lit(1.0) - pPool) * invN), lit(0.0)))
+        .as("z_stat"),
       wilson(pC, nC, -1.0).as("ctrl_lo"), wilson(pC, nC, 1.0).as("ctrl_hi"),
       wilson(pT, nT, -1.0).as("treat_lo"), wilson(pT, nT, 1.0).as("treat_hi"),
       // MDE: (z_α/2 + z_β) · √(p̄(1−p̄)·(1/n_c + 1/n_t))
@@ -124,7 +131,7 @@ object Experiment {
         .stripMargin.replaceAll("\n", "")
     s"""SELECT n_c, n_t, conv_c, conv_t, p_c AS p_ctrl, p_t AS p_treat,
        |  p_t - p_c AS diff,
-       |  (p_t - p_c) / SQRT(pp * (1.0 - pp) * inv_n) AS z_stat,
+       |  (p_t - p_c) / NULLIF(SQRT(pp * (1.0 - pp) * inv_n), 0) AS z_stat,
        |  ${w("p_c", "nc", "-")} AS ctrl_lo,
        |  ${w("p_c", "nc", "+")} AS ctrl_hi,
        |  ${w("p_t", "nt", "-")} AS treat_lo,
@@ -132,12 +139,14 @@ object Experiment {
        |  (1.96 + 0.8416) * SQRT(pp * (1.0 - pp) * inv_n) AS mde
        |FROM (
        |  SELECT n_c, n_t, conv_c, conv_t,
-       |    CAST(n_c AS DOUBLE) AS nc, CAST(n_t AS DOUBLE) AS nt,
-       |    CAST(conv_c AS DOUBLE) / CAST(n_c AS DOUBLE) AS p_c,
-       |    CAST(conv_t AS DOUBLE) / CAST(n_t AS DOUBLE) AS p_t,
-       |    CAST(conv_c + conv_t AS DOUBLE) / CAST(n_c + n_t AS DOUBLE)
-       |      AS pp,
-       |    1.0 / CAST(n_c AS DOUBLE) + 1.0 / CAST(n_t AS DOUBLE) AS inv_n
+       |    NULLIF(CAST(n_c AS DOUBLE), 0) AS nc,
+       |    NULLIF(CAST(n_t AS DOUBLE), 0) AS nt,
+       |    CAST(conv_c AS DOUBLE) / NULLIF(CAST(n_c AS DOUBLE), 0) AS p_c,
+       |    CAST(conv_t AS DOUBLE) / NULLIF(CAST(n_t AS DOUBLE), 0) AS p_t,
+       |    CAST(conv_c + conv_t AS DOUBLE)
+       |      / NULLIF(CAST(n_c + n_t AS DOUBLE), 0) AS pp,
+       |    1.0 / NULLIF(CAST(n_c AS DOUBLE), 0)
+       |      + 1.0 / NULLIF(CAST(n_t AS DOUBLE), 0) AS inv_n
        |  FROM $rel)""".stripMargin
   }
 

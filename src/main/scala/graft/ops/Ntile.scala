@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Global equi-depth bucketing with SQL `ntile` semantics, without the
@@ -44,22 +43,11 @@ object Ntile {
       outCol: String = "bucket"): DataFrame = {
     require(buckets >= 1, s"Ntile.global: buckets must be >= 1, got $buckets")
     require(orderBy.nonEmpty, "Ntile.global: at least one sort column")
-    val parted = df.repartitionByRange(orderBy: _*)
-      .withColumn("__pid", spark_partition_id())
-    // Tiny per-partition frame: counts, exclusive running offset, total.
-    val offsets = parted.groupBy("__pid").agg(count(lit(1)).as("__cnt"))
-      .withColumn("__off", coalesce(
-        sum(col("__cnt")).over(
-          Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)),
-        lit(0L)))
-      .withColumn("__n", sum(col("__cnt")).over(
-        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
-      .select("__pid", "__off", "__n")
-    val ranked = parted
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy(col("__pid")).orderBy(orderBy: _*)))
-      .join(broadcast(offsets), Seq("__pid"))
-      .withColumn("__r", col("__off") + col("__rn"))
+    // global rank = inclusive prefix count of a unit weight (RangePrefix)
+    val ranked = RangePrefix.prefixSums(
+      df.withColumn("__one", lit(1L)), orderBy, Seq("__one"))
+      .withColumnRenamed("__one_cum", "__r")
+      .withColumnRenamed("__one_tot", "__n")
     // ntile: sizeSmall = n div b, the first n % b buckets take one extra
     // row. Integral `div` (not `/`, which is double division in Spark and
     // can truncate off-by-one near 2^53) keeps the formula exact at any n.
@@ -70,6 +58,6 @@ object Ntile {
       .withColumn(outCol, expr(
         """CASE WHEN __r <= __span THEN (__r - 1) div (__ss + 1)
           |ELSE __nb + (__r - __span - 1) div __ss END + 1""".stripMargin))
-      .drop("__pid", "__rn", "__off", "__n", "__r", "__ss", "__nb", "__span")
+      .drop("__one", "__r", "__n", "__ss", "__nb", "__span")
   }
 }

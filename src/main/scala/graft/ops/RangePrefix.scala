@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed global prefix sums under a total order — the shared
+  * machinery behind [[Ntile.global]] (global row ranks), [[Drift.exactKs]]
+  * (two-sample cumulative counts), and [[Conformal.splitConformal]]
+  * (order-statistic location), extracted so the subtle distributed-prefix
+  * shape lives in ONE place.
+  *
+  * A global running sum requires a total order, and the naive window
+  * (`SUM(w) OVER (ORDER BY …)`) plans to a SINGLE task. This computes the
+  * same values distributed:
+  *
+  *   repartitionByRange(order) → per-partition running sums (window
+  *     PARTITIONED by `spark_partition_id()`, each task scans only its
+  *     slice) → add the broadcast-joined exclusive total of the
+  *     partitions before it.
+  *
+  * The offset frame is |shuffle partitions| rows — control-sized, its own
+  * cumulative window free — and its subplan is identical to the main
+  * branch's up to the exchange, so the range shuffle is planned once and
+  * reused (ReuseExchange). Range partitioning keeps equal keys on one
+  * side of each boundary, so slice-local sums + offsets compose to
+  * exactly the single-task result; each consumer's spec pins equality
+  * against the naive window on randomized data.
+  *
+  * Callers must pass a TOTAL order (break ties — e.g. append a key
+  * column), or boundary duplicates would make the prefix
+  * partitioning-dependent.
+  */
+object RangePrefix {
+
+  /** For each weight column `w` in `weights` (integral type), append
+    * `<w>_cum` = the inclusive global running sum of `w` under `orderBy`,
+    * and `<w>_tot` = its grand total. Row order and all input columns are
+    * preserved (plus the appended ones).
+    */
+  def prefixSums(df: DataFrame, orderBy: Seq[Column],
+      weights: Seq[String]): DataFrame = {
+    require(orderBy.nonEmpty, "RangePrefix: at least one sort column")
+    require(weights.nonEmpty, "RangePrefix: at least one weight column")
+    val parted = df.repartitionByRange(orderBy: _*)
+      .withColumn("__pid", spark_partition_id())
+    // control-sized frame: per-partition totals → exclusive offsets + grand totals
+    val perPart = parted.groupBy("__pid").agg(
+      sum(col(weights.head)).as(s"__c_${weights.head}"),
+      weights.tail.map(w => sum(col(w)).as(s"__c_$w")): _*)
+    val offsets = weights.foldLeft(perPart) { (d, w) =>
+      d.withColumn(s"__off_$w", coalesce(
+          sum(col(s"__c_$w")).over(Window.orderBy("__pid")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn(s"__tot_$w", sum(col(s"__c_$w")).over(Window.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)))
+    }.select(col("__pid") +:
+      weights.flatMap(w => Seq(col(s"__off_$w"), col(s"__tot_$w"))): _*)
+    val local = Window.partitionBy(col("__pid")).orderBy(orderBy: _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val joined = parted.join(broadcast(offsets), Seq("__pid"))
+    weights.foldLeft(joined) { (d, w) =>
+      d.withColumn(s"${w}_cum", col(s"__off_$w") + sum(col(w)).over(local))
+        .withColumn(s"${w}_tot", col(s"__tot_$w"))
+    }.drop("__pid" +:
+      weights.flatMap(w => Seq(s"__off_$w", s"__tot_$w")): _*)
+  }
+}

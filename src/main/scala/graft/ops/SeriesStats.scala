@@ -100,8 +100,12 @@ object SeriesStats {
     val denT = (dn(col("n")) * col("stt") - col("st") * col("st"))
       .cast("decimal(19,0)")
     val denY = dn(col("n")) * col("syy") - col("sy") * col("sy")
-    // slope in iy/t units → /10⁴ to money; intercept = ȳ − slope·t̄
-    val slope = num.cast("double") / denT.cast("double") / lit(10000.0)
+    // slope in iy/t units → /10⁴ to money; intercept = ȳ − slope·t̄.
+    // Guarded: a group whose rows share one t value has denT = 0, which
+    // ANSI mode turns into a query-killing DIVIDE_BY_ZERO — NULL slope
+    // (and, by null propagation, NULL intercept) instead.
+    val slope = when(denT =!= 0,
+      num.cast("double") / denT.cast("double") / lit(10000.0))
     val meanY = col("sy").cast("double") /
       (col("n").cast("double") * lit(10000.0))
     val meanT = col("st").cast("double") / col("n").cast("double")

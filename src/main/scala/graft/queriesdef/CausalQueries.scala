@@ -336,12 +336,13 @@ object CausalQueries {
         |  WINDOW w AS (ORDER BY decile
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
         |SELECT decile, n, n_treat, conv_treat, conv_ctrl,
-        |  CAST(conv_treat AS DOUBLE) / CAST(n_treat AS DOUBLE)
-        |    - CAST(conv_ctrl AS DOUBLE) / CAST(n - n_treat AS DOUBLE)
+        |  CAST(conv_treat AS DOUBLE) / NULLIF(CAST(n_treat AS DOUBLE), 0)
+        |    - CAST(conv_ctrl AS DOUBLE)
+        |      / NULLIF(CAST(n - n_treat AS DOUBLE), 0)
         |    AS uplift,
         |  CAST(CAST(cum_ct AS HUGEINT) * CAST(cum_nc AS HUGEINT)
         |      - CAST(cum_cc AS HUGEINT) * CAST(cum_nt AS HUGEINT)
-        |      AS DOUBLE) / CAST(cum_nc AS DOUBLE) AS qini
+        |      AS DOUBLE) / NULLIF(CAST(cum_nc AS DOUBLE), 0) AS qini
         |FROM cum ORDER BY decile""".stripMargin)),
 
     // EXACT two-sample KS between first-half and second-half basket
@@ -396,8 +397,8 @@ object CausalQueries {
         |mg AS (SELECT MAX(gap) AS mg FROM gaps)
         |SELECT MAX(na) AS n_a, MAX(nb) AS n_b,
         |  CAST(MAX(gap) AS DOUBLE)
-        |    / CAST(CAST(MAX(na) AS HUGEINT) * CAST(MAX(nb) AS HUGEINT)
-        |      AS DOUBLE) AS ks,
+        |    / NULLIF(CAST(CAST(MAX(na) AS HUGEINT)
+        |      * CAST(MAX(nb) AS HUGEINT) AS DOUBLE), 0) AS ks,
         |  CAST(MIN(v) AS DOUBLE) AS ks_at
         |FROM gaps, mg WHERE gap = mg.mg""".stripMargin)),
 
@@ -614,8 +615,8 @@ object CausalQueries {
         |    AND cum - cnt < ((n + 1) * 90 + 99) // 100),
         |per AS (
         |  SELECT stratum, COUNT(*) AS n_test,
-        |    CAST(SUM(CASE WHEN r <= q.q_resid THEN 1 ELSE 0 END)
-        |      AS BIGINT) AS covered,
+        |    CAST(SUM(CASE WHEN q.q_resid IS NULL OR r <= q.q_resid
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS covered,
         |    MAX(q.q_resid) AS q_resid
         |  FROM wr, q WHERE split = 'test' GROUP BY stratum)
         |SELECT stratum, n_test, covered,
@@ -697,11 +698,13 @@ object CausalQueries {
         |    CAST(SUM(iy * iy) AS HUGEINT) AS syy
         |  FROM si GROUP BY "group")
         |SELECT "group", n,
-        |  CAST(n * sty - st * sy AS DOUBLE)
-        |    / CAST(n * stt - st * st AS DOUBLE) / 10000.0 AS slope,
+        |  CASE WHEN n * stt - st * st <> 0 THEN
+        |    CAST(n * sty - st * sy AS DOUBLE)
+        |      / CAST(n * stt - st * st AS DOUBLE) / 10000.0 END AS slope,
         |  CAST(sy AS DOUBLE) / (CAST(n AS DOUBLE) * 10000.0)
-        |    - (CAST(n * sty - st * sy AS DOUBLE)
-        |      / CAST(n * stt - st * st AS DOUBLE) / 10000.0)
+        |    - (CASE WHEN n * stt - st * st <> 0 THEN
+        |        CAST(n * sty - st * sy AS DOUBLE)
+        |          / CAST(n * stt - st * st AS DOUBLE) / 10000.0 END)
         |      * (CAST(st AS DOUBLE) / CAST(n AS DOUBLE)) AS intercept,
         |  CASE WHEN n * stt - st * st <> 0 AND n * syy - sy * sy <> 0 THEN
         |    CAST((n * sty - st * sy) * (n * sty - st * sy) AS DOUBLE)

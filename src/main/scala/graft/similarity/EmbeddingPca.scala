@@ -65,21 +65,29 @@ object EmbeddingPca {
       s"""posexplode(transform(sequence(0, ${d - 1}), i ->
          |  CAST(CAST(element_at(embedding, i + 1) AS DOUBLE)
          |    AS DECIMAL(28,8))))""".stripMargin).as(Seq("i", "x")))
-      .groupBy("i").agg(sum(col("x")).cast("decimal(28,8)").as("s"))
-    val n = emb.count().toDouble
+      .groupBy("i")
+      // n rides along in the control-sized aggregate (each dim group sees
+      // every corpus row) — no separate data-sized count() pass
+      .agg(sum(col("x")).cast("decimal(28,8)").as("s"),
+        count(lit(1)).as("n"))
 
     // C_ij, pinned association, ROUND9 → the iteration's exact matrix
     val cov = sij
-      .join(broadcast(si.select(col("i"), col("s").as("s_i"))), Seq("i"))
+      .join(broadcast(si.select(col("i"), col("s").as("s_i"),
+        col("n").cast("double").as("n"))), Seq("i"))
       .join(broadcast(si.select(col("i").as("j"), col("s").as("s_j"))),
         Seq("j"))
       .select(col("i"), col("j"),
-        round(col("sij").cast("double") / lit(n)
-          - (col("s_i").cast("double") / lit(n))
-            * (col("s_j").cast("double") / lit(n)), 9)
+        round(col("sij").cast("double") / col("n")
+          - (col("s_i").cast("double") / col("n"))
+            * (col("s_j").cast("double") / col("n")), 9)
           .as("c"))
       .collect().map(r => (r.getAs[Int]("i"), r.getAs[Int]("j")) ->
         Round9.round9d(r.getAs[Double]("c"))).toMap
+    // empty corpus → no covariance → empty result, not a map-lookup crash
+    if (cov.isEmpty)
+      return Seq.empty[(Long, Double, Double, Double)]
+        .toDF("dim", "loading", "lambda", "var_explained")
 
     // K quantized power-iteration steps from the uniform start
     def r9(x: JBigDecimal): JBigDecimal =
@@ -97,7 +105,11 @@ object EmbeddingPca {
         acc.add(r9(wi.multiply(wi)))
       }
       val nrm = math.sqrt(ssq.doubleValue())
-      v = w.map(wi => Round9.round9d(wi.doubleValue() / nrm))
+      // C·v = 0 (zero covariance matrix, e.g. a constant or zero-padded
+      // prefix): every vector is a 0-eigenvector — keep the current v
+      // rather than normalizing 0/0 into NaN (Round9 throws on NaN)
+      if (nrm != 0.0)
+        v = w.map(wi => Round9.round9d(wi.doubleValue() / nrm))
     }
     // Rayleigh λ = Σ_i round9(v_i · (C·v)_i); trace = Σ C_ii (exact)
     val cv = (0 until d).map { i =>
@@ -111,7 +123,10 @@ object EmbeddingPca {
     val trace = (0 until d).foldLeft(JBigDecimal.ZERO) { (acc, i) =>
       acc.add(cov((i, i)))
     }
-    val varExp = lambda.doubleValue() / trace.doubleValue()
+    // trace = 0 (zero-variance prefix) → NULL share, not 0/0 = NaN
+    val varExp: Option[Double] =
+      if (trace.signum == 0) None
+      else Some(lambda.doubleValue() / trace.doubleValue())
     (0 until d).map(i =>
       (i.toLong, v(i).doubleValue(), lambda.doubleValue(), varExp))
       .toDF("dim", "loading", "lambda", "var_explained")
