@@ -1,17 +1,37 @@
 package graft
-import java.nio.file.{Files, Paths}
+import java.nio.file.{Files, Paths, StandardOpenOption}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * Dump order is chosen so a DRIVER TIMEOUT TRUNCATES the record instead
+  * of zeroing it (two official rounds came back `{}` — r02, r06):
+  * `oracle_sql.json` is written FIRST (before any query runs), results
+  * stream one directory at a time, and `progress.jsonl` appends one line
+  * per query as it lands — whatever survives a kill is a valid partial
+  * record the compare can still score.
+  */
 object Verify {
+  /** Heaviest queries at sf0.01 (measured via progress.jsonl), skipped by
+    * the dev-only `--fast` selector when wall-clock is the constraint.
+    */
+  val heavyQueries: Set[String] = Set(
+    "training_set", "household_commodity_features",
+    "household_features_reference_exact", "conformal_interval",
+    "product_pagerank", "triangle_count", "spend_drift_ks",
+    "theil_sen_trend", "survival_repurchase", "basket_pairs")
+
   def main(args: Array[String]): Unit = {
     require(args.length == 2 || args.length == 3,
-      "usage: Verify <sfDir> <outDir> [name1,name2,...]")
+      "usage: Verify <sfDir> <outDir> [--fast | name1,name2,...]")
     val sfDir = args(0); val outDir = args(1)
     // dev-only selector (the driver always passes 2 args): restrict the
-    // dump — and the emitted oracle json — to the named queries
+    // dump — and the emitted oracle json — to the named queries, or with
+    // `--fast` skip the pinned heaviest set
     val selected: Map[String, (org.apache.spark.sql.SparkSession, String) =>
         org.apache.spark.sql.DataFrame] =
-      if (args.length == 3) {
+      if (args.length == 3 && args(2) == "--fast")
+        SparkEntry.queries.view.filterKeys(!heavyQueries.contains(_)).toMap
+      else if (args.length == 3) {
         val names = args(2).split(",").map(_.trim).toSet
         val missing = names -- SparkEntry.queries.keySet
         require(missing.isEmpty, s"unknown queries: ${missing.mkString(",")}")
@@ -22,28 +42,7 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    // one bucketed+pinned silver fact for the whole dump (values identical;
-    // see core.SilverStore)
-    graft.core.SilverStore.enable()
-    selected.foreach { case (name, fn) =>
-      // Remove any previous run's result FIRST: a query that now fails
-      // must not leave its old (stale) parquet behind, or the compare
-      // would silently report a false PASS for a broken query.
-      val target = Paths.get(outDir, name)
-      if (Files.exists(target)) {
-        val walk = Files.walk(target)
-        try {
-          import scala.jdk.CollectionConverters._
-          walk.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
-        } finally walk.close()
-      }
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        // e.toString keeps the exception class (getMessage is null for NPEs)
-        System.err.println(s"[verify] $name failed: $e")
-      }
-    }
+
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -56,9 +55,46 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // oracle json BEFORE any query runs: if the dump is killed mid-way
+    // the compare still has the contract for every result that landed
     val json = SparkEntry.oracleSql.view.filterKeys(selected.keySet)
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+
+    val progress = Paths.get(s"$outDir/progress.jsonl")
+    Files.deleteIfExists(progress)
+    def record(name: String, ok: Boolean, sec: Double, err: String): Unit =
+      Files.writeString(progress,
+        s"""{"query":${q(name)},"ok":$ok,"sec":${f"$sec%.2f"}""" +
+          (if (err.isEmpty) "}\n" else s""","error":${q(err)}}""" + "\n"),
+        StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+
+    // one bucketed+pinned silver fact for the whole dump (values identical;
+    // see core.SilverStore)
+    graft.core.SilverStore.enable()
+    selected.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      // Remove any previous run's result FIRST: a query that now fails
+      // must not leave its old (stale) parquet behind, or the compare
+      // would silently report a false PASS for a broken query.
+      val target = Paths.get(outDir, name)
+      if (Files.exists(target)) {
+        val walk = Files.walk(target)
+        try {
+          import scala.jdk.CollectionConverters._
+          walk.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+        } finally walk.close()
+      }
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        record(name, ok = true, (System.nanoTime() - t0) / 1e9, "")
+      } catch { case e: Throwable =>
+        // e.toString keeps the exception class (getMessage is null for NPEs)
+        System.err.println(s"[verify] $name failed: $e")
+        record(name, ok = false, (System.nanoTime() - t0) / 1e9, e.toString)
+      }
+    }
     spark.stop()
   }
 }

@@ -31,6 +31,16 @@ import org.apache.spark.sql.functions._
   */
 object Forecast {
 
+  /** The driver fold is only legal on a CALENDAR-BOUNDED series table
+    * (|groups| × |days|). This cap makes the contract enforced, not
+    * documented: a caller passing a data-grain series (households ×
+    * days) fails loudly instead of silently OOMing the driver — the
+    * [[graft.dedup.Clusters.driverPairLimit]] treatment. 2M rows of
+    * (key, date, 3×long) is tens of MB — far inside driver headroom,
+    * far above any real (commodity/store × calendar) series.
+    */
+  val driverRowLimit: Long = 2000000L
+
   /** Half-up, away-from-zero integer division (d > 0) — written to match
     * truncating SQL integer division on the |a| form, so the same CASE
     * renders to DuckDB verbatim.
@@ -52,12 +62,23 @@ object Forecast {
     * alphaDen/betaDen are the 1/α and 1/β denominators.
     */
   def holt(series: DataFrame, groupCols: Seq[String], dayCol: String,
-      y4Col: String, alphaDen: Long = 4L, betaDen: Long = 8L): DataFrame = {
+      y4Col: String, alphaDen: Long = 4L, betaDen: Long = 8L,
+      driverLimit: Long = driverRowLimit): DataFrame = {
     require(alphaDen >= 1 && betaDen >= 1, "Forecast.holt: denominators >= 1")
     val spark = series.sparkSession
     val n = groupCols.size
-    val rows = series.select(
-      (groupCols.map(col) ++ Seq(col(dayCol), col(y4Col))): _*).collect()
+    val narrowed = series.select(
+      (groupCols.map(col) ++ Seq(col(dayCol), col(y4Col))): _*).cache()
+    // probed cutover guard (the Clusters pattern): `limit` computes only
+    // the partitions it needs, so an oversized series is detected without
+    // materializing it — and the legal path shares the cached narrow frame
+    val probed = narrowed
+      .limit(math.min(driverLimit + 1, Int.MaxValue.toLong).toInt).count()
+    require(probed <= driverLimit,
+      s"Forecast.holt: series exceeds $driverLimit rows — the driver fold " +
+        "is for calendar-bounded series (|groups| x |days|); aggregate to " +
+        "a coarser grain first")
+    val rows = try narrowed.collect() finally { narrowed.unpersist(); () }
     val folded = rows
       .map(r => (Seq.range(0, n).map(r.get),
         (r.getDate(n), r.getLong(n + 1))))

@@ -16,7 +16,7 @@ import org.apache.spark.sql.functions._
   * driver-sized state is the per-distinct-score table:
   *
   *   scored rows ──hash agg on score──▶ (score, n, pos)   [data-sized pass]
-  *        ──window over DISTINCT scores──▶ cumulative counts [tiny table]
+  *        ──range-partitioned prefix sums──▶ cumulative counts
   *        ──closed-form arithmetic──▶ AUC / bins / lift      [exact]
   *
   * Scores are expected pre-rounded (9 decimals by engine convention) so
@@ -24,6 +24,13 @@ import org.apache.spark.sql.functions._
   * any engine replaying the math. All rank/cumulative arithmetic stays in
   * integer/decimal space until a single final division, so results are
   * independent of partition count and combine order.
+  *
+  * The global cumulative counts over the distinct-score table go through
+  * [[RangePrefix.prefixSums]] (NOT a bare `Window.orderBy`, which plans
+  * to a single task): the shipped queries' score domains are bounded
+  * (9-dp ratios), but as a GENERIC operator a continuous score column
+  * makes the distinct-score table data-sized, and these aggregates must
+  * stay scale-safe there too — the same reasoning as `Drift.exactKs`.
   */
 object ModelEval {
 
@@ -34,8 +41,9 @@ object ModelEval {
     * AUC = Σ_s pos_s · (negBelow_s + ½·neg_s) / (P·N), accumulated as the
     * exact integer 2·U = Σ pos_s·(2·negBelow_s + neg_s) in DECIMAL(38,0)
     * (a long overflows once P·N exceeds ~9e18 — true corpus scale), then
-    * one double division. The global window runs over the DISTINCT-score
-    * aggregate, never the data.
+    * one double division. Cumulative negatives come from the
+    * range-partitioned prefix machinery over the DISTINCT-score aggregate
+    * — never the data, and never a single-task global window.
     */
   def auc(scored: DataFrame, scoreCol: String = "score",
       labelCol: String = "purchased"): DataFrame = {
@@ -43,10 +51,9 @@ object ModelEval {
       .groupBy(col(scoreCol).as("s"))
       .agg(count(lit(1)).as("n"), sum(col(labelCol).cast("long")).as("pos"))
       .withColumn("neg", col("n") - col("pos"))
-    val asc = Window.orderBy(col("s").asc)
-    val cum = perScore.withColumn("neg_below",
-      coalesce(sum(col("neg")).over(
-        asc.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    // s is DISTINCT after the groupBy, so ordering by it alone is total
+    val cum = RangePrefix.prefixSums(perScore, Seq(col("s").asc), Seq("neg"))
+      .withColumn("neg_below", col("neg_cum") - col("neg"))
     cum.agg(
         sum(col("pos").cast("decimal(38,0)") *
           (col("neg_below").cast("decimal(38,0)") * 2 +
@@ -108,14 +115,13 @@ object ModelEval {
     val perScore = scored
       .groupBy(col(scoreCol).as("s"))
       .agg(count(lit(1)).as("n"), sum(col(labelCol).cast("long")).as("pos"))
-    val desc_ = Window.orderBy(col("s").desc)
-    val whole = Window.rowsBetween(
-      Window.unboundedPreceding, Window.unboundedFollowing)
-    val binned = perScore
-      .withColumn("rows_above", coalesce(sum(col("n")).over(
-        desc_.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .withColumn("total", sum(col("n")).over(whole))
-      .withColumn("total_pos", sum(col("pos")).over(whole))
+    // rank + grand totals via the range-partitioned prefix machinery
+    // (s distinct ⇒ the descending order is total)
+    val binned = RangePrefix.prefixSums(perScore, Seq(col("s").desc),
+        Seq("n", "pos"))
+      .withColumn("rows_above", col("n_cum") - col("n"))
+      .withColumn("total", col("n_tot"))
+      .withColumn("total_pos", col("pos_tot"))
       // exact INTEGER division (DIV), not floor(double /): at corpus
       // scale a double quotient can land ulps below an exact integer
       // boundary and floor into the wrong bin — and differently per engine
@@ -124,6 +130,9 @@ object ModelEval {
     val byBin = binned.groupBy("bin")
       .agg(sum(col("n")).as("rows"), sum(col("pos")).as("positives"),
         max(col("total")).as("total"), max(col("total_pos")).as("total_pos"))
+    // byBin is exactly nBins rows (a caller CONSTANT, not data-sized), so
+    // a plain cumulative window over it is fine at any scale — the same
+    // control-frame exemption as RangePrefix's own per-partition offsets
     val binAsc = Window.orderBy(col("bin").asc)
     byBin
       .withColumn("cum_pos", sum(col("positives")).over(

@@ -36,6 +36,14 @@ import org.apache.spark.sql.functions._
   */
 object Survival {
 
+  /** The product fold collects the CURVE table (|groups| × |distinct
+    * times|) — curve-point-sized by construction, and this cap enforces
+    * it (the [[graft.dedup.Clusters.driverPairLimit]] treatment): a
+    * caller whose grouping makes the curve data-sized fails loudly
+    * instead of OOMing the driver.
+    */
+  val driverRowLimit: Long = 2000000L
+
   /** Distributed curve table: groupCols, time, n_risk, d_events,
     * c_censored — `obs` must carry integer `timeCol` and 0/1 `eventCol`.
     */
@@ -64,10 +72,17 @@ object Survival {
     * survival). The collect is curve-point-sized by construction.
     */
   def kaplanMeier(obs: DataFrame, groupCols: Seq[String], timeCol: String,
-      eventCol: String): DataFrame = {
+      eventCol: String, driverLimit: Long = driverRowLimit): DataFrame = {
     val spark = obs.sparkSession
-    val c = curve(obs, groupCols, timeCol, eventCol)
-    val rows = c.collect()
+    val c = curve(obs, groupCols, timeCol, eventCol).cache()
+    // probed cutover guard (the Clusters pattern): detect an oversized
+    // curve without materializing it; the legal path reuses the cache
+    val probed = c
+      .limit(math.min(driverLimit + 1, Int.MaxValue.toLong).toInt).count()
+    require(probed <= driverLimit,
+      s"Survival.kaplanMeier: curve exceeds $driverLimit rows — group to " +
+        "a coarser grain (the fold is for curve-point-sized tables)")
+    val rows = try c.collect() finally { c.unpersist(); () }
     val n = groupCols.size
     val folded = rows
       .map { r =>

@@ -58,4 +58,17 @@ class ForecastSpec extends AnyFunSuite {
       .select("grp", "level4").as[(String, Long)].collect().toMap
     assert(out("b") == 999L) // first observation seeds level directly
   }
+
+  test("driver fold guard: oversized series fails loudly, bounded one runs") {
+    val s = (0 until 20).map(i =>
+      ("g", Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i)),
+        100L * i)).toDF("grp", "day", "y4")
+    val e = intercept[IllegalArgumentException] {
+      Forecast.holt(s, Seq("grp"), "day", "y4", driverLimit = 10L)
+    }
+    assert(e.getMessage.contains("calendar-bounded"), e.getMessage)
+    // at the limit exactly: legal
+    assert(Forecast.holt(s, Seq("grp"), "day", "y4", driverLimit = 20L)
+      .count() == 20L)
+  }
 }

@@ -55,4 +55,16 @@ class SurvivalSpec extends AnyFunSuite {
       assert(s.forall(v => v >= 0.0 && v <= 1.0))
     }
   }
+
+  test("driver fold guard: data-sized curve fails loudly, bounded one runs") {
+    // 30 distinct (group, time) curve points
+    val wide = (0 until 30).map(i => (s"g$i", (i + 1).toLong, 1L))
+      .toDF("grp", "t", "e")
+    val ex = intercept[IllegalArgumentException] {
+      Survival.kaplanMeier(wide, Seq("grp"), "t", "e", driverLimit = 10L)
+    }
+    assert(ex.getMessage.contains("curve-point-sized"), ex.getMessage)
+    assert(Survival.kaplanMeier(wide, Seq("grp"), "t", "e",
+      driverLimit = 30L).count() == 30L)
+  }
 }
