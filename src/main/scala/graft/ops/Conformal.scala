@@ -35,6 +35,12 @@ object Conformal {
     * (stratum, n_test, covered, coverage, q_resid) — q_resid is the one
     * global calibration quantile (the audit column), coverage should sit
     * at or above 1−α on exchangeable data.
+    *
+    * Strata with NO train rows are NOT dropped: their test rows surface
+    * with NULL covered/coverage (no predictor exists there), and the
+    * `__all__` row counts them in n_test but not in covered — so the
+    * global rate treats unpredicted units as not-covered instead of
+    * overstating coverage of the full population.
     */
   def splitConformal(units: DataFrame, alphaPct: Int = 10): DataFrame = {
     require(alphaPct > 0 && alphaPct < 100,
@@ -45,14 +51,19 @@ object Conformal {
         count(lit(1)).as("n_train"))
       .select(col("stratum"),
         (col("sy").cast("double") / col("n_train").cast("double")).as("mu"))
+    // LEFT join: a stratum with no train rows has no predictor — its
+    // cal/test rows must SURFACE in the audit (NULL mu/r/coverage), not
+    // silently vanish and overstate coverage of the full population
     val withR = units.filter(col("split") =!= "train")
-      .join(broadcast(mu), Seq("stratum"))
+      .join(broadcast(mu), Seq("stratum"), "left_outer")
       .withColumn("r", abs(col("y").cast("double") - col("mu")))
 
     // k-th smallest calibration residual, k = ⌈(n+1)(100−α)/100⌉, via
     // the distinct-value + range-partitioned-prefix machinery.
     // Integral div — Spark's `/` on longs is double division.
-    val byV = withR.filter(col("split") === "cal")
+    // Train-absent strata have no residual (NULL r) and cannot enter the
+    // calibration order statistic.
+    val byV = withR.filter(col("split") === "cal" && col("r").isNotNull)
       .groupBy("r").agg(count(lit(1)).as("cnt"))
     val k = expr(s"((cnt_tot + 1L) * ${100 - alphaPct}L + 99L) div 100L")
     val q = RangePrefix.prefixSums(byV, Seq(col("r")), Seq("cnt"))
@@ -68,10 +79,17 @@ object Conformal {
     // interval covers EVERYTHING — count the row covered, don't let the
     // NULL comparison silently report total coverage failure. q_resid
     // itself stays NULL in the output (there is no finite quantile).
+    // Per-stratum accounting: `covered` (and so `coverage`) is NULL for a
+    // train-absent stratum — the machinery made NO prediction there, and a
+    // NULL row in the audit is the honest surface. The `__all__` row keeps
+    // integer semantics: its n_test counts EVERY test unit while covered
+    // sums only predicted strata, so unpredicted rows read as not-covered
+    // in the global rate rather than inflating it.
     val per = test.groupBy("stratum").agg(
       count(lit(1)).as("n_test"),
-      sum(when(col("q_resid").isNull || col("r") <= col("q_resid"), 1L)
-        .otherwise(0L)).as("covered"),
+      when(max(col("mu")).isNotNull,
+        sum(when(col("q_resid").isNull || col("r") <= col("q_resid"), 1L)
+          .otherwise(0L))).as("covered"),
       max(col("q_resid")).as("q_resid"))
     def close(df: DataFrame) = df.select(
       col("stratum"), col("n_test"), col("covered"),

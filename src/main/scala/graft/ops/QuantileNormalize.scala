@@ -22,34 +22,23 @@ import org.apache.spark.sql.functions._
   * the oracle bit for bit.
   *
   * Scale shape: per-group ranks are windows bounded by group size; the
-  * GLOBAL rank reuses [[Ntile]]'s range-partitioned decomposition
-  * (row_number per range partition + broadcast per-partition offsets —
-  * no single-task global window); the relocation is one equi-join on an
-  * 8-byte index. Ties order by (value, id) — total, engine-identical.
+  * GLOBAL rank is [[RangePrefix.prefixSums]] with unit weights (the
+  * shared range-partitioned prefix machinery — no single-task global
+  * window); the relocation is one equi-join on an 8-byte index. Ties
+  * order by (value, id) — total, engine-identical.
   */
 object QuantileNormalize {
 
   /** df + `__gidx` (0-based global rank by `orderBy`) + `__N` (total),
-    * via the range-partitioned global row_number.
+    * expressed through [[RangePrefix.prefixSums]] with unit weights
+    * (rank = inclusive cumulative count − 1) so the subtle distributed
+    * prefix/boundary invariants live in ONE place.
     */
-  private def globalIndexed(df: DataFrame, orderBy: Seq[Column]): DataFrame = {
-    val parted = df.repartitionByRange(orderBy: _*)
-      .withColumn("__pid", spark_partition_id())
-    val offsets = parted.groupBy("__pid").agg(count(lit(1)).as("__cnt"))
-      .withColumn("__off", coalesce(
-        sum(col("__cnt")).over(
-          Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)),
-        lit(0L)))
-      .withColumn("__N", sum(col("__cnt")).over(
-        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
-      .select("__pid", "__off", "__N")
-    parted
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy(col("__pid")).orderBy(orderBy: _*)))
-      .join(broadcast(offsets), Seq("__pid"))
-      .withColumn("__gidx", col("__off") + col("__rn") - 1L)
-      .drop("__pid", "__rn", "__off", "__cnt")
-  }
+  private def globalIndexed(df: DataFrame, orderBy: Seq[Column]): DataFrame =
+    RangePrefix.prefixSums(df.withColumn("__w", lit(1L)), orderBy, Seq("__w"))
+      .withColumn("__gidx", col("__w_cum") - 1L)
+      .withColumn("__N", col("__w_tot"))
+      .drop("__w", "__w_cum", "__w_tot")
 
   /** Append `normalized_value`: the global value at each row's
     * group-relative rank. `idCol` breaks ties (must make the order

@@ -38,6 +38,15 @@ object SeriesStats {
     * lag: (lag, n_pairs, acf) — acf is the covariance-style estimator
     * over the m matched pairs, normalized by the full-series variance
     * (the 10⁴ unit factors cancel in the ratio).
+    *
+    * NOT the textbook sample ACF: the numerator is the m-matched-pair
+    * covariance (m = n − lag, with the PAIR means s1/m, s2/m) while the
+    * denominator is the full-series n-based variance, so values differ
+    * from statsmodels/R's standard biased estimator (global mean, n in
+    * both) by roughly an (n−lag)/n factor. It is a DEFINED, oracle-pinned
+    * statistic chosen because both sides close as exact int128 sums with
+    * one final division; consumers comparing against a reference
+    * implementation must rescale or use the conventional estimator.
     */
   def acf(series: DataFrame, maxLag: Int): DataFrame = {
     require(maxLag >= 1, s"SeriesStats.acf: maxLag >= 1, got $maxLag")

@@ -1168,7 +1168,12 @@ object AnalyticsQueries {
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
         val txc = FeatureBuilder.txWithCommodity(s, dir)
-        val (_, hi) = Retail.dayBounds(s, dir)
+        // censoring horizon from the SAME relation the oracle uses (max
+        // day of the commodity-joined silver fact, its gbk CTE) — NOT
+        // Retail.dayBounds (max l_shipdate of raw lineitem): the two only
+        // agree while the silver filter and the product FK join preserve
+        // the max-day row, and relying on that is a silent trap
+        val hi = txc.agg(max(col("day"))).head().getDate(0).toLocalDate
         val days = txc.select("household_key", "commodity_desc", "day")
           .distinct()
         val w = Window.partitionBy("household_key", "commodity_desc")

@@ -598,11 +598,12 @@ object CausalQueries {
         |      / CAST(COUNT(*) AS DOUBLE) AS mu
         |  FROM sp WHERE split = 'train' GROUP BY stratum),
         |wr AS (
-        |  SELECT sp.stratum, sp.split, ABS(CAST(y AS DOUBLE) - mu.mu) AS r
-        |  FROM sp JOIN mu ON sp.stratum = mu.stratum
+        |  SELECT sp.stratum, sp.split, mu.mu,
+        |    ABS(CAST(y AS DOUBLE) - mu.mu) AS r
+        |  FROM sp LEFT JOIN mu ON sp.stratum = mu.stratum
         |  WHERE split <> 'train'),
-        |bv AS (SELECT r, COUNT(*) AS cnt FROM wr WHERE split = 'cal'
-        |       GROUP BY r),
+        |bv AS (SELECT r, COUNT(*) AS cnt FROM wr
+        |       WHERE split = 'cal' AND r IS NOT NULL GROUP BY r),
         |cu AS (
         |  SELECT r, cnt,
         |    CAST(SUM(cnt) OVER (ORDER BY r ROWS UNBOUNDED PRECEDING)
@@ -615,8 +616,9 @@ object CausalQueries {
         |    AND cum - cnt < ((n + 1) * 90 + 99) // 100),
         |per AS (
         |  SELECT stratum, COUNT(*) AS n_test,
-        |    CAST(SUM(CASE WHEN q.q_resid IS NULL OR r <= q.q_resid
-        |      THEN 1 ELSE 0 END) AS BIGINT) AS covered,
+        |    CASE WHEN MAX(mu) IS NOT NULL THEN
+        |      CAST(SUM(CASE WHEN q.q_resid IS NULL OR r <= q.q_resid
+        |        THEN 1 ELSE 0 END) AS BIGINT) END AS covered,
         |    MAX(q.q_resid) AS q_resid
         |  FROM wr, q WHERE split = 'test' GROUP BY stratum)
         |SELECT stratum, n_test, covered,

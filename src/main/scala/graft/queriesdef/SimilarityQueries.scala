@@ -229,6 +229,97 @@ object SimilarityQueries {
       },
       None),
 
+    // IVF recall audit — the relational recall@5 of the IVF search
+    // mechanics (cell assignment, probe fan-out, candidate join, ranking)
+    // against exact brute force, per probe count. Uses the DETERMINISTIC
+    // first-nCells centroids (kmeansCells = false) so BOTH sides render
+    // to DuckDB exactly and the recall numbers are hash-checked — the
+    // k-means entries above keep their no-oracle status, but the search
+    // path's quality becomes a verified quantity (recall must be monotone
+    // in probes: the candidate set only grows).
+    Entry(
+      "ann_recall_audit",
+      (s, dir) => {
+        val emb = Catalog.table(s, dir, "embeddings")
+        val queries = emb.filter(col("vec_id") < 20)
+        val full = Similarity.bruteForceTopK(queries, emb, k = 5)
+          .select(col("query_id"), col("neighbor_id"))
+        def recallAt(p: Int) = {
+          val ivf = Similarity.ivfTopK(queries, emb, k = 5, nCells = 8,
+            kmeansCells = false, probes = p)
+            .select(col("query_id"), col("neighbor_id"))
+            .withColumn("__hit", lit(1))
+          // left join (not semi): a query with zero overlap must still
+          // report 0, not vanish (the truncated_recall rule)
+          full.join(ivf, Seq("query_id", "neighbor_id"), "left")
+            .groupBy("query_id").agg(
+              count(col("__hit")).as("n_overlap"),
+              count(lit(1)).as("k"))
+            .select(lit(p).as("probes"), col("query_id"), col("n_overlap"),
+              round(col("n_overlap").cast("double") / col("k").cast("double"),
+                9).as("recall_at_5"))
+        }
+        recallAt(1).unionByName(recallAt(2))
+      },
+      Some {
+        // candidate stage per probe count: probed query cells × the
+        // corpus's single-cell assignment, exact cosine re-rank
+        def ivfAt(name: String, probes: Int) =
+          s"""$name AS (
+             |  SELECT query_id, neighbor_id FROM (
+             |    SELECT qa.query_id, ca.neighbor_id,
+             |      ${cosSql("qv", "cv")} AS cos,
+             |      ROW_NUMBER() OVER (PARTITION BY qa.query_id
+             |        ORDER BY ${cosSql("qv", "cv")} DESC, ca.neighbor_id)
+             |        AS rank
+             |    FROM qa JOIN ca ON qa.cell_id = ca.cell_id
+             |      AND qa.rn <= $probes
+             |    JOIN embeddings qv ON qv.vec_id = qa.query_id
+             |    JOIN embeddings cv ON cv.vec_id = ca.neighbor_id
+             |    WHERE qa.query_id <> ca.neighbor_id) t
+             |  WHERE rank <= 5)""".stripMargin
+        def recallAt(name: String, ivf: String, probes: Int) =
+          s"""SELECT $probes AS probes, f.query_id,
+             |  CAST(COUNT(i.query_id) AS BIGINT) AS n_overlap,
+             |  ROUND(CAST(COUNT(i.query_id) AS DOUBLE)
+             |    / CAST(COUNT(*) AS DOUBLE), 9) AS recall_at_5
+             |FROM f LEFT JOIN $ivf i ON f.query_id = i.query_id
+             |  AND f.neighbor_id = i.neighbor_id
+             |GROUP BY f.query_id""".stripMargin
+        s"""WITH f AS (
+           |  SELECT query_id, neighbor_id FROM (
+           |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+           |        ORDER BY ${cosSql("q", "c")} DESC, c.vec_id) AS rank
+           |    FROM (SELECT vec_id, embedding FROM embeddings
+           |          WHERE vec_id < 20) q,
+           |      embeddings c
+           |    WHERE q.vec_id <> c.vec_id) t
+           |  WHERE rank <= 5),
+           |cent AS (SELECT vec_id AS cell_id, embedding FROM embeddings
+           |         ORDER BY vec_id LIMIT 8),
+           |ca AS (
+           |  SELECT vec_id AS neighbor_id, cell_id FROM (
+           |    SELECT e.vec_id, c.cell_id,
+           |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+           |        ORDER BY ${cosSql("e", "c")} DESC, c.cell_id) AS rn
+           |    FROM embeddings e, cent c) t
+           |  WHERE rn = 1),
+           |qa AS (
+           |  SELECT vec_id AS query_id, cell_id, rn FROM (
+           |    SELECT e.vec_id, c.cell_id,
+           |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+           |        ORDER BY ${cosSql("e", "c")} DESC, c.cell_id) AS rn
+           |    FROM (SELECT * FROM embeddings WHERE vec_id < 20) e, cent c)
+           |      t
+           |  WHERE rn <= 2),
+           |${ivfAt("ivf1", 1)},
+           |${ivfAt("ivf2", 2)}
+           |${recallAt("r1", "ivf1", 1)}
+           |UNION ALL
+           |${recallAt("r2", "ivf2", 2)}""".stripMargin
+      }),
+
     // Affine int8 quantization audit (Quantize scaladoc): per-dimension
     // global stats → one broadcast row of aligned arrays → pure per-row
     // transform; q_sum is the order-independent integer checksum that

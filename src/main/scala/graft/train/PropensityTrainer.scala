@@ -31,11 +31,13 @@ object PropensityTrainer {
   /** Defaults mirror the reference's tuning budget (`04b:378-395`):
     * hyperopt explores `max_depth` ∈ [5, 20] (quniform) and
     * `learning_rate` ∈ [0.01, 0.40] (uniform) with
-    * `max_evals = max(50, parallelism·5)` TPE trials. The engine samples
-    * the SAME ranges with a seeded uniform random search of `maxEvals`
-    * distinct points (random search, unlike a fixed grid, matches TPE's
-    * budget semantics and covers continuous ranges at any budget), and
-    * trials run as parallel Spark jobs (`parallelism` = local cores, like
+    * `max_evals = max(50, parallelism·5)` TPE trials. The engine spends
+    * the SAME `maxEvals` budget over the SAME ranges in TWO seeded
+    * stages — explore half uniform-random, then refine half in a
+    * neighborhood of the stage-1 top [[refineTopK]] trials
+    * ([[refineMaps]]) — the deterministic stand-in for TPE's adaptive
+    * proposals (explore/exploit, reproducible bit-for-bit). Trials run
+    * as parallel Spark jobs (`parallelism` = local cores, like
     * `SparkTrials`). For exact reference parity on a cluster pass
     * `maxEvals = math.max(50, cores * 5)`.
     * XGBoost→GBT delta: MLlib's GBT has no `scale_pos_weight` /
@@ -62,24 +64,59 @@ object PropensityTrainer {
       parallelism: Int = Runtime.getRuntime.availableProcessors(),
       seed: Long = 42L)
 
+  /** Stage split of the `maxEvals` budget: explore half, refine half —
+    * the cheap deterministic stand-in for hyperopt's TPE adaptivity
+    * (`04b:398-411`): TPE proposes new points from a density fit to the
+    * best trials so far; here stage 2 samples a seeded neighborhood of
+    * the stage-1 top [[refineTopK]] performers. Same total budget, same
+    * ranges, fully deterministic.
+    */
+  def stageOneBudget(cfg: Config): Int = (cfg.maxEvals + 1) / 2
+  val refineTopK: Int = 5
+
   /** Seeded distinct samples from the reference search space
     * (`04b:379-383`): depth quniform [5, 20], rate uniform [0.01, 0.40].
     */
-  private def sampledSpace(cfg: Config): Seq[(Int, Double)] = {
-    val rnd = new scala.util.Random(cfg.seed)
+  private def sampledSpace(n: Int, seed: Long): Seq[(Int, Double)] = {
+    val rnd = new scala.util.Random(seed)
     val seen = scala.collection.mutable.LinkedHashSet.empty[(Int, Double)]
     var attempts = 0
-    while (seen.size < cfg.maxEvals && attempts < cfg.maxEvals * 100) {
+    while (seen.size < n && attempts < n * 100) {
       seen += ((5 + rnd.nextInt(16), 0.01 + rnd.nextDouble() * 0.39))
       attempts += 1
     }
     seen.toSeq
   }
 
-  /** The hyperparameter search points for a config — pure, no fitting
-    * (TrainerSpec asserts the budget and ranges without training). Grid
-    * overrides win; otherwise the seeded `maxEvals`-point random search
-    * over the reference ranges.
+  private def clamp(x: Double, lo: Double, hi: Double): Double =
+    math.min(hi, math.max(lo, x))
+
+  /** Seeded neighborhood samples around the stage-1 anchors (round-robin):
+    * depth jitters ±2 (clamped to [5, 20]), rate multiplies by
+    * e^U[−0.3, 0.3] (clamped to [0.01, 0.40]) — TPE's exploitation step
+    * without its density machinery, still engine-deterministic.
+    */
+  private def neighborhoodSpace(anchors: Seq[(Int, Double)], n: Int,
+      seed: Long): Seq[(Int, Double)] = {
+    require(anchors.nonEmpty, "neighborhoodSpace: at least one anchor")
+    val rnd = new scala.util.Random(seed ^ 0x9e3779b97f4a7c15L)
+    val seen = scala.collection.mutable.LinkedHashSet.empty[(Int, Double)]
+    var i = 0; var attempts = 0
+    while (seen.size < n && attempts < n * 100) {
+      val (d, r) = anchors(i % anchors.size)
+      seen += ((
+        math.min(20, math.max(5, d + rnd.nextInt(5) - 2)),
+        clamp(r * math.exp((rnd.nextDouble() * 2 - 1) * 0.3), 0.01, 0.40)))
+      i += 1; attempts += 1
+    }
+    seen.toSeq
+  }
+
+  /** Stage-1 hyperparameter search points — pure, no fitting (TrainerSpec
+    * asserts the budget and ranges without training). Grid overrides win
+    * (and consume the WHOLE budget — no refinement stage runs for them);
+    * otherwise the seeded [[stageOneBudget]]-point random search over the
+    * reference ranges, refined by [[refineMaps]] after fitting.
     */
   def searchMaps(estimator: Any, cfg: Config): Array[org.apache.spark.ml.param.ParamMap] = {
     import org.apache.spark.ml.param.ParamMap
@@ -91,13 +128,13 @@ object PropensityTrainer {
             // log-uniform reg strength: LR's analog of the reference's
             // continuous rate range, same sampled budget
             val rnd = new scala.util.Random(cfg.seed)
-            Seq.fill(cfg.maxEvals)(math.pow(10.0, -4.0 + 3.7 * rnd.nextDouble()))
-              .distinct
+            Seq.fill(stageOneBudget(cfg))(
+              math.pow(10.0, -4.0 + 3.7 * rnd.nextDouble())).distinct
           }
         regs.map(r => ParamMap(lr.regParam -> r)).toArray
       case gbt: GBTClassifier =>
         // a PARTIAL grid override would be silently discarded and the
-        // 50-point random search run instead — fail loud on the ambiguity
+        // sampled search run instead — fail loud on the ambiguity
         require(cfg.maxDepths.isEmpty == cfg.stepSizes.isEmpty,
           "GBT grid override needs BOTH maxDepths and stepSizes (or neither)")
         if (cfg.maxDepths.nonEmpty)
@@ -105,9 +142,48 @@ object PropensityTrainer {
             .addGrid(gbt.maxDepth, cfg.maxDepths.toArray)
             .addGrid(gbt.stepSize, cfg.stepSizes.toArray).build()
         else
-          sampledSpace(cfg).map { case (d, s) =>
+          sampledSpace(stageOneBudget(cfg), cfg.seed).map { case (d, s) =>
             ParamMap(gbt.maxDepth -> d, gbt.stepSize -> s)
           }.toArray
+      case other =>
+        throw new IllegalArgumentException(s"unsupported estimator: $other")
+    }
+  }
+
+  /** Stage-2 (refinement) points from the ranked stage-1 trials — pure,
+    * no fitting: a seeded neighborhood of the top [[refineTopK]]
+    * performers, sized to spend the REMAINING `maxEvals − stageOne`
+    * budget. `ranked` pairs each stage-1 ParamMap with its validation
+    * metric (higher better).
+    */
+  def refineMaps(estimator: Any, cfg: Config,
+      ranked: Seq[(org.apache.spark.ml.param.ParamMap, Double)])
+      : Array[org.apache.spark.ml.param.ParamMap] = {
+    import org.apache.spark.ml.param.ParamMap
+    val n2 = cfg.maxEvals - stageOneBudget(cfg)
+    if (n2 <= 0 || ranked.isEmpty) return Array.empty
+    // stable top-k: metric DESC, then original trial order
+    val top = ranked.zipWithIndex
+      .sortBy { case ((_, m), i) => (-m, i) }
+      .take(refineTopK).map(_._1._1)
+    estimator match {
+      case lr: LogisticRegression =>
+        val anchors = top.map(m => m(lr.regParam))
+        val rnd = new scala.util.Random(cfg.seed ^ 0x9e3779b97f4a7c15L)
+        val seen = scala.collection.mutable.LinkedHashSet.empty[Double]
+        var i = 0; var attempts = 0
+        while (seen.size < n2 && attempts < n2 * 100) {
+          val r = anchors(i % anchors.size)
+          seen += clamp(r * math.pow(10.0, (rnd.nextDouble() * 2 - 1) * 0.3),
+            1e-4, math.pow(10.0, -0.3))
+          i += 1; attempts += 1
+        }
+        seen.toSeq.map(r => ParamMap(lr.regParam -> r)).toArray
+      case gbt: GBTClassifier =>
+        val anchors = top.map(m => (m(gbt.maxDepth), m(gbt.stepSize)))
+        neighborhoodSpace(anchors, n2, cfg.seed).map { case (d, s) =>
+          ParamMap(gbt.maxDepth -> d, gbt.stepSize -> s)
+        }.toArray
       case other =>
         throw new IllegalArgumentException(s"unsupported estimator: $other")
     }
@@ -143,15 +219,35 @@ object PropensityTrainer {
         new GBTClassifier()
           .setWeightCol("weight").setMaxIter(cfg.maxIter).setSeed(cfg.seed)
     }
-    val grid = searchMaps(estimator, cfg)
     val evaluator = new BinaryClassificationEvaluator()
       .setMetricName("areaUnderPR")
-    val tvs = new TrainValidationSplit()
-      .setEstimator(estimator).setEstimatorParamMaps(grid)
-      .setEvaluator(evaluator).setTrainRatio(0.8)
-      .setParallelism(cfg.parallelism).setSeed(cfg.seed)
-    val pipe = new Pipeline().setStages(Array(assembler, tvs))
-    pipe.fit(labeled)
+    def fitWith(maps: Array[org.apache.spark.ml.param.ParamMap])
+        : (PipelineModel, Array[Double]) = {
+      val tvs = new TrainValidationSplit()
+        .setEstimator(estimator).setEstimatorParamMaps(maps)
+        .setEvaluator(evaluator).setTrainRatio(0.8)
+        .setParallelism(cfg.parallelism).setSeed(cfg.seed)
+      val pm = new Pipeline().setStages(Array(assembler, tvs)).fit(labeled)
+      val metrics = pm.stages(1)
+        .asInstanceOf[org.apache.spark.ml.tuning.TrainValidationSplitModel]
+        .validationMetrics
+      (pm, metrics)
+    }
+    val stage1 = searchMaps(estimator, cfg)
+    val (pm1, m1) = fitWith(stage1)
+    val explicitGrid = cfg.regParams.nonEmpty || cfg.maxDepths.nonEmpty
+    if (explicitGrid) pm1
+    else {
+      // TPE-ish refinement (04b:398-411): spend the remaining budget in a
+      // seeded neighborhood of the stage-1 top performers; keep whichever
+      // stage's best validation metric wins (ties → stage 1)
+      val stage2 = refineMaps(estimator, cfg, stage1.toSeq.zip(m1.toSeq))
+      if (stage2.isEmpty) pm1
+      else {
+        val (pm2, m2) = fitWith(stage2)
+        if (m2.max > m1.max) pm2 else pm1
+      }
+    }
   }
 
   /** The reference's three tracked model-quality metrics (`04b:254-256`,

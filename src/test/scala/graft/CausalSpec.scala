@@ -337,6 +337,27 @@ class CausalSpec extends AnyFunSuite {
     assert(cov >= 0.86 && cov <= 0.96, s"coverage $cov out of band")
   }
 
+  test("conformal: train-absent stratum surfaces with NULL coverage") {
+    val train = (1 to 5).map(i => (s"tr$i", "s", "train", 10.0))
+    val cal = (1 to 10).map(i => (s"c$i", "s", "cal", 10.0 + i))
+    val test = Seq(("t1", "s", "test", 15.0),
+      // stratum "orphan" has NO train rows: must appear, not vanish
+      ("t2", "orphan", "test", 5.0), ("t3", "orphan", "test", 7.0))
+    val out = graft.ops.Conformal.splitConformal(
+      (train ++ cal ++ test).toDF("id", "stratum", "split", "y"),
+      alphaPct = 10)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val orphan = out("orphan")
+    assert(orphan.getAs[Long]("n_test") == 2L)
+    assert(orphan.isNullAt(orphan.fieldIndex("covered")))
+    assert(orphan.isNullAt(orphan.fieldIndex("coverage")))
+    // the global audit counts the orphan units as NOT covered
+    val all = out("__all__")
+    assert(all.getAs[Long]("n_test") == 3L)
+    assert(all.getAs[Long]("covered") == 1L)
+    assert(all.getAs[Double]("coverage") == 1.0 / 3)
+  }
+
   // ---- TopShare.nucleusPerGroup ----------------------------------------
 
   test("nucleus: smallest prefix reaching p, at least one item kept") {

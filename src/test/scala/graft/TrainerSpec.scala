@@ -63,29 +63,67 @@ class TrainerSpec extends AnyFunSuite {
     assert(agg(true) > 0.7 && agg(false) < 0.3, s"gbt failed to separate: $agg")
   }
 
-  test("default search budget is ≥50 points over the reference ranges (04b:379-395)") {
+  test("two-stage search spends ≥50 points over the reference ranges (04b:379-411)") {
     import org.apache.spark.ml.classification.{GBTClassifier, LogisticRegression}
     val cfg = PropensityTrainer.Config() // production default
     assert(cfg.maxEvals >= 50)
     val gbt = new GBTClassifier()
-    def points(cfg: PropensityTrainer.Config) =
+    def stage1(cfg: PropensityTrainer.Config) =
       PropensityTrainer.searchMaps(gbt, cfg)
         .map(m => (m(gbt.maxDepth), m(gbt.stepSize))).toSeq
-    val maps = points(cfg)
-    assert(maps.length >= 50, s"budget ${maps.length} < 50")
-    assert(maps.distinct.length == maps.length, "sampled points must be distinct")
-    maps.foreach { case (d, s) =>
+    val s1 = stage1(cfg)
+    assert(s1.length == PropensityTrainer.stageOneBudget(cfg))
+    assert(s1.distinct.length == s1.length, "sampled points must be distinct")
+    s1.foreach { case (d, s) =>
       assert(d >= 5 && d <= 20, s"max_depth $d outside [5,20]")
       assert(s >= 0.01 && s <= 0.40, s"learning_rate $s outside [0.01,0.40]")
     }
     // deterministic for a fixed seed; a different seed moves the points
-    assert(points(cfg) == maps)
-    assert(points(cfg.copy(seed = 7L)) != maps)
-    // lr: same sampled budget; explicit override wins
+    assert(stage1(cfg) == s1)
+    assert(stage1(cfg.copy(seed = 7L)) != s1)
+
+    // stage 2: refinement spends the REST of the budget near the top 5
+    val fakeMetrics = s1.indices.map(i => 1.0 / (i + 1)) // best = trial 0
+    val ranked = PropensityTrainer.searchMaps(gbt, cfg).toSeq
+      .zip(fakeMetrics)
+    val s2 = PropensityTrainer.refineMaps(gbt, cfg, ranked)
+      .map(m => (m(gbt.maxDepth), m(gbt.stepSize))).toSeq
+    assert(s1.length + s2.length == cfg.maxEvals,
+      s"two-stage budget ${s1.length}+${s2.length} != ${cfg.maxEvals}")
+    assert(s2.distinct.length == s2.length)
+    val anchors = s1.take(PropensityTrainer.refineTopK)
+    s2.foreach { case (d, s) =>
+      assert(d >= 5 && d <= 20, s"refined depth $d outside [5,20]")
+      assert(s >= 0.01 && s <= 0.40, s"refined rate $s outside [0.01,0.40]")
+      // every refined point is a ±2-depth / e^±0.3-rate jitter of SOME
+      // top-5 anchor — the neighborhood contract
+      assert(anchors.exists { case (ad, ar) =>
+        math.abs(d - ad) <= 2 &&
+          s >= ar * math.exp(-0.3) - 1e-12 && s <= ar * math.exp(0.3) + 1e-12
+      }, s"refined point ($d,$s) not in any anchor neighborhood")
+    }
+    // deterministic refinement
+    assert(PropensityTrainer.refineMaps(gbt, cfg, ranked)
+      .map(m => (m(gbt.maxDepth), m(gbt.stepSize))).toSeq == s2)
+
+    // lr: same two-stage budget; explicit override wins and refines nothing
     val lr = new LogisticRegression()
-    assert(PropensityTrainer.searchMaps(lr, cfg).length >= 50)
+    val lrS1 = PropensityTrainer.searchMaps(lr, cfg)
+    val lrS2 = PropensityTrainer.refineMaps(lr, cfg,
+      lrS1.toSeq.zip(lrS1.indices.map(i => 1.0 / (i + 1))))
+    assert(lrS1.length + lrS2.length == cfg.maxEvals)
     assert(PropensityTrainer.searchMaps(lr,
       cfg.copy(regParams = Seq(0.0, 0.01))).length == 2)
+  }
+
+  test("lr two-stage refinement trains end-to-end (no grid override)") {
+    val df = PropensityTrainer.withWeights(toy(120), posRatio = 0.4)
+    // tiny budget: 2 explore + 2 refine — exercises BOTH fits + the pick
+    val model = PropensityTrainer.train(df,
+      Seq("household__f1", "household__f2"),
+      PropensityTrainer.Config(algo = "lr", maxEvals = 4, maxIter = 5,
+        parallelism = 2))
+    assert(model.transform(df).count() == 120)
   }
 
   test("confusion metrics match hand-computed MCC and balanced accuracy") {
