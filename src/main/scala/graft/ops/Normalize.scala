@@ -48,11 +48,10 @@ object Normalize {
       round((col("__v4") - col("__mn")).cast("double") /
         (col("__mx") - col("__mn")).cast("double"), 9))
     val left = df.select((keepCols ++ groupCols).map(col) :+ v4.as("__v4"): _*)
-    val cond = GroupKeys.nullSafeCond(left, stats, groupCols)
     val out: Seq[Column] =
       keepCols.map(left(_)) ++ groupCols.map(left(_)) :+
         vD.as("value") :+ z.as("value_z") :+ mm.as("value_minmax")
-    left.join(stats, cond).select(out: _*)
+    GroupKeys.joinOn(left, stats, groupCols).select(out: _*)
   }
 
   /** The identical arithmetic as DuckDB SQL (oracle rendering) for a

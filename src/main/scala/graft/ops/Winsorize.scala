@@ -33,9 +33,8 @@ object Winsorize {
         round(col("__phi"), 9).as("__phi"): _*)
     val left = df.select((keepCols ++ groupCols).map(col) :+
       col(valueCol).cast("double").as("value"): _*)
-    val cond = GroupKeys.nullSafeCond(left, cuts, groupCols)
     val v = col("value")
-    left.join(cuts, cond, "left_outer").select(
+    GroupKeys.joinOn(left, cuts, groupCols, "left_outer").select(
       keepCols.map(left(_)) ++ groupCols.map(left(_)) ++ Seq(
         v,
         when(v < col("__plo"), col("__plo"))
