@@ -75,6 +75,10 @@ object Bench {
     // generated loops at C1 — measured totals 63.5s (sf0.001 warm) vs
     // 51.1s (sf0.01 warm) with the same timed fixture. Needs the code
     // cache sized for two suite passes (build.sbt ReservedCodeCacheSize).
+    // dev-only selector for scale studies (the driver sets no env →
+    // full suite): time (and warm) only the named queries
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.01")
     if (warmDir.nonEmpty && warmDir != sfDir &&
         new java.io.File(warmDir).isDirectory) {
@@ -86,7 +90,9 @@ object Bench {
       try graft.silver.TransactionsAdj(spark, warmDir)
       catch { case e: Throwable => System.err.println(s"[bench] warm silver: $e") }
       val t0 = System.nanoTime()
-      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (n, _) => only.forall(_.contains(n)) }
+        .foreach { case (name, fn) =>
         try { fn(spark, warmDir).queryExecution.toRdd.count(); () }
         catch { case e: Throwable =>
           System.err.println(s"[bench] warm $name failed: $e")
@@ -127,6 +133,7 @@ object Bench {
     // mood. Per-pass times go to stderr; the JSON line reports the min.
     val timedPasses = sys.env.getOrElse("SPARK_GRAFT_TIMED_PASSES", "2").toInt
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     val passTimes: Seq[Map[String, Double]] = (1 to timedPasses).map { pass =>
       names.map { case (name, fn) =>
         val gc0 = gcMillis

@@ -74,7 +74,11 @@ object Verify {
     // one bucketed+pinned silver fact for the whole dump (values identical;
     // see core.SilverStore)
     graft.core.SilverStore.enable()
-    selected.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    // heavy queries LAST: under a driver timeout the truncated record then
+    // holds the MAXIMUM number of per-query results
+    selected.toSeq.sortBy { case (name, _) =>
+      (heavyQueries.contains(name), name)
+    }.foreach { case (name, fn) =>
       // Remove any previous run's result FIRST: a query that now fails
       // must not leave its old (stale) parquet behind, or the compare
       // would silently report a false PASS for a broken query.
