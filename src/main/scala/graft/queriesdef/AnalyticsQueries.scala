@@ -363,6 +363,42 @@ object AnalyticsQueries {
         |  HAVING COUNT(DISTINCT f.household_key) > 0)
         |SELECT * FROM kept UNION ALL SELECT * FROM other""".stripMargin)),
 
+    // ε-DP released counts (ε = 1): distinct households per commodity +
+    // seeded content-derived Laplace noise — the release is a pure
+    // function of (data, seed), so the mechanism itself is hash-proven
+    // cross-engine (Privacy scaladoc; n_exact rides for the audit only,
+    // a real release publishes n_dp alone).
+    Entry(
+      "dp_release_counts",
+      (s, dir) => {
+        val txc = FeatureBuilder.txWithCommodity(s, dir)
+        graft.ops.Privacy.dpCounts(
+          txc.select("commodity_desc", "household_key").distinct(),
+          Seq("commodity_desc"), seed = "release-epoch-1", epsilonPct = 100)
+      },
+      Some(s"""WITH ${Oracle.txCommodity},
+        |u AS (SELECT DISTINCT commodity_desc, household_key FROM txc)
+        |${graft.ops.Privacy.dpCountsSql("u", "commodity_desc",
+            "release-epoch-1", 100)}""".stripMargin)),
+
+    // ε-DP released spend (ε = 1, per-household contribution clipped to
+    // 100.0000 money units per commodity so the sensitivity IS the clip):
+    // decimal-exact clipped sums cross to double as scale-0 integers,
+    // noise seeded as above.
+    Entry(
+      "dp_release_spend",
+      (s, dir) => {
+        val txc = FeatureBuilder.txWithCommodity(s, dir)
+        graft.ops.Privacy.dpSums(txc, Seq("commodity_desc"),
+          "household_key", "amount_paid", clip4 = 1000000L,
+          seed = "release-epoch-1", epsilonPct = 100)
+      },
+      Some(s"""WITH ${Oracle.txCommodity},
+        |${graft.ops.Privacy.dpSumsSql("txc", "commodity_desc",
+            "household_key", "amount_paid", 1000000L,
+            "release-epoch-1", 100).replaceFirst("^WITH ", "")}"""
+        .stripMargin)),
+
     // Shuffle-key skew diagnostics over the fact's three join keys —
     // every statistic map-side combinable, no sort/window/percentile
     // (KeySkew scaladoc), so the profile never becomes the skew problem
