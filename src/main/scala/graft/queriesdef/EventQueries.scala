@@ -567,30 +567,43 @@ object EventQueries {
       Some(graft.ops.Winsorize.perGroupSql(
         "events", "event_type", "value", Seq("event_id")))),
 
-    // Bucketized interval-containment join (no equi-key): each error
-    // event opens a 5-minute incident window; count the traffic inside
-    // every window. Large×large range join — graft.ops.RangeJoin's
-    // bucket-explode shape (one shuffle per side on the bucket id, exact
-    // containment re-checked inside the join), not a nested loop. The
-    // oracle is DuckDB's native inequality join over the same windows.
+    // Interval-containment incident stats (no equi-key): each error
+    // event opens a 5-minute window; count the traffic inside every
+    // window. NOT the pair join: the events×50 study measured the
+    // bucketized range join at 229× cost for 50× data (pair work ∝
+    // windows × points-per-window — quadratic in temporal density), so
+    // the subtractive aggregates (count / conditional count / decimal
+    // sum) come from ONE range-partitioned prefix pass with the window
+    // boundaries injected as zero-weight probes, and only the
+    // COUNT DISTINCT — genuinely set-valued — keeps a pair join, shrunk
+    // to first-in-window coverage intervals whose pair count is the
+    // OUTPUT size (IntervalStats scaladoc). Same results bit-for-bit;
+    // the oracle stays DuckDB's native inequality join.
     Entry(
       "interval_join_errors",
       (s, dir) => {
         val ev = EventOps.events(s, dir)
           .withColumn("ep", unix_timestamp(col("ts")))
-        val points = ev.select(col("event_id"), col("ep"),
-          col("event_type"), col("value"), col("user_id"))
+        val points = ev.select(col("event_id"), col("ep"), col("user_id"),
+          lit(1L).as("n"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L).as("np"),
+          col("value").cast("decimal(18,4)").as("v4"))
         val wins = ev.filter(col("event_type") === "error")
           .select(col("event_id").as("window_id"), col("ep").as("w_start"),
             (col("ep") + 300L).as("w_end"))
-        graft.ops.RangeJoin
-          .pointInInterval(points, wins, "ep", "w_start", "w_end", bucketWidth = 300L)
-          .groupBy(col("window_id"), col("w_start"))
-          .agg(
-            count(lit(1)).as("n_events"),
-            countDistinct(col("user_id")).as("n_users"),
-            count(when(col("event_type") === "purchase", lit(1))).as("n_purchases"),
-            sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+        val sums = graft.ops.IntervalStats.prefixDiff(points, "ep",
+          "event_id", Seq("n", "np", "v4"), wins, "window_id",
+          "w_start", "w_end")
+        val users = graft.ops.IntervalStats.distinctInWindows(points, "ep",
+          "user_id", wins, "window_id", "w_start", span = 300L)
+        wins.select("window_id", "w_start")
+          .join(sums, Seq("window_id"))
+          .join(users, Seq("window_id"))
+          .select(col("window_id"), col("w_start"),
+            col("n_in_window").as("n_events"),
+            col("n_distinct").as("n_users"),
+            col("np_in_window").as("n_purchases"),
+            col("v4_in_window").cast("double").as("sum_value"))
       },
       Some(s"""WITH $evCte,
         |e AS (SELECT event_id, CAST(epoch(ts) AS BIGINT) AS ep,
