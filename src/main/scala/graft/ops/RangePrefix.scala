@@ -65,4 +65,43 @@ object RangePrefix {
     }.drop("__pid" +:
       weights.flatMap(w => Seq(s"__off_$w", s"__tot_$w")): _*)
   }
+
+  /** Per-GROUP global running sums — the FEW-LARGE-GROUPS regime where a
+    * plain `Window.partitionBy(group)` caps parallelism at |groups| (one
+    * task drags the whole group: measured 18.7× growth on the per-type
+    * anomaly baseline at events×50). Ranges partition on
+    * (groupCols, orderBy) so each group splits across many tasks; the
+    * per-(partition, group) slice sums form the control frame, whose
+    * per-group exclusive running offset rebuilds the exact single-task
+    * result. Appends `<w>_cum` (inclusive, within the row's group) per
+    * weight. The offsets frame is O(|partitions| + |groups|) rows and is
+    * broadcast — for MILLIONS of tiny groups use the plain per-group
+    * window instead (it parallelizes fine there; this operator is for
+    * the opposite regime). The (groupCols, orderBy) order must be total
+    * within each group.
+    */
+  def groupedPrefixSums(df: DataFrame, groupCols: Seq[String],
+      orderBy: Seq[Column], weights: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty, "RangePrefix: at least one group column")
+    require(orderBy.nonEmpty, "RangePrefix: at least one sort column")
+    require(weights.nonEmpty, "RangePrefix: at least one weight column")
+    val g = groupCols.map(col)
+    val parted = df.repartitionByRange(g ++ orderBy: _*)
+      .withColumn("__pid", spark_partition_id())
+    val perSlice = parted.groupBy(col("__pid") +: g: _*).agg(
+      sum(col(weights.head)).as(s"__c_${weights.head}"),
+      weights.tail.map(w => sum(col(w)).as(s"__c_$w")): _*)
+    val offsets = weights.foldLeft(perSlice) { (d, w) =>
+      d.withColumn(s"__off_$w", coalesce(
+        sum(col(s"__c_$w")).over(Window.partitionBy(g: _*)
+          .orderBy("__pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    }.select(col("__pid") +: g ++: weights.map(w => col(s"__off_$w")): _*)
+    val local = Window.partitionBy(col("__pid") +: g: _*)
+      .orderBy(orderBy: _*).rowsBetween(Window.unboundedPreceding, 0)
+    val joined = parted.join(broadcast(offsets), "__pid" +: groupCols)
+    weights.foldLeft(joined) { (d, w) =>
+      d.withColumn(s"${w}_cum", col(s"__off_$w") + sum(col(w)).over(local))
+    }.drop("__pid" +: weights.map(w => s"__off_$w"): _*)
+  }
 }

@@ -38,6 +38,27 @@ class Round7PlanSpec extends AnyFunSuite {
       "ModelEval.liftTable")
   }
 
+  test("groupedPrefixSums equals the naive per-group window, range-partitioned") {
+    val rnd = new scala.util.Random(3)
+    val df = (1L to 2000L).map(i =>
+      (i, s"g${rnd.nextInt(3)}", rnd.nextInt(50).toLong, rnd.nextInt(100).toLong))
+      .toDF("id", "grp", "t", "w").repartition(11)
+    val got = graft.ops.RangePrefix
+      .groupedPrefixSums(df, Seq("grp"), Seq(col("t"), col("id")), Seq("w"))
+      .select("id", "w_cum").as[(Long, Long)].collect().toMap
+    val naive = org.apache.spark.sql.expressions.Window
+      .partitionBy("grp").orderBy(col("t"), col("id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val exp = df.withColumn("c", sum(col("w")).over(naive))
+      .select("id", "c").as[(Long, Long)].collect().toMap
+    assert(got == exp)
+    val p = graft.ops.RangePrefix
+      .groupedPrefixSums(df, Seq("grp"), Seq(col("t"), col("id")), Seq("w"))
+      .queryExecution.executedPlan.toString
+    assert(p.toLowerCase.contains("rangepartitioning"),
+      s"grouped prefix must range-partition:\n$p")
+  }
+
   test("auc values match the naive single-window formula on random data") {
     // independent recomputation via the naive (single-task) window — the
     // exact value RangePrefix must reproduce regardless of partitioning
