@@ -42,14 +42,17 @@ object ExactPercentiles {
       require(p >= 0.0 && p <= 1.0, s"perGroup: $nm fraction $p outside [0,1]")
     }
     val gs = groupCols.map(col)
-    val byVal = Window.partitionBy(gs: _*).orderBy(col("__v"))
-    val whole = Window.partitionBy(gs: _*)
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val ranked = df
-      .filter(col(valueCol).isNotNull)
-      .select(gs :+ col(valueCol).cast("double").as("__v"): _*)
-      .withColumn("__rn", row_number().over(byVal).cast("long") - 1L)
-      .withColumn("__n", count(lit(1)).over(whole))
+    // per-group rank + size via the grouped range-partitioned prefix (a
+    // bare Window.partitionBy(group) caps parallelism at |groups| — the
+    // few-large-groups trap, RangePrefix scaladoc); ties share __v so
+    // rank permutation among them cannot change any picked value
+    val ranked = RangePrefix.groupedPrefixSums(
+        df.filter(col(valueCol).isNotNull)
+          .select(gs :+ col(valueCol).cast("double").as("__v"): _*)
+          .withColumn("__one", lit(1L)),
+        groupCols, Seq(col("__v")), Seq("__one"))
+      .withColumn("__rn", col("__one_cum") - 1L)
+      .withColumn("__n", col("__one_tot"))
 
     def pos(p: Double): Column = (col("__n") - 1L).cast("double") * lit(p)
 

@@ -48,10 +48,15 @@ object QuantileNormalize {
       idCol: String): DataFrame = {
     val g = groupCols.map(col)
     val order = Seq(col(valueCol), col(idCol))
-    val wg = Window.partitionBy(g: _*).orderBy(order: _*)
-    val ranked = df
-      .withColumn("__gr", row_number().over(wg).cast("long") - 1L)
-      .withColumn("__gn", count(lit(1)).over(Window.partitionBy(g: _*)))
+    // per-group rank + size via the grouped range-partitioned prefix — a
+    // bare Window.partitionBy(group) caps parallelism at |groups| (the
+    // few-large-groups trap, RangePrefix scaladoc); (value, id) makes
+    // the in-group order total
+    val ranked = RangePrefix.groupedPrefixSums(
+        df.withColumn("__one", lit(1L)), groupCols, order, Seq("__one"))
+      .withColumn("__gr", col("__one_cum") - 1L)
+      .withColumn("__gn", col("__one_tot"))
+      .drop("__one", "__one_cum", "__one_tot")
     val gi = globalIndexed(df.select(col(valueCol), col(idCol)), order)
     val nFrame = gi.agg(max(col("__N")).as("__N"))
     val lookup = gi.select(col("__gidx").as("__idx"),

@@ -78,7 +78,10 @@ object RangePrefix {
     * broadcast — for MILLIONS of tiny groups use the plain per-group
     * window instead (it parallelizes fine there; this operator is for
     * the opposite regime). The (groupCols, orderBy) order must be total
-    * within each group.
+    * within each group (ties that share all weight-relevant values are
+    * harmless: ranks permute among equal rows only).
+    * Appends `<w>_cum` (inclusive, within the row's group) and
+    * `<w>_tot` (the group's grand total) per weight.
     */
   def groupedPrefixSums(df: DataFrame, groupCols: Seq[String],
       orderBy: Seq[Column], weights: Seq[String]): DataFrame = {
@@ -93,15 +96,21 @@ object RangePrefix {
       weights.tail.map(w => sum(col(w)).as(s"__c_$w")): _*)
     val offsets = weights.foldLeft(perSlice) { (d, w) =>
       d.withColumn(s"__off_$w", coalesce(
-        sum(col(s"__c_$w")).over(Window.partitionBy(g: _*)
-          .orderBy("__pid")
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-    }.select(col("__pid") +: g ++: weights.map(w => col(s"__off_$w")): _*)
+          sum(col(s"__c_$w")).over(Window.partitionBy(g: _*)
+            .orderBy("__pid")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn(s"__tot_$w",
+          sum(col(s"__c_$w")).over(Window.partitionBy(g: _*).rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing)))
+    }.select(col("__pid") +: g ++:
+      weights.flatMap(w => Seq(col(s"__off_$w"), col(s"__tot_$w"))): _*)
     val local = Window.partitionBy(col("__pid") +: g: _*)
       .orderBy(orderBy: _*).rowsBetween(Window.unboundedPreceding, 0)
     val joined = parted.join(broadcast(offsets), "__pid" +: groupCols)
     weights.foldLeft(joined) { (d, w) =>
       d.withColumn(s"${w}_cum", col(s"__off_$w") + sum(col(w)).over(local))
-    }.drop("__pid" +: weights.map(w => s"__off_$w"): _*)
+        .withColumn(s"${w}_tot", col(s"__tot_$w"))
+    }.drop("__pid" +:
+      weights.flatMap(w => Seq(s"__off_$w", s"__tot_$w")): _*)
   }
 }
