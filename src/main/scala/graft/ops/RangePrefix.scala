@@ -20,18 +20,44 @@ import org.apache.spark.sql.functions._
   *     partitions before it.
   *
   * The offset frame is |shuffle partitions| rows — control-sized, its own
-  * cumulative window free — and its subplan is identical to the main
-  * branch's up to the exchange, so the range shuffle is planned once and
-  * reused (ReuseExchange). Range partitioning keeps equal keys on one
-  * side of each boundary, so slice-local sums + offsets compose to
-  * exactly the single-task result; each consumer's spec pins equality
-  * against the naive window on randomized data.
+  * cumulative window free. The partitioned frame is materialized ONCE
+  * before the two branches split ([[pinnedRangePartition]] — exchange
+  * reuse is NOT reliable across the self-join, and two executions of a
+  * range repartition may assign pids differently). Range partitioning
+  * keeps equal keys on one side of each boundary, so slice-local sums +
+  * offsets compose to exactly the single-task result; each consumer's
+  * spec pins equality against the naive window on randomized data.
   *
   * Callers must pass a TOTAL order (break ties — e.g. append a key
   * column), or boundary duplicates would make the prefix
   * partitioning-dependent.
   */
 object RangePrefix {
+
+  /** The partitioned-with-pid frame is MATERIALIZED once
+    * (`localCheckpoint(true)`) before its two consumers (the offsets
+    * aggregate and the windowed join-back) branch off. This is a
+    * correctness requirement, not a cache: the branch point is a
+    * self-join, whose attribute dedup re-ids one side so the range
+    * exchange is NOT reliably reused — and two independent executions of
+    * a range repartition can assign pids DIFFERENTLY (RangePartitioner
+    * samples its input, and upstream AQE-coalesced joins make row order
+    * non-deterministic between executions). The two branches then
+    * disagree on pid→offset and silently corrupt prefixes — caught live
+    * by theil_sen_trend going 32%-wrong (NULL medians included) the
+    * moment its input came from the bucketed silver. A checkpoint pins
+    * ONE execution, one pid assignment, for every consumer — the
+    * PageRank/Clusters iterative-materialization rule applied to a
+    * DAG that merely LOOKS tree-shaped. (Consequence for plan audits:
+    * the range exchange sits above the checkpoint scan, so consumer
+    * plans show the `__pid`-partitioned window over a checkpoint scan
+    * rather than the rangepartitioning exchange itself.)
+    */
+  private def pinnedRangePartition(df: DataFrame,
+      keys: Seq[Column]): DataFrame =
+    df.repartitionByRange(keys: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
 
   /** For each weight column `w` in `weights` (integral type), append
     * `<w>_cum` = the inclusive global running sum of `w` under `orderBy`,
@@ -42,8 +68,7 @@ object RangePrefix {
       weights: Seq[String]): DataFrame = {
     require(orderBy.nonEmpty, "RangePrefix: at least one sort column")
     require(weights.nonEmpty, "RangePrefix: at least one weight column")
-    val parted = df.repartitionByRange(orderBy: _*)
-      .withColumn("__pid", spark_partition_id())
+    val parted = pinnedRangePartition(df, orderBy)
     // control-sized frame: per-partition totals → exclusive offsets + grand totals
     val perPart = parted.groupBy("__pid").agg(
       sum(col(weights.head)).as(s"__c_${weights.head}"),
@@ -89,8 +114,7 @@ object RangePrefix {
     require(orderBy.nonEmpty, "RangePrefix: at least one sort column")
     require(weights.nonEmpty, "RangePrefix: at least one weight column")
     val g = groupCols.map(col)
-    val parted = df.repartitionByRange(g ++ orderBy: _*)
-      .withColumn("__pid", spark_partition_id())
+    val parted = pinnedRangePartition(df, g ++ orderBy)
     val perSlice = parted.groupBy(col("__pid") +: g: _*).agg(
       sum(col(weights.head)).as(s"__c_${weights.head}"),
       weights.tail.map(w => sum(col(w)).as(s"__c_$w")): _*)
@@ -102,15 +126,21 @@ object RangePrefix {
         .withColumn(s"__tot_$w",
           sum(col(s"__c_$w")).over(Window.partitionBy(g: _*).rowsBetween(
             Window.unboundedPreceding, Window.unboundedFollowing)))
-    }.select(col("__pid") +: g ++:
+    }.select(col("__pid").as("__opid") +:
+      groupCols.map(c => col(c).as(s"__gk_$c")) ++:
       weights.flatMap(w => Seq(col(s"__off_$w"), col(s"__tot_$w"))): _*)
     val local = Window.partitionBy(col("__pid") +: g: _*)
       .orderBy(orderBy: _*).rowsBetween(Window.unboundedPreceding, 0)
-    val joined = parted.join(broadcast(offsets), "__pid" +: groupCols)
+    // group keys join back NULL-SAFELY under fresh names (a USING join's
+    // plain equality would silently drop every null-keyed group — a null
+    // group is a group, the module convention)
+    val cond = (col("__pid") === col("__opid")) &&
+      groupCols.map(c => col(c) <=> col(s"__gk_$c")).reduce(_ && _)
+    val joined = parted.join(broadcast(offsets), cond)
     weights.foldLeft(joined) { (d, w) =>
       d.withColumn(s"${w}_cum", col(s"__off_$w") + sum(col(w)).over(local))
         .withColumn(s"${w}_tot", col(s"__tot_$w"))
-    }.drop("__pid" +:
+    }.drop("__pid" +: "__opid" +: groupCols.map(c => s"__gk_$c") ++:
       weights.flatMap(w => Seq(s"__off_$w", s"__tot_$w")): _*)
   }
 }

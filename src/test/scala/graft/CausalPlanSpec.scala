@@ -18,8 +18,7 @@ class CausalPlanSpec extends AnyFunSuite {
     val rows = (1 to 400).map(i => (i * 0.5, i % 3 == 0))
     val p = plan(Drift.exactKs(rows.toDF("value", "is_a"), "value",
       col("is_a")))
-    assert(p.toLowerCase.contains("rangepartitioning"),
-      s"cumulative counts must use the range-partition prefix trick:\n$p")
+    PlanPins.assertRangePrefixed(p, "Drift.exactKs")
     assert(p.contains("BroadcastHashJoin"),
       s"per-partition offsets must broadcast onto the value table:\n$p")
   }
@@ -76,8 +75,7 @@ class CausalPlanSpec extends AnyFunSuite {
     }
     val p = plan(graft.ops.Conformal.splitConformal(
       rows.toDF("id", "stratum", "split", "y")))
-    assert(p.toLowerCase.contains("rangepartitioning"),
-      s"order statistic must use the range-partition prefix trick:\n$p")
+    PlanPins.assertRangePrefixed(p, "Conformal.splitConformal")
     assert(p.contains("BroadcastHashJoin"),
       s"train means must broadcast onto cal/test:\n$p")
     assert(!p.contains("SortMergeJoin"),
@@ -89,7 +87,6 @@ class CausalPlanSpec extends AnyFunSuite {
       (i % 3 == 0).compareTo(false)))
     val p = plan(Causal.upliftQini(
       rows.toDF("id", "treated", "score", "converted")))
-    assert(p.toLowerCase.contains("rangepartitioning"),
-      s"global decile ranks must range-partition:\n$p")
+    PlanPins.assertRangePrefixed(p, "Causal.upliftQini deciles")
   }
 }

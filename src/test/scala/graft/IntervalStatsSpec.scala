@@ -75,7 +75,7 @@ class IntervalStatsSpec extends AnyFunSuite {
     val p = IntervalStats.prefixDiff(points, "ep", "id", Seq("n"),
       windows, "wid", "ws", "we")
       .queryExecution.executedPlan.toString
-    assert(p.toLowerCase.contains("rangepartitioning"), p)
+    PlanPins.assertRangePrefixed(p, "prefixDiff")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
       s"no pair join allowed:\n$p")
   }

@@ -27,8 +27,7 @@ class Round6PlanSpec extends AnyFunSuite {
     val df = (1L to 500L).map(i => (i, if (i % 2 == 0) "a" else "b", i * 0.5))
       .toDF("id", "grp", "v")
     val p = plan(QuantileNormalize.perGroup(df, Seq("grp"), "v", "id"))
-    assert(p.contains("rangepartitioning") || p.contains("RangePartitioning"),
-      s"global rank must use range partitioning:\n$p")
+    PlanPins.assertRangePrefixed(p, "QuantileNormalize global rank")
   }
 
   test("impute: group statistics broadcast back onto the fact") {

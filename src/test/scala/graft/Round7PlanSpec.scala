@@ -24,10 +24,8 @@ class Round7PlanSpec extends AnyFunSuite {
     * single-task sort would show as a SinglePartition exchange directly
     * under the window's sort).
     */
-  private def assertRangePrefixed(p: String, what: String): Unit = {
-    assert(p.contains("rangepartitioning") || p.contains("RangePartitioning"),
-      s"$what must range-partition its cumulative pass:\n$p")
-  }
+  private def assertRangePrefixed(p: String, what: String): Unit =
+    PlanPins.assertRangePrefixed(p, what)
 
   test("auc: cumulative negatives are range-partitioned, not one task") {
     assertRangePrefixed(plan(ModelEval.auc(scored)), "ModelEval.auc")
@@ -41,7 +39,9 @@ class Round7PlanSpec extends AnyFunSuite {
   test("groupedPrefixSums equals the naive per-group window, range-partitioned") {
     val rnd = new scala.util.Random(3)
     val df = (1L to 2000L).map(i =>
-      (i, s"g${rnd.nextInt(3)}", rnd.nextInt(50).toLong, rnd.nextInt(100).toLong))
+      // null group keys included: a null group is a group (module rule)
+      (i, if (rnd.nextInt(4) == 0) null else s"g${rnd.nextInt(3)}",
+        rnd.nextInt(50).toLong, rnd.nextInt(100).toLong))
       .toDF("id", "grp", "t", "w").repartition(11)
     val got = graft.ops.RangePrefix
       .groupedPrefixSums(df, Seq("grp"), Seq(col("t"), col("id")), Seq("w"))
@@ -55,8 +55,7 @@ class Round7PlanSpec extends AnyFunSuite {
     val p = graft.ops.RangePrefix
       .groupedPrefixSums(df, Seq("grp"), Seq(col("t"), col("id")), Seq("w"))
       .queryExecution.executedPlan.toString
-    assert(p.toLowerCase.contains("rangepartitioning"),
-      s"grouped prefix must range-partition:\n$p")
+    PlanPins.assertRangePrefixed(p, "groupedPrefixSums")
   }
 
   test("auc values match the naive single-window formula on random data") {
