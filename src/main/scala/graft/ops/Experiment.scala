@@ -150,6 +150,123 @@ object Experiment {
        |  FROM $rel)""".stripMargin
   }
 
+  /** Cochran–Mantel–Haenszel stratified 2×2 test + the Mantel–Haenszel
+    * pooled odds ratio — the Simpson's-paradox-safe experiment readout:
+    * when the arm mix differs across strata (store formats, cohorts), the
+    * pooled 2×2 table ([[proportionTest]]) can show an effect that is an
+    * artifact of composition; CMH tests the treatment association WITHIN
+    * strata and pools the evidence (Mantel & Haenszel 1959).
+    *
+    * Per stratum k with cells a (treated-converted), b, c, d and
+    * n = a+b+c+d:  E_k = n_t·(a+c)/n,  V_k = n_t·n_c·(a+c)·(b+d)/(n²(n−1)),
+    * χ²_CMH = (Σa − ΣE)² / ΣV (uncorrected), OR_MH = Σ(ad/n) / Σ(bc/n).
+    *
+    * Determinism: the per-stratum cells are exact integers; E/V/R/S are
+    * fixed IEEE sequences over them, quantized to integer 1e-9 units
+    * (round → DECIMAL(38,0), the AnomalyMonitor v4 rule) BEFORE the
+    * cross-strata sums so the totals are combine-order independent and
+    * scale-0 casts single-round on both engines; the closing arithmetic
+    * is two divisions. Quantization at 9 dp is audit-exact for
+    * stratum-count magnitudes up to ~1e5 (beyond that the statistic is
+    * double-precision anyway). Strata with n < 2 have undefined V and
+    * are EXCLUDED from the sums, surfaced via n_strata_used.
+    *
+    * Scale shape: one map-side-combinable aggregate to the stratum cell
+    * table, then one aggregate over it — no window, no join, no collect.
+    * Input: (stratum, arm ∈ control/treatment, converted 0/1).
+    */
+  def cmhStratified(df: DataFrame): DataFrame = {
+    val t = when(col("arm") === "treatment", 1L).otherwise(0L)
+    val cv = col("converted").cast("long")
+    val cells = df.groupBy("stratum").agg(
+        sum(t).as("n_t"), sum(lit(1L) - t).as("n_c"),
+        sum(t * cv).as("a"), sum((lit(1L) - t) * cv).as("c2"))
+      .withColumn("b", col("n_t") - col("a"))
+      .withColumn("d", col("n_c") - col("c2"))
+      .withColumn("n", col("n_t") + col("n_c"))
+    def dbl(x: org.apache.spark.sql.Column) = x.cast("double")
+    val m1 = dbl(col("a") + col("c2"))
+    val m0 = dbl(col("b") + col("d"))
+    val nD = dbl(col("n"))
+    val e = dbl(col("n_t")) * m1 / nD
+    val v = dbl(col("n_t")) * dbl(col("n_c")) * m1 * m0 /
+      (nD * nD * dbl(col("n") - 1))
+    val r = dbl(col("a")) * dbl(col("d")) / nD
+    val s2 = dbl(col("b")) * dbl(col("c2")) / nD
+    // integer 1e-9 units BEFORE the sum: order-free exact totals,
+    // scale-0 decimal→double single-rounds identically on both engines
+    def q9(x: org.apache.spark.sql.Column) =
+      round(x * lit(1.0e9)).cast("decimal(38,0)")
+    val ok = col("n") >= 2
+    val agg = cells.agg(
+      count(lit(1)).as("n_strata"),
+      sum(when(ok, 1L).otherwise(0L)).as("n_strata_used"),
+      sum(when(ok, col("a"))).as("sum_a"),
+      sum(when(ok, q9(e))).as("__se"),
+      sum(when(ok, q9(v))).as("__sv"),
+      sum(when(ok, q9(r))).as("__sr"),
+      sum(when(ok, q9(s2))).as("__ss"))
+    val se = agg("__se").cast("double") / lit(1.0e9)
+    val sv = agg("__sv").cast("double") / lit(1.0e9)
+    val dev = col("sum_a").cast("double") - se
+    agg.select(
+      col("n_strata"), col("n_strata_used"), col("sum_a"),
+      se.as("expected_a"),
+      (dev * dev / nullif(sv, lit(0.0))).as("cmh_chi2"),
+      ((agg("__sr").cast("double") / lit(1.0e9)) /
+        nullif(agg("__ss").cast("double") / lit(1.0e9), lit(0.0)))
+        .as("or_mh"))
+  }
+
+  /** The matching DuckDB closing SQL over a relation exposing
+    * (stratum, arm, converted) — identical association step for step.
+    */
+  def cmhStratifiedSql(rel: String): String =
+    s"""SELECT n_strata, n_strata_used, sum_a,
+       |  CAST(se AS DOUBLE) / 1000000000.0 AS expected_a,
+       |  (CAST(sum_a AS DOUBLE) - CAST(se AS DOUBLE) / 1000000000.0)
+       |    * (CAST(sum_a AS DOUBLE) - CAST(se AS DOUBLE) / 1000000000.0)
+       |    / NULLIF(CAST(sv AS DOUBLE) / 1000000000.0, 0) AS cmh_chi2,
+       |  (CAST(sr AS DOUBLE) / 1000000000.0)
+       |    / NULLIF(CAST(ss AS DOUBLE) / 1000000000.0, 0) AS or_mh
+       |FROM (
+       |  SELECT COUNT(*) AS n_strata,
+       |    CAST(SUM(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_strata_used,
+       |    CAST(SUM(CASE WHEN n >= 2 THEN a END) AS BIGINT) AS sum_a,
+       |    CAST(SUM(CASE WHEN n >= 2 THEN CAST(ROUND(
+       |      CAST(n_t AS DOUBLE) * CAST(a + c2 AS DOUBLE)
+       |        / CAST(n AS DOUBLE) * 1000000000.0)
+       |      AS DECIMAL(38,0)) END) AS DECIMAL(38,0)) AS se,
+       |    CAST(SUM(CASE WHEN n >= 2 THEN CAST(ROUND(
+       |      CAST(n_t AS DOUBLE) * CAST(n_c AS DOUBLE)
+       |        * CAST(a + c2 AS DOUBLE) * CAST(b + d AS DOUBLE)
+       |        / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+       |          * CAST(n - 1 AS DOUBLE)) * 1000000000.0)
+       |      AS DECIMAL(38,0)) END) AS DECIMAL(38,0)) AS sv,
+       |    CAST(SUM(CASE WHEN n >= 2 THEN CAST(ROUND(
+       |      CAST(a AS DOUBLE) * CAST(d AS DOUBLE) / CAST(n AS DOUBLE)
+       |        * 1000000000.0) AS DECIMAL(38,0)) END)
+       |      AS DECIMAL(38,0)) AS sr,
+       |    CAST(SUM(CASE WHEN n >= 2 THEN CAST(ROUND(
+       |      CAST(b AS DOUBLE) * CAST(c2 AS DOUBLE) / CAST(n AS DOUBLE)
+       |        * 1000000000.0) AS DECIMAL(38,0)) END)
+       |      AS DECIMAL(38,0)) AS ss
+       |  FROM (
+       |    SELECT stratum, n_t, n_c, a, c2, n_t - a AS b, n_c - c2 AS d,
+       |      n_t + n_c AS n
+       |    FROM (
+       |      SELECT stratum,
+       |        CAST(SUM(CASE WHEN arm = 'treatment' THEN 1 ELSE 0 END)
+       |          AS BIGINT) AS n_t,
+       |        CAST(SUM(CASE WHEN arm = 'treatment' THEN 0 ELSE 1 END)
+       |          AS BIGINT) AS n_c,
+       |        CAST(SUM(CASE WHEN arm = 'treatment' THEN converted
+       |          ELSE 0 END) AS BIGINT) AS a,
+       |        CAST(SUM(CASE WHEN arm = 'treatment' THEN 0
+       |          ELSE converted END) AS BIGINT) AS c2
+       |      FROM $rel GROUP BY stratum)))""".stripMargin
+
   /** Per-arm RATIO-metric readout with delta-method standard errors —
     * the estimator for "spend per basket"-style metrics where the unit
     * of analysis (household) differs from the ratio's denominator

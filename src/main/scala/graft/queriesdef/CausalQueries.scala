@@ -507,6 +507,32 @@ object CausalQueries {
         |  FROM u)
         |${Experiment.proportionTestSql("agg")}""".stripMargin)),
 
+    // Cochran–Mantel–Haenszel stratified conversion test + pooled MH odds
+    // ratio on the same randomized arms, stratified by pre-period spend
+    // quartile — the Simpson's-paradox-safe companion to ab_proportion:
+    // association tested WITHIN strata, evidence pooled with per-stratum
+    // terms quantized to integer 1e-9 units before the sums
+    // (Experiment.cmhStratified scaladoc).
+    Entry(
+      "ab_cmh_stratified",
+      (s, dir) => {
+        val units = perHousehold(s, dir)
+          .withColumn("stratum", stratumCol)
+          .select(col("stratum"),
+            when(HashSplit.bucket(col("household_key"), 2) === 0,
+              lit("control")).otherwise(lit("treatment")).as("arm"),
+            when(col("y") > 1000000, 1).otherwise(0).as("converted"))
+        Experiment.cmhStratified(units)
+      },
+      Some(s"""WITH $unitsCtes,
+        |u AS (
+        |  SELECT stratum,
+        |    CASE WHEN ${HashSplit.bucketSql("household_key", 2)} = 0
+        |      THEN 'control' ELSE 'treatment' END AS arm,
+        |    CASE WHEN y > 1000000 THEN 1 ELSE 0 END AS converted
+        |  FROM strat)
+        |${Experiment.cmhStratifiedSql("u")}""".stripMargin)),
+
     // Weight-of-evidence / information value over the brand indicators —
     // the scorecard encoder+screen; smoothed shares, ln terms quantized
     // to 9dp decimals before the exact IV sum (Screen.woeIv scaladoc).

@@ -337,6 +337,58 @@ class CausalSpec extends AnyFunSuite {
     assert(cov >= 0.86 && cov <= 0.96, s"coverage $cov out of band")
   }
 
+  test("CMH: hand-computed two-stratum chi2 and MH odds ratio") {
+    // stratum s1: a=8 b=2 c=5 d=5 (n_t=10, n_c=10, n=20)
+    //   E = 10*13/20 = 6.5; V = 10*10*13*7/(400*19) = 9100/7600
+    //   R = 8*5/20 = 2.0; S = 2*5/20 = 0.5
+    // stratum s2: a=3 b=7 c=1 d=9 (n=20)
+    //   E = 10*4/20 = 2.0; V = 10*10*4*16/(400*19) = 6400/7600
+    //   R = 3*9/20 = 1.35; S = 7*1/20 = 0.35
+    // sum_a = 11, E = 8.5, V = 15500/7600; chi2 = 6.25/V; OR = 3.35/0.85
+    def rows(st: String, arm: String, conv: Int, k: Int) =
+      Seq.fill(k)((st, arm, conv))
+    val units = (
+      rows("s1", "treatment", 1, 8) ++ rows("s1", "treatment", 0, 2) ++
+        rows("s1", "control", 1, 5) ++ rows("s1", "control", 0, 5) ++
+        rows("s2", "treatment", 1, 3) ++ rows("s2", "treatment", 0, 7) ++
+        rows("s2", "control", 1, 1) ++ rows("s2", "control", 0, 9)
+      ).toDF("stratum", "arm", "converted")
+    val out = graft.ops.Experiment.cmhStratified(units).head()
+    assert(out.getAs[Long]("n_strata") == 2L)
+    assert(out.getAs[Long]("n_strata_used") == 2L)
+    assert(out.getAs[Long]("sum_a") == 11L)
+    assert(math.abs(out.getAs[Double]("expected_a") - 8.5) < 1e-8)
+    val v = 15500.0 / 7600.0
+    assert(math.abs(out.getAs[Double]("cmh_chi2") - 6.25 / v) < 1e-6,
+      s"chi2 ${out.getAs[Double]("cmh_chi2")}")
+    assert(math.abs(out.getAs[Double]("or_mh") - 3.35 / 0.85) < 1e-6,
+      s"or ${out.getAs[Double]("or_mh")}")
+  }
+
+  test("CMH: immune to the Simpson composition artifact the pooled test shows") {
+    // Within each stratum treatment is EXACTLY null (same rate as
+    // control), but treatment is concentrated in the high-rate stratum —
+    // the pooled 2x2 shows a strong spurious effect, CMH shows none.
+    def rows(st: String, arm: String, conv: Int, k: Int) =
+      Seq.fill(k)((st, arm, conv))
+    val units = (
+      // high stratum: rate 0.8 both arms; treatment-heavy (80 vs 20)
+      rows("hi", "treatment", 1, 64) ++ rows("hi", "treatment", 0, 16) ++
+        rows("hi", "control", 1, 16) ++ rows("hi", "control", 0, 4) ++
+        // low stratum: rate 0.2 both arms; control-heavy (20 vs 80)
+        rows("lo", "treatment", 1, 4) ++ rows("lo", "treatment", 0, 16) ++
+        rows("lo", "control", 1, 16) ++ rows("lo", "control", 0, 64)
+      ).toDF("stratum", "arm", "converted")
+    val cmh = graft.ops.Experiment.cmhStratified(units).head()
+    assert(math.abs(cmh.getAs[Double]("cmh_chi2")) < 1e-9,
+      s"CMH must see no within-stratum effect: ${cmh.getAs[Double]("cmh_chi2")}")
+    assert(math.abs(cmh.getAs[Double]("or_mh") - 1.0) < 1e-9)
+    // the pooled test is fooled: 68/100 vs 32/100
+    val pooled = graft.ops.Experiment.proportionTest(units).head()
+    assert(math.abs(pooled.getAs[Double]("diff") - 0.36) < 1e-9)
+    assert(math.abs(pooled.getAs[Double]("z_stat")) > 4.0)
+  }
+
   test("conformal: train-absent stratum surfaces with NULL coverage") {
     val train = (1 to 5).map(i => (s"tr$i", "s", "train", 10.0))
     val cal = (1 to 10).map(i => (s"c$i", "s", "cal", 10.0 + i))
