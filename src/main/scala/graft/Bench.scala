@@ -178,11 +178,15 @@ object Bench {
     System.err.println("[bench] full precision: " + results
       .map { case (k, v, _) => s"\"$k\":$v" }.mkString("{", ",", "}"))
     val lineBudget = 1800
+    // Locale.ROOT: the f interpolator is default-locale-sensitive and a
+    // comma-decimal locale would corrupt the one JSON line the driver reads
+    def d3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def render(kept: Seq[(String, Double)], omitted: Int): String = {
       val qs = kept.sortBy(_._1)
-        .map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+        .map { case (k, v) => s""""$k":${d3(v)}""" }.mkString("{", ",", "}")
       val om = if (omitted == 0) "" else s""","omitted":$omitted"""
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs$errorsPart$om,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${d3(total)},"unit":"sec","queries":$qs$errorsPart$om,"sf":"$sfDir"}"""
     }
     // drop from the fastest end until the line fits (failed queries keep
     // their -1 marker and are never dropped — they must stay visible)

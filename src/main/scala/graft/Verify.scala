@@ -67,7 +67,10 @@ object Verify {
     Files.deleteIfExists(progress)
     def record(name: String, ok: Boolean, sec: Double, err: String): Unit =
       Files.writeString(progress,
-        s"""{"query":${q(name)},"ok":$ok,"sec":${f"$sec%.2f"}""" +
+        // Locale.ROOT: a comma-decimal default locale (de_DE) would emit
+        // "sec":0,42 — invalid JSON — via the f interpolator
+        s"""{"query":${q(name)},"ok":$ok,"sec":${
+          String.format(java.util.Locale.ROOT, "%.2f", Double.box(sec))}""" +
           (if (err.isEmpty) "}\n" else s""","error":${q(err)}}""" + "\n"),
         StandardOpenOption.CREATE, StandardOpenOption.APPEND)
 

@@ -33,26 +33,46 @@ import org.apache.spark.sql.functions._
   */
 object ExactPercentiles {
 
-  /** `percentiles`: output column name → fraction in [0, 1]. */
+  /** `percentiles`: output column name → fraction in [0, 1].
+    *
+    * Regime switch (`manyTinyGroups`): the default path ranks through
+    * [[RangePrefix.groupedPrefixSums]], built for FEW LARGE groups —
+    * its broadcast offsets frame is O(|partitions| + |groups|) rows, so
+    * at millions of groups it becomes an oversized broadcast while a
+    * plain `Window.partitionBy(group)` parallelizes fine (tiny groups
+    * never drag a task). Callers in the many-tiny-groups regime pass
+    * `manyTinyGroups = true` to take the plain per-group window instead;
+    * both paths compute identical values (spec-pinned).
+    */
   def perGroup(df: DataFrame, groupCols: Seq[String], valueCol: String,
-      percentiles: Seq[(String, Double)]): DataFrame = {
+      percentiles: Seq[(String, Double)],
+      manyTinyGroups: Boolean = false): DataFrame = {
     require(groupCols.nonEmpty, "perGroup: at least one group column")
     require(percentiles.nonEmpty, "perGroup: at least one percentile")
     percentiles.foreach { case (nm, p) =>
       require(p >= 0.0 && p <= 1.0, s"perGroup: $nm fraction $p outside [0,1]")
     }
     val gs = groupCols.map(col)
-    // per-group rank + size via the grouped range-partitioned prefix (a
-    // bare Window.partitionBy(group) caps parallelism at |groups| — the
-    // few-large-groups trap, RangePrefix scaladoc); ties share __v so
-    // rank permutation among them cannot change any picked value
-    val ranked = RangePrefix.groupedPrefixSums(
-        df.filter(col(valueCol).isNotNull)
-          .select(gs :+ col(valueCol).cast("double").as("__v"): _*)
-          .withColumn("__one", lit(1L)),
-        groupCols, Seq(col("__v")), Seq("__one"))
-      .withColumn("__rn", col("__one_cum") - 1L)
-      .withColumn("__n", col("__one_tot"))
+    val base = df.filter(col(valueCol).isNotNull)
+      .select(gs :+ col(valueCol).cast("double").as("__v"): _*)
+    // per-group rank + size: grouped range-partitioned prefix for few
+    // large groups (a bare Window.partitionBy(group) caps parallelism at
+    // |groups| — the few-large-groups trap, RangePrefix scaladoc), plain
+    // per-group window when the caller declares many tiny groups; ties
+    // share __v so rank permutation among them cannot change any picked
+    // value
+    val ranked =
+      if (manyTinyGroups) {
+        val byGroup = Window.partitionBy(gs: _*).orderBy(col("__v"))
+        val whole = Window.partitionBy(gs: _*).rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)
+        base.withColumn("__rn", row_number().over(byGroup).cast("long") - 1L)
+          .withColumn("__n", count(lit(1)).over(whole))
+      } else RangePrefix.groupedPrefixSums(
+          base.withColumn("__one", lit(1L)),
+          groupCols, Seq(col("__v")), Seq("__one"))
+        .withColumn("__rn", col("__one_cum") - 1L)
+        .withColumn("__n", col("__one_tot"))
 
     def pos(p: Double): Column = (col("__n") - 1L).cast("double") * lit(p)
 

@@ -88,8 +88,11 @@ object IntervalStats {
 
   /** For each window `[startCol, startCol + span]` (inclusive), the
     * number of DISTINCT `keyCol` values among contained points, via the
-    * coverage-interval join (scaladoc above). Output: windowIdCol,
-    * n_distinct. Windows covering no key report no row (callers'
+    * coverage-interval join (scaladoc above). NULL keys are excluded,
+    * matching SQL COUNT(DISTINCT key) — without the filter a window
+    * whose only events carry a null key would report 1 (the null's
+    * coverage row survives `.distinct()` and is counted by
+    * `count(lit(1))`). Output: windowIdCol, n_distinct. Windows covering no key report no row (callers'
     * windows are usually anchored on a contained point; left-join and
     * fill 0 otherwise).
     */
@@ -101,6 +104,7 @@ object IntervalStats {
     val byKey = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__k")).orderBy(col("__p"))
     val coverage = points
+      .filter(col(keyCol).isNotNull)
       .select(col(keyCol).as("__k"), col(epCol).as("__p")).distinct()
       .withColumn("__prev", lag(col("__p"), 1).over(byKey))
       .select(col("__k"),

@@ -42,19 +42,31 @@ import org.apache.spark.sql.functions._
   *
   * Group keys must render identically as strings on both engines —
   * callers pass string-typed keys (the module's md5-key convention).
+  * NULL keys are coalesced to the `<NULL>` sentinel on BOTH engines
+  * (Spark's concat_ws silently skips nulls while DuckDB's `||`
+  * propagates them — without the shared sentinel a null-keyed group's
+  * noise would be computed from different strings, or go NULL outright
+  * on the oracle side).
   */
 object Privacy {
+
+  /** Canonical null sentinel for key rendering across engines. */
+  val NullKey = "<NULL>"
+
+  private def esc(s: String): String = s.replace("'", "''")
 
   /** Uniform in (0,1) from the first 48 md5 bits of (seed | key):
     * (v + 0.5) / 2⁴⁸ — never exactly 0, ½, or 1, so sign and ln below
     * are always well-defined.
     */
   def hashUniform(key: Column, seed: String): Column =
-    (conv(substring(md5(concat_ws("|", lit(seed), key)), 1, 12), 16, 10)
+    (conv(substring(md5(concat_ws("|", lit(seed),
+        coalesce(key.cast("string"), lit(NullKey)))), 1, 12), 16, 10)
       .cast("double") + lit(0.5)) / lit(281474976710656.0)
 
   private def hashUniformSql(keyExpr: String, seed: String): String =
-    s"(CAST(('0x' || substr(md5('$seed' || '|' || $keyExpr), 1, 12)) " +
+    s"(CAST(('0x' || substr(md5('${esc(seed)}' || '|' || " +
+      s"COALESCE(CAST($keyExpr AS VARCHAR), '$NullKey')), 1, 12)) " +
       "AS BIGINT) + 0.5) / 281474976710656.0"
 
   /** Laplace(0, b) noise via the inverse CDF over [[hashUniform]]; the ln
@@ -80,7 +92,8 @@ object Privacy {
       epsilonPct: Int): DataFrame = {
     require(epsilonPct > 0, s"Privacy.dpCounts: epsilonPct > 0, got $epsilonPct")
     val b = lit(100.0) / lit(epsilonPct.toDouble)
-    val key = concat_ws("", groupCols.map(col): _*)
+    val key = concat_ws("", groupCols.map(c =>
+      coalesce(col(c).cast("string"), lit(NullKey))): _*)
     df.groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("n_exact"))
       .withColumn("n_dp",
@@ -117,7 +130,8 @@ object Privacy {
         (col("__s") * 10000).cast("decimal(38,0)"), lit(clip4)))
       .withColumn("__s4", greatest(col("__s4"), lit(0L).cast("decimal(38,0)")))
     val b = lit(clip4.toDouble / 10000.0) * lit(100.0) / lit(epsilonPct.toDouble)
-    val key = concat_ws("", groupCols.map(col): _*)
+    val key = concat_ws("", groupCols.map(c =>
+      coalesce(col(c).cast("string"), lit(NullKey))): _*)
     perContrib.groupBy(g: _*)
       .agg(count(lit(1)).as("n_contributors"),
         sum(col("__s4")).cast("decimal(38,0)").as("__sum4"))

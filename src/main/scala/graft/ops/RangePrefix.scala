@@ -52,6 +52,19 @@ object RangePrefix {
     * the range exchange sits above the checkpoint scan, so consumer
     * plans show the `__pid`-partitioned window over a checkpoint scan
     * rather than the rangepartitioning exchange itself.)
+    *
+    * Cluster-deployment notes: (1) the eager checkpoint runs a Spark job
+    * at DataFrame-CONSTRUCTION time — consumers that build a prefix frame
+    * and never execute it still pay one pass; (2) `localCheckpoint`
+    * blocks live on executor block managers, NOT reliable storage, so
+    * after executor loss downstream actions FAIL (fast, visibly) rather
+    * than silently recompute — which on this operator is the correct
+    * trade, because a silent recompute could re-draw pid assignments and
+    * reintroduce the exact corruption this pin exists to kill. A
+    * deployment needing executor-loss survival should set a reliable
+    * `spark.checkpoint.dir` and swap `.localCheckpoint(true)` for
+    * `.checkpoint(true)`, or replace the pin with deterministic explicit
+    * bucketing of the sort key (content-hash pid, no sampling).
     */
   private def pinnedRangePartition(df: DataFrame,
       keys: Seq[Column]): DataFrame =

@@ -15,7 +15,9 @@ import org.apache.spark.sql.functions._
   * Exactness: the keep rule is pure integer-scaled decimal arithmetic —
   * keep ⟺ 100·cum_before < p·total over exact DECIMAL sums (no doubles
   * in the decision), so membership is engine-exact; the reported
-  * cumulative share closes as one double division per row. The prefix
+  * cumulative share closes as one double division per row, quantized to
+  * the suite's 9-dp convention ([[Round9]]) so the only non-decimal
+  * output column cannot drift by an ulp across engines. The prefix
   * rule keeps at least one item per group (cum_before = 0 < p·total for
   * any positive total).
   *
@@ -48,7 +50,7 @@ object TopShare {
       // exact-integer decision: 100·(cum − w) < p·total
       .filter((col("__cum") - col("__w")) * 100 < col("__tot") * pPct)
       .select(gs ++ Seq(col(itemCol), col("__w").as(weightCol), col("rank"),
-        (col("__cum").cast("double") / col("__tot").cast("double"))
+        round(col("__cum").cast("double") / col("__tot").cast("double"), 9)
           .as("cum_share")): _*)
   }
 }

@@ -21,10 +21,18 @@ object AnalyticsQueries {
     * basket shares per (household, commodity), top-`k` per household
     * (WindowGroupLimit keeps the top-k map-side), plus the realized-
     * purchase label spine. One definition, consumed by both metrics.
+    *
+    * `pin = true` materializes recs and labels ONCE
+    * (`localCheckpoint(true)`) — the iterative-materialization rule
+    * (PageRank/Clusters/RangePrefix): the metric queries fan each frame
+    * into up to 6 single-row aggregates (3 k-values × recs/hits), and
+    * without the pin each aggregate re-executes the whole fact-table
+    * lineage (two countDistinct aggs + a window) — ~6 full fact scans
+    * where one suffices. Single-consumer callers leave it false.
     */
   private def basketShareRecs(s: org.apache.spark.sql.SparkSession,
-      dir: String, k: Int): (org.apache.spark.sql.DataFrame,
-      org.apache.spark.sql.DataFrame) = {
+      dir: String, k: Int, pin: Boolean = false): (
+      org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val txc = FeatureBuilder.txWithCommodity(s, dir)
     val (_, cur) = Retail.dayBounds(s, dir)
@@ -47,7 +55,8 @@ object AnalyticsQueries {
           / col("total_baskets").cast("double"), 9).as("score"))
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= k)
-    (recs, labels)
+    if (pin) (recs.localCheckpoint(true), labels.localCheckpoint(true))
+    else (recs, labels)
   }
 
   /** The matching oracle CTE block: `hist`/`hh`/`pair`/`recs` (expects
@@ -1287,10 +1296,13 @@ object AnalyticsQueries {
     Entry(
       "rec_precision_at_k",
       (s, dir) => {
-        val (recs, labels) = basketShareRecs(s, dir, k = 3)
+        val (recs, labels) = basketShareRecs(s, dir, k = 3, pin = true)
+        // hits pinned too: it feeds 3 of the 6 aggregates below, and a
+        // pinned join of two pinned frames runs exactly once
         val hits = recs.join(labels.filter(col("purchased") === 1)
           .select("household_key", "commodity_desc"),
           Seq("household_key", "commodity_desc"), "left_semi")
+          .localCheckpoint(true)
         val totPos = labels.agg(sum(col("purchased")).cast("long")
           .as("total_pos"))
         val ks = (1 to 3).map { k =>
@@ -1348,7 +1360,7 @@ object AnalyticsQueries {
           1.0 / (math.log(i + 1.0) / math.log(2.0)))
           .setScale(9, BigDecimal.RoundingMode.HALF_UP))
         val ideal = gain.scanLeft(BigDecimal(0))(_ + _).tail // prefix sums
-        val (recs, labels) = basketShareRecs(s, dir, k)
+        val (recs, labels) = basketShareRecs(s, dir, k, pin = true)
         val npos = labels.filter(col("purchased") === 1)
           .groupBy("household_key").agg(count(lit(1)).as("n_pos"))
         val gainCol = (1 to k).foldLeft(lit(null).cast("decimal(18,9)")) {

@@ -690,7 +690,7 @@ object CausalQueries {
         |  WINDOW w AS (PARTITION BY commodity_desc
         |    ORDER BY spend DESC, product_id))
         |SELECT commodity_desc, product_id, spend, rank,
-        |  CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE) AS cum_share
+        |  ROUND(CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE), 9) AS cum_share
         |FROM r WHERE (cum - spend) * 100 < tot * 80""".stripMargin)),
 
     // Per-commodity OLS weekly-spend trend — slope/intercept/R² as

@@ -268,6 +268,74 @@ object CoreQueries {
       },
       None),
 
+    // The sketch family's ORACLED accuracy contract (the ann_recall_audit
+    // pattern): HLL internals are engine-specific, but "every group's
+    // estimate lands within ε of the exact distinct count" is checkable —
+    // Spark counts the exceedances (deterministic: an HLL estimate is a
+    // pure function of the input SET, order- and partitioning-free), the
+    // oracle derives the group universe exactly and asserts zero. A
+    // degraded sketch shows up as n_exceed > 0 → hash FAIL. ε = 5% for
+    // the lgConfigK=12 datasketches HLL (~1.6% typical rel. std. err.).
+    Entry(
+      "sketch_accuracy_audit",
+      (s, dir) => {
+        val txc = graft.features.FeatureBuilder.txWithCommodity(s, dir)
+        val daily = txc.groupBy(col("commodity_desc"), col("day"))
+          .agg(hll_sketch_agg(col("household_key")).as("sk"))
+        val merged = daily.groupBy(col("commodity_desc"))
+          .agg(hll_sketch_estimate(hll_union_agg(col("sk")))
+            .as("approx_households"))
+        val exact = txc.groupBy(col("commodity_desc"))
+          .agg(countDistinct(col("household_key")).as("exact_households"))
+        merged.join(exact, Seq("commodity_desc"))
+          .agg(count(lit(1)).as("n_groups"),
+            sum(when(abs(col("approx_households") - col("exact_households"))
+              .cast("double") / col("exact_households").cast("double")
+              > 0.05, 1L).otherwise(0L)).as("n_exceed_5pct"))
+      },
+      Some(s"""WITH ${Oracle.txCommodity}
+        |SELECT CAST(COUNT(DISTINCT commodity_desc) AS BIGINT) AS n_groups,
+        |  CAST(0 AS BIGINT) AS n_exceed_5pct
+        |FROM txc""".stripMargin)),
+
+    // Same contract for the built-in approx_count_distinct used by
+    // feature_agg_approx: per household, each of the three HLL++
+    // estimates must land within ε of the exact distinct count (the
+    // exacts computed Expand-free: one distinct-project + count per
+    // entity, the split-distinct rule). approx_count_distinct's default
+    // rsd is 0.05, but per-household cardinalities are small enough for
+    // the sparse/linear-counting regime — ε = 10% leaves margin while
+    // still failing on any real estimator regression.
+    Entry(
+      "approx_distinct_audit",
+      (s, dir) => {
+        val tx = TransactionsAdj(s, dir)
+        def exactDist(c: String, nm: String) =
+          tx.select(col("household_key"), col(c)).distinct()
+            .groupBy("household_key").agg(count(lit(1)).as(nm))
+        val approx = tx.groupBy("household_key").agg(
+          approx_count_distinct(col("day")).as("a_days"),
+          approx_count_distinct(col("basket_id")).as("a_baskets"),
+          approx_count_distinct(col("product_id")).as("a_products"))
+        def exceed(a: String, e: String) =
+          sum(when(abs(col(a) - col(e)).cast("double")
+            / col(e).cast("double") > 0.10, 1L).otherwise(0L))
+        approx
+          .join(exactDist("day", "e_days"), Seq("household_key"))
+          .join(exactDist("basket_id", "e_baskets"), Seq("household_key"))
+          .join(exactDist("product_id", "e_products"), Seq("household_key"))
+          .agg(count(lit(1)).as("n_households"),
+            exceed("a_days", "e_days").as("n_exceed_days"),
+            exceed("a_baskets", "e_baskets").as("n_exceed_baskets"),
+            exceed("a_products", "e_products").as("n_exceed_products"))
+      },
+      Some(s"""WITH ${Oracle.txAdjFull}
+        |SELECT CAST(COUNT(DISTINCT household_key) AS BIGINT) AS n_households,
+        |  CAST(0 AS BIGINT) AS n_exceed_days,
+        |  CAST(0 AS BIGINT) AS n_exceed_baskets,
+        |  CAST(0 AS BIGINT) AS n_exceed_products
+        |FROM tx""".stripMargin)),
+
     // The quantile sibling of the sketch above, but fully deterministic
     // (fixed-width histogram partials instead of HLL registers) — so this
     // one IS oracle-verified end-to-end: daily (commodity, day, bin)

@@ -320,6 +320,59 @@ object SimilarityQueries {
            |${recallAt("r2", "ivf2", 2)}""".stripMargin
       }),
 
+    // Incremental IVF index: build over the first half of the corpus,
+    // APPEND the second half against the stored centroids
+    // (Similarity.appendIvfIndex — batch-only assignment, the stored
+    // corpus is never rescanned), then search the appended index. Cell
+    // assignment is a pure function of (vector, centroids), so the
+    // appended index is IDENTICAL to a full rebuild under the same
+    // centroids — the oracle expresses that rebuilt search directly in
+    // SQL (deterministic first-8 centroids, the ann_recall_audit
+    // convention), hash-proving the append path end-to-end.
+    Entry(
+      "ann_ivf_append",
+      (s, dir) => {
+        val emb = Catalog.table(s, dir, "embeddings")
+        val root = java.nio.file.Files.createTempDirectory("graft-ivf-app")
+          .toString + "/index"
+        Similarity.writeIvfIndex(emb.filter(col("vec_id") < 250),
+          nCells = 8, root, kmeansCells = false)
+        Similarity.appendIvfIndex(emb.filter(col("vec_id") >= 250), root)
+        Similarity.searchIvfIndex(s, root, emb.filter(col("vec_id") < 20),
+          k = 5)
+          .select(col("query_id"), col("neighbor_id"), col("cos"),
+            col("rank").cast("long").as("rank"))
+      },
+      Some(s"""WITH cent AS (
+        |  SELECT vec_id AS cell_id, embedding FROM embeddings
+        |  ORDER BY vec_id LIMIT 8),
+        |ca AS (
+        |  SELECT vec_id AS neighbor_id, cell_id FROM (
+        |    SELECT e.vec_id, c.cell_id,
+        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |        ORDER BY ${cosSql("e", "c")} DESC, c.cell_id) AS rn
+        |    FROM embeddings e, cent c) t
+        |  WHERE rn = 1),
+        |qa AS (
+        |  SELECT vec_id AS query_id, cell_id, rn FROM (
+        |    SELECT e.vec_id, c.cell_id,
+        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |        ORDER BY ${cosSql("e", "c")} DESC, c.cell_id) AS rn
+        |    FROM (SELECT * FROM embeddings WHERE vec_id < 20) e, cent c)
+        |      t
+        |  WHERE rn <= 2)
+        |SELECT query_id, neighbor_id, cos, rank FROM (
+        |  SELECT qa.query_id, ca.neighbor_id,
+        |    ${cosSql("qv", "cv")} AS cos,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY qa.query_id
+        |      ORDER BY ${cosSql("qv", "cv")} DESC, ca.neighbor_id)
+        |      AS BIGINT) AS rank
+        |  FROM qa JOIN ca ON qa.cell_id = ca.cell_id
+        |  JOIN embeddings qv ON qv.vec_id = qa.query_id
+        |  JOIN embeddings cv ON cv.vec_id = ca.neighbor_id
+        |  WHERE qa.query_id <> ca.neighbor_id) t
+        |WHERE rank <= 5""".stripMargin)),
+
     // Affine int8 quantization audit (Quantize scaladoc): per-dimension
     // global stats → one broadcast row of aligned arrays → pure per-row
     // transform; q_sum is the order-independent integer checksum that

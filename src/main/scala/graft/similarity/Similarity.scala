@@ -200,13 +200,41 @@ object Similarity {
     * SimilaritySpec). Precomputed norms ride along so the search never
     * re-scans vectors to normalize.
     */
-  def writeIvfIndex(corpus: DataFrame, nCells: Int, root: String): Unit = {
+  def writeIvfIndex(corpus: DataFrame, nCells: Int, root: String,
+      kmeansCells: Boolean = true): Unit = {
     ArrayOps.register(corpus.sparkSession)
-    val cents = kmeansCentroids(corpus, nCells)
+    val cents =
+      if (kmeansCells) kmeansCentroids(corpus, nCells)
+      else corpus.orderBy(col("vec_id")).limit(nCells)
+        .select(col("vec_id").as("cell_id"), col("embedding").as("centroid"),
+          norm(col("embedding")).as("ncent"))
     cents.write.mode("overwrite").parquet(s"$root/centroids")
     assign(side(corpus, "vec_id", "embedding", "nv"),
       "vec_id", "embedding", "nv", cents, probes = 1)
       .write.mode("overwrite").partitionBy("cell_id")
+      .parquet(s"$root/vectors")
+  }
+
+  /** Append a batch of new vectors to an existing IVF index — the
+    * incremental twin that exact dedup ([[graft.dedup.Dedup.incrementalExact]])
+    * and LSH ([[graft.dedup.Dedup.incrementalLshCandidates]]) already
+    * have: new vectors are assigned to their nearest EXISTING centroid
+    * (one pass over the BATCH against the broadcast centroid table — the
+    * stored corpus is never rescanned) and appended as new
+    * cell-partitioned parquet files. Because assignment is a pure
+    * function of (vector, centroids), append-then-search is IDENTICAL to
+    * rebuilding the whole index under the same centroids — the equality
+    * `ann_ivf_append` hash-proves. Centroids DO drift as the data
+    * distribution shifts; the compaction job is a periodic
+    * [[writeIvfIndex]] rebuild (re-centroid), exactly like LSH band
+    * re-indexing.
+    */
+  def appendIvfIndex(newVectors: DataFrame, root: String): Unit = {
+    ArrayOps.register(newVectors.sparkSession)
+    val cents = newVectors.sparkSession.read.parquet(s"$root/centroids")
+    assign(side(newVectors, "vec_id", "embedding", "nv"),
+      "vec_id", "embedding", "nv", cents, probes = 1)
+      .write.mode("append").partitionBy("cell_id")
       .parquet(s"$root/vectors")
   }
 

@@ -52,4 +52,18 @@ class ExactPercentilesSpec extends AnyFunSuite {
       Seq("p10" -> 0.1, "p50" -> 0.5, "p99" -> 0.99)).head()
     assert((1 to 3).forall(i => r.getDouble(i) == 42.0))
   }
+
+  test("manyTinyGroups window path computes identical values") {
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 40).flatMap { g =>
+      (1 to (g % 5 + 1)).map(_ => (s"g$g", rnd.nextDouble() * 100.0))
+    }
+    val df = rows.toDF("grp", "v").repartition(7)
+    val ps = Seq("p25" -> 0.25, "p50" -> 0.5, "p90" -> 0.9)
+    def m(tiny: Boolean) =
+      ExactPercentiles.perGroup(df, Seq("grp"), "v", ps, manyTinyGroups = tiny)
+        .collect().map(r => r.getString(0) ->
+          (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(m(true) == m(false))
+  }
 }

@@ -79,4 +79,17 @@ class IntervalStatsSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
       s"no pair join allowed:\n$p")
   }
+
+  test("distinctInWindows excludes null keys like COUNT(DISTINCT)") {
+    import spark.implicits._
+    // window 10: one real key + a null-key event; window 100: ONLY a
+    // null-key event (must report no row, not n_distinct = 1)
+    val pts = Seq((Some("u1"), 12L), (Option.empty[String], 15L),
+      (Option.empty[String], 105L)).toDF("user_id", "ep")
+    val wins = Seq((1L, 10L), (2L, 100L)).toDF("wid", "ws")
+    val got = IntervalStats.distinctInWindows(pts, "ep", "user_id",
+      wins, "wid", "ws", span = 60L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L))
+  }
 }

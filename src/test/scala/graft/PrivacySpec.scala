@@ -70,4 +70,23 @@ class PrivacySpec extends AnyFunSuite {
     val r = absNoise(20000L) / absNoise(10000L)
     assert(math.abs(r - 2.0) < 1e-9, s"noise must double with the clip: $r")
   }
+
+  test("null group keys are sentinel-coalesced, not skipped") {
+    import org.apache.spark.sql.functions.lit
+    val df = Seq(Option.empty[String], Some(Privacy.NullKey), Some("a"))
+      .toDF("grp")
+    val out = Privacy.dpCounts(df, Seq("grp"), "seed", 100)
+      .select("grp", "n_dp").collect()
+      .map(r => Option(r.getString(0)) -> r.getDouble(1)).toMap
+    // the null-keyed group must hash EXACTLY like the literal sentinel
+    // (the cross-engine contract: DuckDB COALESCEs to the same string)
+    assert(out(None) == out(Some(Privacy.NullKey)),
+      s"null key must alias the sentinel: $out")
+    assert(out.contains(Some("a")))
+  }
+
+  test("dp SQL renderings escape single quotes in the seed") {
+    val sql = Privacy.dpCountsSql("t", "g", "o'brien", 100)
+    assert(sql.contains("o''brien") && !sql.contains("'o'brien'"))
+  }
 }

@@ -88,6 +88,28 @@ class SimilaritySpec extends AnyFunSuite {
       s"expected a static cell_id partition filter on the index scan:\n$plan")
   }
 
+  test("appendIvfIndex: append-then-search ≡ full rebuild, batch-only pass") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 10)
+    def keyed(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Double]("cos"))).toSet
+    // deterministic centroids so both builds share the quantizer exactly
+    val rootA = java.nio.file.Files.createTempDirectory("ivf-app").toString + "/i"
+    Similarity.writeIvfIndex(emb.filter(col("vec_id") < 250), nCells = 4,
+      rootA, kmeansCells = false)
+    Similarity.appendIvfIndex(emb.filter(col("vec_id") >= 250), rootA)
+    val rootB = java.nio.file.Files.createTempDirectory("ivf-full").toString + "/i"
+    Similarity.writeIvfIndex(emb, nCells = 4, rootB, kmeansCells = false)
+    assert(keyed(Similarity.searchIvfIndex(spark, rootA, q, k = 5))
+      == keyed(Similarity.searchIvfIndex(spark, rootB, q, k = 5)))
+    // the appended index keeps the pruned-scan property
+    val plan = Similarity.searchIvfIndex(spark, rootA, q, k = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cell_id"),
+      s"appended index must keep the cell_id partition filter:\n$plan")
+  }
+
   test("cosineNearDupPairs honors knownCount without a second scan") {
     val rnd = new scala.util.Random(11)
     val emb = (0L until 50L).map(i => (i, Array.fill(8)(rnd.nextGaussian().toFloat)))

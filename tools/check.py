@@ -5,15 +5,30 @@ Usage: check.py <sfDir> <verifyOutDir> [--json <summary.json>].
 
 Mirrors the described contract: run each oracle SQL in DuckDB over views of
 the fixture parquet, load the Spark result parquet, sort columns by name,
-sort rows, compare values exactly.
+sort rows, compare values exactly — then HASH both frames through one
+canonical value rendering (the driver-mirroring mode added after r7, when
+pandas' exact compare said 193/193 but the driver's hash said 192/193):
+sorted columns, sorted rows, shortest-roundtrip float repr (distinguishes
+-0.0 and NaN, which pandas' array comparison may conflate), ISO timestamps,
+hex bytes. A query passes ONLY if the hashes match.
+
+Additionally every query gets an ULP-RISK audit: any float64 output column
+whose values are NOT 9-dp-quantized (v != round(v, 9)) is flagged. Those are
+the columns that can drift by an ulp when the driver's DuckDB version
+differs from the local one — the one failure class a local compare cannot
+otherwise see (r7's nucleus_per_group was byte-exact under local DuckDB
+1.0.0 and still failed the official hash). Risky columns are advisory, not
+failures: some outputs legitimately relocate input doubles untouched. The
+repo convention is that every COMPUTED double column closes through
+round(_, 9) on both engines.
 
 --json writes a durable per-query record (the round's committed
 CORRECTNESS_LOCAL file): {"pass": N, "fail": N, "queries": {name:
-{"status": "pass"|"fail", "rows": N, "detail": ...}}} — so the round's
-correctness evidence survives even when the official driver artifact
-comes back empty (r02/r06 were {}).
+{"status": "pass"|"fail", "rows": N, ...}}} — so the round's correctness
+evidence survives even when the official driver artifact comes back empty
+(r02/r06 were {}).
 """
-import sys, os, json, glob
+import sys, os, json, glob, math, hashlib, datetime, decimal
 import duckdb
 import pandas as pd
 
@@ -29,6 +44,54 @@ def canon(df):
     df = df.sort_values(by=list(df.columns), ignore_index=True)
     return df
 
+def cv(v):
+    """One canonical rendering per value — identical for identical logical
+    values regardless of source engine, distinct for anything a value hash
+    would distinguish (-0.0, NaN, ulp-level float differences)."""
+    if v is None:
+        return "N"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)  # shortest roundtrip; '-0.0' != '0.0'
+    if isinstance(v, (pd.Timestamp, datetime.datetime, datetime.date)):
+        try:
+            if pd.isna(v):
+                return "N"
+        except (TypeError, ValueError):
+            pass
+        return v.isoformat()
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v).hex()
+    if isinstance(v, decimal.Decimal):
+        # scale-preserving; both engines carry the declared decimal scale
+        return str(v)
+    try:
+        if pd.isna(v):
+            return "N"
+    except (TypeError, ValueError):
+        pass
+    return str(v)
+
+def frame_hash(df):
+    h = hashlib.sha256()
+    for row in df.itertuples(index=False, name=None):
+        h.update("\x1f".join(cv(v) for v in row).encode("utf-8"))
+        h.update(b"\x1e")
+    return h.hexdigest()
+
+def risky_double_cols(df):
+    """Float64 columns with any value not 9-dp-quantized: ulp-risk under a
+    different oracle engine version."""
+    out = []
+    for c in df.columns:
+        if str(df[c].dtype) != "float64":
+            continue
+        vals = df[c].dropna()
+        if len(vals) and any(v != round(v, 9) for v in vals):
+            out.append(c)
+    return out
+
 def main(sfdir, outdir, json_out=None):
     con = duckdb.connect()
     for t in TABLES:
@@ -38,6 +101,7 @@ def main(sfdir, outdir, json_out=None):
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     n_pass = n_fail = 0
     record = {}
+    risky_total = []
     def fail(name, detail):
         nonlocal n_fail
         print(f"FAIL {name}: {detail}"); n_fail += 1
@@ -59,20 +123,41 @@ def main(sfdir, outdir, json_out=None):
             continue
         if len(g) != len(e):
             fail(name, f"rows {len(g)} != {len(e)}"); continue
+        gh, eh = frame_hash(g), frame_hash(e)
+        risky = risky_double_cols(g)
+        rtag = f" ULP-RISK:{','.join(risky)}" if risky else ""
+        if risky:
+            risky_total.append((name, risky))
+        if gh == eh:
+            print(f"PASS {name} ({len(g)} rows, hash {gh[:12]}){rtag}")
+            n_pass += 1
+            record[name] = {"status": "pass", "rows": len(g), "hash": gh}
+            if risky:
+                record[name]["ulp_risk_cols"] = risky
+            continue
+        # hash mismatch: run the pandas compare for a human-readable diff
         try:
             pd.testing.assert_frame_equal(g, e, check_dtype=False,
                                           check_exact=True)
-            print(f"PASS {name} ({len(g)} rows)"); n_pass += 1
-            record[name] = {"status": "pass", "rows": len(g)}
+            detail = (f"value hash mismatch {gh[:12]} != {eh[:12]} but "
+                      "pandas-exact-equal (sign-of-zero/NaN class)")
         except AssertionError as ex:
-            fail(name, str(ex))
+            detail = f"hash {gh[:12]} != {eh[:12]}: {ex}"
+        fail(name, detail)
     print(f"== {n_pass} pass, {n_fail} fail ==")
+    if risky_total:
+        print(f"== ulp-risk (unquantized double outputs, advisory) "
+              f"{len(risky_total)} queries ==")
+        for name, cols in risky_total:
+            print(f"  {name}: {','.join(cols)}")
     if json_out:
         # declared-but-undumped queries (a truncated Verify run) must be
         # visible in the durable record, not silently absent
         with open(json_out, "w") as f:
             json.dump({"sf_dir": sfdir, "pass": n_pass, "fail": n_fail,
-                       "declared": len(oracle), "queries": record},
+                       "declared": len(oracle),
+                       "ulp_risk": {n: c for n, c in risky_total},
+                       "queries": record},
                       f, indent=1, sort_keys=True)
     # zero comparisons (empty oracle_sql.json / wrong outDir) is NOT a pass
     return 1 if n_fail or not n_pass else 0
