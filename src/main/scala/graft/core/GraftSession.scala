@@ -66,6 +66,12 @@ object GraftSession {
       // overrides for experiments.
       .config("spark.buffer.pageSize",
         sys.env.getOrElse("SPARK_GRAFT_PAGE", "4m"))
+      // RangePrefix pid mode (ops/RangePrefix.scala): default keeps the
+      // localCheckpoint pin; "true" switches every prefix consumer to the
+      // deterministic literal-boundary bucketing (executor-loss-safe) —
+      // env-switchable so Verify can hash-prove both modes on one build.
+      .config("spark.graft.rangePrefix.deterministic",
+        sys.env.getOrElse("SPARK_GRAFT_DETERMINISTIC_PREFIX", "false"))
 
   /** Unpersist every persistent RDD not in `pinned` — the harness sweep
     * for transient per-query blocks (localCheckpoint/cache blocks are only

@@ -69,6 +69,22 @@ object Privacy {
       s"COALESCE(CAST($keyExpr AS VARCHAR), '$NullKey')), 1, 12)) " +
       "AS BIGINT) + 0.5) / 281474976710656.0"
 
+  /** DuckDB rendering of the MULTI-column noise key, coalescing each
+    * column independently — matching the Spark side's per-column
+    * `coalesce(...cast("string"), NullKey)` before `concat_ws("")`. The
+    * outer COALESCE inside [[hashUniformSql]] only covers a whole-key
+    * NULL, so a two-column key with one null component would render
+    * `'<NULL>a'` on Spark but `'<NULL>'` through a naive `c1 || c2`
+    * rendering (SQL `||` is null-propagating). Pass this helper's output
+    * as the `keyExpr` of [[laplaceNoiseSql]] whenever the key has more
+    * than one column; the single-column renderings ([[dpCountsSql]],
+    * [[dpSumsSql]]) are unaffected (per-column == whole-key for one
+    * column).
+    */
+  def keySql(groupCols: Seq[String]): String =
+    groupCols.map(c => s"COALESCE(CAST($c AS VARCHAR), '$NullKey')")
+      .mkString(" || ")
+
   /** Laplace(0, b) noise via the inverse CDF over [[hashUniform]]; the ln
     * is 9-dp-quantized, the rest is a fixed IEEE op sequence.
     */
@@ -77,7 +93,11 @@ object Privacy {
     -b * signum(d) * round(log(lit(1.0) - lit(2.0) * abs(d)), 9)
   }
 
-  /** The identical noise as DuckDB SQL. */
+  /** The identical noise as DuckDB SQL. `keyExpr` must be a single
+    * column/expression, or a multi-column key pre-rendered through
+    * [[keySql]] — a raw `c1 || c2` concatenation diverges from the Spark
+    * side when any component is NULL (see [[keySql]]).
+    */
   def laplaceNoiseSql(keyExpr: String, seed: String, bExpr: String): String = {
     val u = hashUniformSql(keyExpr, seed)
     s"(-($bExpr) * sign($u - 0.5) * round(ln(1.0 - 2.0 * abs($u - 0.5)), 9))"

@@ -63,14 +63,80 @@ object RangePrefix {
     * reintroduce the exact corruption this pin exists to kill. A
     * deployment needing executor-loss survival should set a reliable
     * `spark.checkpoint.dir` and swap `.localCheckpoint(true)` for
-    * `.checkpoint(true)`, or replace the pin with deterministic explicit
-    * bucketing of the sort key (content-hash pid, no sampling).
+    * `.checkpoint(true)` — or set `spark.graft.rangePrefix.deterministic`
+    * to `true` and take the [[deterministicBucketed]] path below, which
+    * removes the pin entirely.
     */
   private def pinnedRangePartition(df: DataFrame,
       keys: Seq[Column]): DataFrame =
-    df.repartitionByRange(keys: _*)
+    if (df.sparkSession.conf
+        .getOption("spark.graft.rangePrefix.deterministic")
+        .exists(_.toBoolean)) deterministicBucketed(df, keys)
+    else df.repartitionByRange(keys: _*)
       .withColumn("__pid", spark_partition_id())
       .localCheckpoint(true)
+
+  /** The executor-loss-safe alternative to the checkpoint pin: `__pid`
+    * becomes a PURE FUNCTION of the row's sort key against LITERAL bucket
+    * boundaries frozen at DataFrame-construction time, so any number of
+    * independent re-executions (self-join branches, AQE re-plans, task
+    * retries after executor loss) agree on pid by construction — nothing
+    * needs pinning, and the frame recomputes safely where the checkpoint
+    * path fails hard.
+    *
+    * Boundaries come from ONE construction-time job: Spark's own
+    * RangePartitioner balances the buckets (`repartitionByRange`), and the
+    * LAST key of each partition in sort order — `row_number() = 1` under
+    * the reversed ordering — is collected (≤ |shuffle partitions| rows)
+    * and embedded as literals. The job's own sampling nondeterminism is
+    * harmless: ANY frozen boundary set yields correct prefixes, only the
+    * balance varies. pid = count of boundaries the row's key is strictly
+    * AFTER (direction- and null-ordering-aware lexicographic compare), so
+    * equal keys always share a bucket — the range-partitioning invariant
+    * the offset composition needs. Trade vs the pin: one extra source
+    * scan (boundary job) and no materialization, so the two downstream
+    * consumers may rescan the input; flip the flag per deployment.
+    */
+  private def deterministicBucketed(df: DataFrame,
+      keys: Seq[Column]): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val sks = keys.map(ColumnBridge.sortKey)
+    val kCols = sks.zipWithIndex.map { case (sk, i) => sk.child.as(s"__k$i") }
+    val keyed = df.select(kCols: _*)
+    val kTypes = keyed.schema.fields.map(_.dataType)
+    val ordK = sks.zipWithIndex.map { case (sk, i) =>
+      sk.copy(child = col(s"__k$i")) }
+    val lastPerPart = keyed
+      .repartitionByRange(ordK.map(_.asOrder): _*)
+      .withColumn("__bp", spark_partition_id())
+      .withColumn("__rn", row_number().over(Window.partitionBy(col("__bp"))
+        .orderBy(ordK.map(_.flipped): _*)))
+      .filter(col("__rn") === 1)
+      .select(col("__bp") +: sks.indices.map(i => col(s"__k$i")): _*)
+    // ≤ |shuffle partitions| boundary rows; drop the global max (rows
+    // after the second-to-last boundary form the last bucket)
+    val bounds = lastPerPart.collect().sortBy(_.getInt(0)).dropRight(1)
+    // strictly-after-in-sort-sequence vs one literal boundary component;
+    // the boundary's nullness is a DRIVER value, so branch in Scala
+    def after(sk: org.apache.spark.sql.graftbridge.ColumnBridge.SortKey,
+        bv: Any, i: Int): Column =
+      if (bv == null) { if (sk.nullsLast) lit(false) else sk.child.isNotNull }
+      else {
+        val b = lit(bv).cast(kTypes(i))
+        val cmp = if (sk.descending) sk.child < b else sk.child > b
+        if (sk.nullsLast) sk.child.isNull || cmp else coalesce(cmp, lit(false))
+      }
+    def same(sk: org.apache.spark.sql.graftbridge.ColumnBridge.SortKey,
+        bv: Any, i: Int): Column =
+      if (bv == null) sk.child.isNull else sk.child <=> lit(bv).cast(kTypes(i))
+    def lexAfter(b: org.apache.spark.sql.Row): Column =
+      sks.zipWithIndex.map { case (sk, i) => (sk, b.get(i + 1), i) }
+        .foldRight(lit(false)) { case ((sk, bv, i), rest) =>
+          after(sk, bv, i) || (same(sk, bv, i) && rest) }
+    val pid = bounds.map(b => when(lexAfter(b), 1).otherwise(0))
+      .reduceOption(_ + _).getOrElse(lit(0))
+    df.withColumn("__pid", pid)
+  }
 
   /** For each weight column `w` in `weights` (integral type), append
     * `<w>_cum` = the inclusive global running sum of `w` under `orderBy`,

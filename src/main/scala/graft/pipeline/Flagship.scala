@@ -20,6 +20,9 @@ object Flagship {
     val p = new PropensityPipeline(spark, cfg)
     p.init()
     p.trainAll()
-    p.scoreAll()
+    val out = p.scoreAll()
+      .localCheckpoint(true) // materialize, then reclaim the work dir
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(work))
+    out
   }
 }

@@ -274,8 +274,13 @@ object CoreQueries {
     // Spark counts the exceedances (deterministic: an HLL estimate is a
     // pure function of the input SET, order- and partitioning-free), the
     // oracle derives the group universe exactly and asserts zero. A
-    // degraded sketch shows up as n_exceed > 0 → hash FAIL. ε = 5% for
-    // the lgConfigK=12 datasketches HLL (~1.6% typical rel. std. err.).
+    // degraded sketch shows up as n_exceed > 0 → hash FAIL. The lgConfigK=12
+    // datasketches HLL has RSE ≈ 1.04/√4096 ≈ 1.6%, so a 5% bound is only
+    // ~3σ — with hundreds of commodity groups a single unlucky group at a
+    // larger SF would fail the pinned-zero oracle deterministically (r8
+    // ADVICE). ε = 10% ≈ 6σ: per-group exceedance probability ~1e-9, so
+    // zero exceedances holds at any SF while a genuinely degraded sketch
+    // (estimates off by >10%) still trips it.
     Entry(
       "sketch_accuracy_audit",
       (s, dir) => {
@@ -291,21 +296,30 @@ object CoreQueries {
           .agg(count(lit(1)).as("n_groups"),
             sum(when(abs(col("approx_households") - col("exact_households"))
               .cast("double") / col("exact_households").cast("double")
-              > 0.05, 1L).otherwise(0L)).as("n_exceed_5pct"))
+              > 0.10, 1L).otherwise(0L)).as("n_exceed_10pct"))
       },
       Some(s"""WITH ${Oracle.txCommodity}
         |SELECT CAST(COUNT(DISTINCT commodity_desc) AS BIGINT) AS n_groups,
-        |  CAST(0 AS BIGINT) AS n_exceed_5pct
+        |  CAST(0 AS BIGINT) AS n_exceed_10pct
         |FROM txc""".stripMargin)),
 
     // Same contract for the built-in approx_count_distinct used by
     // feature_agg_approx: per household, each of the three HLL++
     // estimates must land within ε of the exact distinct count (the
     // exacts computed Expand-free: one distinct-project + count per
-    // entity, the split-distinct rule). approx_count_distinct's default
-    // rsd is 0.05, but per-household cardinalities are small enough for
-    // the sparse/linear-counting regime — ε = 10% leaves margin while
-    // still failing on any real estimator regression.
+    // entity, the split-distinct rule). The r8 version of this audit
+    // shipped a FALSE contract (the round's one red row): a pure
+    // relative-error bound at default rsd=0.05 — but per-household
+    // cardinalities here are TINY (max 24 baskets / 105 products at
+    // sf0.1), where HLL++ error is register-collision quantized: an
+    // estimate off by ±1 at n=5 is a 20% relative error no register
+    // count eliminates (measured: max abs err 2-3 even at rsd=0.01,
+    // i.e. 2^14 registers). The sound contract is relative-OR-absolute:
+    // exceed only when BOTH relErr > 10% AND absErr > 4. At rsd=0.01
+    // that is ~10σ in the dense regime and 1.3-2× the measured worst
+    // collision noise in the sparse regime — zero exceedances measured
+    // at sf0.01 AND sf0.1 (r9 BENCH_NOTES), while a real estimator
+    // regression (systematically >10% off by >4) still trips it.
     Entry(
       "approx_distinct_audit",
       (s, dir) => {
@@ -314,12 +328,13 @@ object CoreQueries {
           tx.select(col("household_key"), col(c)).distinct()
             .groupBy("household_key").agg(count(lit(1)).as(nm))
         val approx = tx.groupBy("household_key").agg(
-          approx_count_distinct(col("day")).as("a_days"),
-          approx_count_distinct(col("basket_id")).as("a_baskets"),
-          approx_count_distinct(col("product_id")).as("a_products"))
+          approx_count_distinct(col("day"), 0.01).as("a_days"),
+          approx_count_distinct(col("basket_id"), 0.01).as("a_baskets"),
+          approx_count_distinct(col("product_id"), 0.01).as("a_products"))
         def exceed(a: String, e: String) =
           sum(when(abs(col(a) - col(e)).cast("double")
-            / col(e).cast("double") > 0.10, 1L).otherwise(0L))
+            / col(e).cast("double") > 0.10
+            && abs(col(a) - col(e)) > 4, 1L).otherwise(0L))
         approx
           .join(exactDist("day", "e_days"), Seq("household_key"))
           .join(exactDist("basket_id", "e_baskets"), Seq("household_key"))

@@ -596,12 +596,17 @@ object EventQueries {
           "w_start", "w_end")
         val users = graft.ops.IntervalStats.distinctInWindows(points, "ep",
           "user_id", wins, "window_id", "w_start", span = 300L)
+        // users is LEFT-joined: distinctInWindows emits no row for a
+        // window whose contained events all carry null keys (its scaladoc
+        // tells callers to left-join + fill 0), while COUNT(*) in sums
+        // still counts those events — an inner join here would drop the
+        // window where the oracle emits it with n_users = 0.
         wins.select("window_id", "w_start")
           .join(sums, Seq("window_id"))
-          .join(users, Seq("window_id"))
+          .join(users, Seq("window_id"), "left")
           .select(col("window_id"), col("w_start"),
             col("n_in_window").as("n_events"),
-            col("n_distinct").as("n_users"),
+            coalesce(col("n_distinct"), lit(0L)).as("n_users"),
             col("np_in_window").as("n_purchases"),
             col("v4_in_window").cast("double").as("sum_value"))
       },

@@ -219,13 +219,16 @@ object SimilarityQueries {
       "ann_ivf_indexed",
       (s, dir) => {
         val emb = Catalog.table(s, dir, "embeddings")
-        val root = java.nio.file.Files.createTempDirectory("graft-ivf")
-          .toString + "/index"
+        val tmp = java.nio.file.Files.createTempDirectory("graft-ivf")
+        val root = tmp.toString + "/index"
         Similarity.writeIvfIndex(emb, nCells = 8, root)
-        Similarity.searchIvfIndex(s, root, emb.filter(col("vec_id") < 20),
-          k = 5)
+        val out = Similarity.searchIvfIndex(s, root,
+          emb.filter(col("vec_id") < 20), k = 5)
           .select(col("query_id"), col("neighbor_id"), col("cos"),
             col("rank").cast("long").as("rank"))
+          .localCheckpoint(true) // materialize, then reclaim the temp index
+        org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+        out
       },
       None),
 
@@ -333,15 +336,22 @@ object SimilarityQueries {
       "ann_ivf_append",
       (s, dir) => {
         val emb = Catalog.table(s, dir, "embeddings")
-        val root = java.nio.file.Files.createTempDirectory("graft-ivf-app")
-          .toString + "/index"
+        val tmp = java.nio.file.Files.createTempDirectory("graft-ivf-app")
+        val root = tmp.toString + "/index"
         Similarity.writeIvfIndex(emb.filter(col("vec_id") < 250),
           nCells = 8, root, kmeansCells = false)
         Similarity.appendIvfIndex(emb.filter(col("vec_id") >= 250), root)
-        Similarity.searchIvfIndex(s, root, emb.filter(col("vec_id") < 20),
-          k = 5)
+        val out = Similarity.searchIvfIndex(s, root,
+          emb.filter(col("vec_id") < 20), k = 5)
           .select(col("query_id"), col("neighbor_id"), col("cos"),
             col("rank").cast("long").as("rank"))
+          // eager materialization so the temp index can be deleted NOW
+          // (the returned plan would otherwise re-read the parquet when
+          // the caller executes it) — without cleanup every invocation
+          // leaked a temp index directory (r8 ADVICE)
+          .localCheckpoint(true)
+        org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+        out
       },
       Some(s"""WITH cent AS (
         |  SELECT vec_id AS cell_id, embedding FROM embeddings

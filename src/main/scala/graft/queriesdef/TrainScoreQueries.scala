@@ -227,12 +227,15 @@ object TrainScoreQueries {
         val batch2 = MergeWriter.pivotScores(
           scores(txc.filter(col("day") <= lit(fedD)), cts.drop(1)),
           Seq("score_c2", "score_c3"))
+        val tmp = java.nio.file.Files.createTempDirectory("graft-merge")
         val table = graft.features.FeatureTable(
-          java.nio.file.Files.createTempDirectory("graft-merge").toString
-            + "/scores", Seq("household_key", "day"))
+          tmp.toString + "/scores", Seq("household_key", "day"))
         table.overwrite(batch1)
         MergeWriter.mergeWide(s, table, batch2)
-        table.read(s)
+        val out = table.read(s)
+          .localCheckpoint(true) // materialize, then reclaim the temp table
+        org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+        out
       },
       Some(s"""WITH ${Oracle.txCommodity},
         |gb AS (SELECT max(day) AS cur FROM tx),

@@ -228,6 +228,14 @@ object Similarity {
     * distribution shifts; the compaction job is a periodic
     * [[writeIvfIndex]] rebuild (re-centroid), exactly like LSH band
     * re-indexing.
+    *
+    * NOT idempotent: `mode("append")` adds files unconditionally, so
+    * re-running the same batch (a retry after a driver failure) writes
+    * its vectors twice and search returns duplicated neighbors. Callers
+    * that need retry-safety must fence batches themselves (write each
+    * batch under a staging path and move it in, or carry a batch_id
+    * column and dedup on (vec_id) at the periodic rebuild — the rebuild
+    * is the natural compaction point).
     */
   def appendIvfIndex(newVectors: DataFrame, root: String): Unit = {
     ArrayOps.register(newVectors.sparkSession)

@@ -89,4 +89,14 @@ class PrivacySpec extends AnyFunSuite {
     val sql = Privacy.dpCountsSql("t", "g", "o'brien", 100)
     assert(sql.contains("o''brien") && !sql.contains("'o'brien'"))
   }
+
+  test("keySql coalesces each key column independently") {
+    val sql = Privacy.keySql(Seq("a", "b"))
+    assert(sql ==
+      s"COALESCE(CAST(a AS VARCHAR), '${Privacy.NullKey}') || " +
+        s"COALESCE(CAST(b AS VARCHAR), '${Privacy.NullKey}')")
+    // single-column rendering stays identical to what dpCountsSql embeds
+    assert(Privacy.keySql(Seq("g")) ==
+      s"COALESCE(CAST(g AS VARCHAR), '${Privacy.NullKey}')")
+  }
 }

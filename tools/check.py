@@ -30,6 +30,7 @@ evidence survives even when the official driver artifact comes back empty
 """
 import sys, os, json, glob, math, hashlib, datetime, decimal
 import duckdb
+import numpy as np
 import pandas as pd
 
 TABLES = ["region","nation","customer","supplier","part","orders",
@@ -50,10 +51,20 @@ def cv(v):
     would distinguish (-0.0, NaN, ulp-level float differences)."""
     if v is None:
         return "N"
-    if isinstance(v, float):
+    # np.floating covers float32/float64 scalars (DuckDB FLOAT columns
+    # come back float32 via fetchdf) — without it a float32 falls through
+    # to str() and hash-fails against the float64 repr of the same value.
+    if isinstance(v, (float, np.floating)):
+        v = float(v)
         if math.isnan(v):
             return "NaN"
         return repr(v)  # shortest roundtrip; '-0.0' != '0.0'
+    # bool before int (bool subclasses int); both render as before
+    # ('True'/'False', '5') so existing hashes are unchanged
+    if isinstance(v, (bool, np.bool_)):
+        return str(bool(v))
+    if isinstance(v, (int, np.integer)):
+        return str(int(v))
     if isinstance(v, (pd.Timestamp, datetime.datetime, datetime.date)):
         try:
             if pd.isna(v):
@@ -66,6 +77,14 @@ def cv(v):
     if isinstance(v, decimal.Decimal):
         # scale-preserving; both engines carry the declared decimal scale
         return str(v)
+    # containers must NOT fall through to str(): numpy's repr elides the
+    # middle of long arrays ('...'), so two different arrays could hash
+    # equal (false PASS). No current query outputs nested types; if one
+    # ever does, fail loudly so it gets a flattened rendering here.
+    if isinstance(v, (list, tuple, dict, np.ndarray)):
+        raise TypeError(f"cv(): unsupported container type {type(v)}; "
+                        "flatten the query output or add an element-wise "
+                        "rendering")
     try:
         if pd.isna(v):
             return "N"
@@ -123,7 +142,10 @@ def main(sfdir, outdir, json_out=None):
             continue
         if len(g) != len(e):
             fail(name, f"rows {len(g)} != {len(e)}"); continue
-        gh, eh = frame_hash(g), frame_hash(e)
+        try:
+            gh, eh = frame_hash(g), frame_hash(e)
+        except TypeError as ex:  # cv() rejects container-typed values
+            fail(name, f"unhashable output: {ex}"); continue
         risky = risky_double_cols(g)
         rtag = f" ULP-RISK:{','.join(risky)}" if risky else ""
         if risky:
