@@ -23,15 +23,37 @@ object Clusters {
 
   /** Below this many pairs the component graph fits on the driver and a
     * union-find beats iterated joins by the full per-iteration job cost;
-    * above it, the distributed loop is the only option.
+    * above it, the distributed loop is the only option. The historical
+    * fixed cutover, kept as the FLOOR of the memory-derived default.
     */
   val driverPairLimit: Long = 200000L
 
+  /** Memory-derived cutover default. Driver-side cost per pair (upper
+    * bound, measured shapes): the collected `Array[(Long, Long)]` is ~48 B
+    * per pair (two boxed longs + tuple header), and the union-find
+    * `mutable.Map[Long, Long]` holds ≤ 2 entries per pair at ~80 B per
+    * boxed entry — ≤ 208 B/pair, rounded to 256 B for headroom. Budget =
+    * 2% of the driver's max heap, so even a driver near capacity admits
+    * the collect without GC pressure; floored at [[driverPairLimit]]
+    * (the value proven in production of this repo). At the test heap
+    * (~24 GiB) this yields ~1.9M pairs; at a 4 GiB cluster driver ~320k.
+    * Override per-session with `spark.graft.clusters.driverPairLimit`.
+    */
+  def defaultDriverPairLimit: Long =
+    math.max(driverPairLimit, (Runtime.getRuntime.maxMemory * 0.02).toLong / 256L)
+
   /** pairs: (doc_a, doc_b) with doc_a < doc_b. docs: full corpus with
-    * doc_id. Returns (doc_id, cluster_id).
+    * doc_id. Returns (doc_id, cluster_id). `driverLimit < 0` (the
+    * default) resolves to `spark.graft.clusters.driverPairLimit` if set,
+    * else [[defaultDriverPairLimit]].
     */
   def connectedComponents(docs: DataFrame, pairs: DataFrame,
-      maxIter: Int = 20, driverLimit: Long = driverPairLimit): DataFrame = {
+      maxIter: Int = 20, driverLimit: Long = -1L): DataFrame = {
+    val resolvedLimit =
+      if (driverLimit >= 0) driverLimit
+      else docs.sparkSession.conf
+        .getOption("spark.graft.clusters.driverPairLimit").map(_.toLong)
+        .getOrElse(defaultDriverPairLimit)
     // The candidate pair set is usually the expensive upstream (a shingle
     // self-join); cache it so the cutover probe and the consumer (collect
     // or edge loop) share ONE computation. The probe's `limit` only
@@ -41,7 +63,7 @@ object Clusters {
     val integralIds = Set[org.apache.spark.sql.types.DataType](
       org.apache.spark.sql.types.LongType, org.apache.spark.sql.types.IntegerType)
     val small = integralIds.contains(p.schema("doc_a").dataType) &&
-      p.limit(math.min(driverLimit + 1, Int.MaxValue.toLong).toInt).count() <= driverLimit
+      p.limit(math.min(resolvedLimit + 1, Int.MaxValue.toLong).toInt).count() <= resolvedLimit
     if (small) {
       val out = driverComponents(docs, p)
       p.unpersist() // mapping is driver-local; out no longer depends on p

@@ -199,18 +199,25 @@ object MetricDefs {
   /** Null-safe ratio shared by both renderers. The reference's plain
     * divisions null out on 0 denominators and are fillna'd to 0.0
     * downstream (`04a:595`); folding the guard in here gives the same
-    * value in one step.
+    * value in one step. 9-dp-quantized on BOTH engines (the suite-wide
+    * computed-double convention): the division inputs are exact
+    * (decimal sums / counts) so a single IEEE divide is bit-stable, but
+    * quantizing here removes the whole feature family from the
+    * oracle-version ULP-risk surface — ~1,170 ratio columns across the
+    * three feature tables and training_set in one definition.
     */
   private def ratio(name: String, num: String, den: String): PostDef =
     PostDef(name,
-      when(col(den) =!= 0.0, col(num) / col(den)).otherwise(0.0),
-      s"CASE WHEN $den <> 0.0 THEN $num / $den ELSE 0.0 END")
+      when(col(den) =!= 0.0, round(col(num) / col(den), 9)).otherwise(0.0),
+      s"CASE WHEN $den <> 0.0 THEN ROUND($num / $den, 9) ELSE 0.0 END")
 
   /** Ratio against the constant `days_in_window` (`04a:313-367`) — the
-    * denominator is a positive literal, no guard needed.
+    * denominator is a positive literal, no guard needed. Quantized like
+    * [[ratio]].
     */
   private def perSet(w: WindowDef, name: String, num: String): PostDef =
-    PostDef(name, col(num) / lit(w.days.toDouble), s"$num / ${w.days}.0")
+    PostDef(name, round(col(num) / lit(w.days.toDouble), 9),
+      s"ROUND($num / ${w.days}.0, 9)")
 
   /** P3: derived ratio features over one window's cleaned aggregates —
     * the reference's six ratio families at full width (`04a:258-525`),

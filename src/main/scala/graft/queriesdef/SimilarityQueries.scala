@@ -383,6 +383,46 @@ object SimilarityQueries {
         |  WHERE qa.query_id <> ca.neighbor_id) t
         |WHERE rank <= 5""".stripMargin)),
 
+    // IVF index-health drift metric over the full append lifecycle
+    // (Similarity.ivfDriftMetric): build on the first half, append the
+    // second, then measure per-cell member count + mean intra-cell
+    // cosine — the scalar a maintenance job watches to schedule the
+    // recentroid compaction. Deterministic first-8 centroids make the
+    // whole lifecycle SQL-expressible: assignment is rank-1 cosine (the
+    // ann_ivf_append convention), cohesion sums 9-dp cosines in
+    // DECIMAL(28,9) (exact, order-free) with one final IEEE division.
+    Entry(
+      "ann_ivf_drift",
+      (s, dir) => {
+        val emb = Catalog.table(s, dir, "embeddings")
+        val tmp = java.nio.file.Files.createTempDirectory("graft-ivf-drift")
+        val root = tmp.toString + "/index"
+        Similarity.writeIvfIndex(emb.filter(col("vec_id") < 250),
+          nCells = 8, root, kmeansCells = false)
+        Similarity.appendIvfIndex(emb.filter(col("vec_id") >= 250), root)
+        val out = Similarity.ivfDriftMetric(s, root)
+          .localCheckpoint(true) // materialize, then reclaim the temp index
+        org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+        out
+      },
+      Some(s"""WITH cent AS (
+        |  SELECT vec_id AS cell_id, embedding FROM embeddings
+        |  ORDER BY vec_id LIMIT 8),
+        |ca AS (
+        |  SELECT vec_id, cell_id FROM (
+        |    SELECT e.vec_id, c.cell_id,
+        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |        ORDER BY ${cosSql("e", "c")} DESC, c.cell_id) AS rn
+        |    FROM embeddings e, cent c) t
+        |  WHERE rn = 1)
+        |SELECT ca.cell_id, CAST(COUNT(*) AS BIGINT) AS n_members,
+        |  CAST(SUM(CAST(${cosSql("e", "c")} AS DECIMAL(28,9))) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) AS mean_cos
+        |FROM ca
+        |JOIN embeddings e ON e.vec_id = ca.vec_id
+        |JOIN cent c ON c.cell_id = ca.cell_id
+        |GROUP BY ca.cell_id""".stripMargin)),
+
     // Affine int8 quantization audit (Quantize scaladoc): per-dimension
     // global stats → one broadcast row of aligned arrays → pure per-row
     // transform; q_sum is the order-independent integer checksum that

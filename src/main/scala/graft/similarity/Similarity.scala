@@ -246,6 +246,53 @@ object Similarity {
       .parquet(s"$root/vectors")
   }
 
+  /** Index-health metric for the append lifecycle: per cell, the member
+    * count and the mean cosine of members to their OWN centroid
+    * (intra-cell cohesion). [[appendIvfIndex]] never moves centroids, so
+    * as appended batches drift from the original distribution, cohesion
+    * falls and recall at fixed probes decays — this scalar is what a
+    * maintenance job watches to decide when [[recentroidIvfIndex]] is
+    * due. One scan of the stored index against the broadcast centroid
+    * table; cosines are 9-dp-quantized and accumulated in DECIMAL(28,9)
+    * (exact, combine-order-free), the mean is one IEEE division.
+    */
+  def ivfDriftMetric(spark: org.apache.spark.sql.SparkSession,
+      root: String): DataFrame = {
+    ArrayOps.register(spark)
+    val cents = spark.read.parquet(s"$root/centroids")
+    spark.read.parquet(s"$root/vectors")
+      .join(broadcast(cents), Seq("cell_id"))
+      .select(col("cell_id"),
+        round(pairCos("embedding", "centroid", "nv", "ncent"), 9)
+          .cast("decimal(28,9)").as("c"))
+      .groupBy("cell_id")
+      .agg(count(lit(1)).as("n_members"),
+        (sum(col("c")).cast("double") / count(lit(1)).cast("double"))
+          .as("mean_cos"))
+  }
+
+  /** Periodic re-centroid compaction — the maintenance twin of
+    * [[appendIvfIndex]] (same lifecycle as LSH band re-indexing): refit
+    * centroids over the CURRENT stored corpus and rewrite the index under
+    * `destRoot`. Written to a NEW root on purpose: Spark cannot safely
+    * overwrite a path it is reading, and at 100 TB the swap is a catalog
+    * pointer flip from `destRoot` to live (plus deleting the old
+    * generation) — the compact-then-swap pattern every LSM-ish store
+    * uses. Re-assignment is one pass over the stored vectors against the
+    * (small, broadcast) refit centroids; the rewrite restores directory
+    * partition pruning for whatever the append distribution did to cell
+    * balance.
+    */
+  def recentroidIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      srcRoot: String, destRoot: String, nCells: Int,
+      kmeansCells: Boolean = true): Unit = {
+    require(srcRoot != destRoot,
+      "recentroidIvfIndex: destRoot must differ from srcRoot (no in-place rewrite)")
+    val corpus = spark.read.parquet(s"$srcRoot/vectors")
+      .select(col("vec_id"), col("embedding"))
+    writeIvfIndex(corpus, nCells, destRoot, kmeansCells)
+  }
+
   /** Top-k search against a stored IVF index. The query batch's probed
     * cell ids — at most `nCells`, a control-table-sized set like
     * `commodities_to_score` — are collected and pushed as a STATIC

@@ -31,6 +31,24 @@ class ClustersAndSkewSpec extends AnyFunSuite {
     assert(viaLoop(2L) == 0L && viaLoop(5L) == 5L)
   }
 
+  test("spark.graft.clusters.driverPairLimit steers the cutover") {
+    val docs = Seq(0L, 1L, 2L, 3L, 4L, 5L).toDF("doc_id")
+    val pairs = Seq((0L, 1L), (1L, 2L), (3L, 4L)).toDF("doc_a", "doc_b")
+    def run() = Clusters.connectedComponents(docs, pairs) // default = conf
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val key = "spark.graft.clusters.driverPairLimit"
+    // below the pair count (3): forces the distributed loop
+    spark.conf.set(key, "2")
+    val viaLoop = try run() finally spark.conf.unset(key)
+    // above it: driver union-find
+    spark.conf.set(key, "1000")
+    val viaUf = try run() finally spark.conf.unset(key)
+    assert(viaLoop == viaUf)
+    assert(viaLoop(2L) == 0L && viaLoop(5L) == 5L)
+    // memory-derived default never regresses below the proven floor
+    assert(Clusters.defaultDriverPairLimit >= Clusters.driverPairLimit)
+  }
+
   test("deep path converges logarithmically (pointer doubling)") {
     // a 300-node path has diameter 299: plain per-round propagation
     // would need 299 rounds and trip maxIter = 20; the pointer-doubling

@@ -101,8 +101,10 @@ class FeatureSpec extends AnyFunSuite {
   test("per-days-in-set uses the window's constant day count") {
     val out = FeatureBuilder.build(fact, FeatureBuilder.household)
       .collect().map(r => r.getAs[Long]("household_key") -> r).toMap
-    // h1: 2 distinct days in 60d → days_to_days_in_set_60d = 2/60
-    assert(math.abs(out(1L).getAs[Double]("days_to_days_in_set_60d") - 2.0 / 60.0) < 1e-12)
+    // h1: 2 distinct days in 60d → days_to_days_in_set_60d = 2/60,
+    // 9-dp-quantized (the r9 suite-wide ratio convention, MetricDefs.ratio)
+    assert(out(1L).getAs[Double]("days_to_days_in_set_60d")
+      == graft.ops.Round9.round9d(2.0 / 60.0).doubleValue())
   }
 
   test("exact path computes distinct counts without an Expand") {

@@ -110,6 +110,54 @@ class SimilaritySpec extends AnyFunSuite {
       s"appended index must keep the cell_id partition filter:\n$plan")
   }
 
+  test("IVF maintenance: drift metric + re-centroid over a 5-batch append cycle") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 10)
+    val bf = Similarity.bruteForceTopK(q, emb, k = 5).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    def recall(root: String): Double = {
+      val got = Similarity.searchIvfIndex(spark, root, q, k = 5).collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+      (bf & got).size.toDouble / bf.size
+    }
+    // index over the first fifth, then 4 appended batches = the full corpus
+    val root = java.nio.file.Files.createTempDirectory("ivf-maint").toString + "/i"
+    Similarity.writeIvfIndex(emb.filter(col("vec_id") < 100), nCells = 4, root)
+    for (b <- 1 to 4)
+      Similarity.appendIvfIndex(
+        emb.filter(col("vec_id") >= b * 100L && col("vec_id") < (b + 1) * 100L),
+        root)
+    // drift metric: one row per non-empty cell, counts cover the corpus,
+    // cohesion is a valid mean cosine
+    val drift = Similarity.ivfDriftMetric(spark, root).collect()
+    val n = emb.count()
+    assert(drift.map(_.getAs[Long]("n_members")).sum == n)
+    assert(drift.forall(r => math.abs(r.getAs[Double]("mean_cos")) <= 1.0))
+    val preRecall = recall(root)
+    val preCohesion = drift.map(r =>
+      r.getAs[Double]("mean_cos") * r.getAs[Long]("n_members")).sum / n
+    // re-centroid compaction: refit over the CURRENT corpus, new root
+    val root2 = java.nio.file.Files.createTempDirectory("ivf-maint2").toString + "/i"
+    Similarity.recentroidIvfIndex(spark, root, root2, nCells = 4)
+    val drift2 = Similarity.ivfDriftMetric(spark, root2).collect()
+    assert(drift2.map(_.getAs[Long]("n_members")).sum == n)
+    val postCohesion = drift2.map(r =>
+      r.getAs[Double]("mean_cos") * r.getAs[Long]("n_members")).sum / n
+    val postRecall = recall(root2)
+    info(f"5-batch cycle: cohesion $preCohesion%.4f -> $postCohesion%.4f, " +
+      f"recall@5 $preRecall%.3f -> $postRecall%.3f")
+    // the recall audit must stay green after the full maintenance cycle
+    assert(postRecall >= 0.2, s"post-recentroid recall collapsed: $postRecall")
+    // refitting centroids on the corpus the stale quantizer only saw a
+    // fifth of must not LOSE cohesion (k-means optimizes exactly this)
+    assert(postCohesion >= preCohesion - 0.05,
+      s"re-centroid lost cohesion: $preCohesion -> $postCohesion")
+    // in-place rewrite is refused
+    intercept[IllegalArgumentException] {
+      Similarity.recentroidIvfIndex(spark, root, root, nCells = 4)
+    }
+  }
+
   test("cosineNearDupPairs honors knownCount without a second scan") {
     val rnd = new scala.util.Random(11)
     val emb = (0L until 50L).map(i => (i, Array.fill(8)(rnd.nextGaussian().toFloat)))

@@ -36,6 +36,63 @@ import pandas as pd
 TABLES = ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]
 
+# r9 triage of intentionally-unquantized double outputs (VERDICT r8 ask
+# #4). Every entry was inspected column-by-column against BOTH renderings
+# (Spark query + oracle SQL); class semantics:
+#   'ieee-closed'  final value is a FIXED-ORDER chain of IEEE basic ops
+#                  (+,-,*,/ — and sqrt, all correctly-rounded by every
+#                  conforming engine) over EXACT inputs: integer counts,
+#                  DECIMAL/HUGEINT accumulations, or mid-chain
+#                  9-dp-quantized transcendentals (mi_screen quantizes
+#                  each LN term through DECIMAL(18,9) before summing).
+#                  Bit-identical on any engine version by construction —
+#                  no reassociated double accumulation, no bare libm in
+#                  the final value.
+#   'relocated'    input parquet doubles (or exact scale-4 decimals)
+#                  passed through / CASE-selected / single-op adjusted.
+#   'quantized-15' deliberately 15-dp-quantized per iteration with exact
+#                  DECIMAL(28,15) accumulation in between (PageRank) —
+#                  finer than the suite's 9 dp, still version-stable.
+# A column NOT listed here that fails the 9-dp audit is a REAL risk and
+# stays in ulp_risk; documented ones move to ulp_documented in the JSON.
+ULP_DOCUMENTED = {
+    "ab_cmh_stratified": ("ieee-closed", {"cmh_chi2", "or_mh"}),
+    "ab_proportion": ("ieee-closed", {"ctrl_hi", "ctrl_lo", "diff", "mde",
+        "p_ctrl", "p_treat", "treat_hi", "treat_lo", "z_stat"}),
+    "ann_ivf_drift": ("ieee-closed", {"mean_cos"}),
+    "attribution_shapley": ("ieee-closed", {"shapley_conv", "share"}),
+    "basket_pairs": ("ieee-closed", {"lift"}),
+    "basket_rules": ("ieee-closed", {"confidence", "lift"}),
+    "chi2_screen": ("ieee-closed", {"chi2", "cramers_v"}),
+    "conformal_interval": ("ieee-closed", {"coverage", "q_resid"}),
+    "dedup_ngram_jaccard": ("ieee-closed", {"jaccard"}),
+    "embedding_centroids": ("ieee-closed", {"centroid", "variance"}),
+    "embedding_pca": ("ieee-closed", {"var_explained"}),
+    "ipw_ate": ("ieee-closed", {"e_hat", "effect", "mean_ctrl",
+        "mean_treat"}),
+    "mi_screen": ("ieee-closed", {"nmi"}),
+    "pos_ratio_window": ("ieee-closed", {"class_ratio"}),
+    "product_pagerank": ("quantized-15", {"rank"}),
+    "psm_match": ("ieee-closed", {"att"}),
+    "quality_cutoff_gate": ("ieee-closed", {"cutoff"}),
+    "quality_expectations": ("ieee-closed", {"observed"}),
+    "quality_filter": ("ieee-closed", {"avg_token_len", "stopword_ratio"}),
+    "quality_top_share": ("ieee-closed", {"q_rank"}),
+    "skew_salted_join": ("relocated", {"amount_paid"}),
+    "spend_acf": ("ieee-closed", {"acf"}),
+    "spend_drift_ks": ("ieee-closed", {"ks"}),
+    "spend_ols_trend": ("ieee-closed", {"intercept", "r2", "slope"}),
+    "spend_percent_rank": ("ieee-closed", {"spend_cd", "spend_pr"}),
+    "spend_seasonal_decompose": ("ieee-closed", {"residual", "seasonal"}),
+    "text_repetition": ("ieee-closed", {"repetition_ratio"}),
+    "text_stats": ("ieee-closed", {"avg_token_len", "stopword_ratio"}),
+    "transactions_adj": ("relocated", {"amount_paid",
+        "campaign_coupon_discount", "instore_discount",
+        "manuf_coupon_discount", "total_coupon_discount"}),
+    "uplift_qini": ("ieee-closed", {"qini", "uplift"}),
+    "user_rolling": ("ieee-closed", {"avg_3"}),
+}
+
 def canon(df):
     df = df.reindex(sorted(df.columns), axis=1)
     # normalize for stable sort/compare
@@ -146,8 +203,13 @@ def main(sfdir, outdir, json_out=None):
             gh, eh = frame_hash(g), frame_hash(e)
         except TypeError as ex:  # cv() rejects container-typed values
             fail(name, f"unhashable output: {ex}"); continue
-        risky = risky_double_cols(g)
+        flagged = risky_double_cols(g)
+        doc_cls, doc_cols = ULP_DOCUMENTED.get(name, (None, set()))
+        documented = [c for c in flagged if c in doc_cols]
+        risky = [c for c in flagged if c not in doc_cols]
         rtag = f" ULP-RISK:{','.join(risky)}" if risky else ""
+        if documented:
+            rtag += f" ulp-doc[{doc_cls}]:{len(documented)}"
         if risky:
             risky_total.append((name, risky))
         if gh == eh:
@@ -156,6 +218,9 @@ def main(sfdir, outdir, json_out=None):
             record[name] = {"status": "pass", "rows": len(g), "hash": gh}
             if risky:
                 record[name]["ulp_risk_cols"] = risky
+            if documented:
+                record[name]["ulp_documented"] = {"class": doc_cls,
+                                                  "cols": documented}
             continue
         # hash mismatch: run the pandas compare for a human-readable diff
         try:
