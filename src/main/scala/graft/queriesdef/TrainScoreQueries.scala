@@ -129,7 +129,15 @@ object TrainScoreQueries {
       "training_set",
       (s, dir) => {
         val tx = TransactionsAdj(s, dir)
-        val txc = FeatureBuilder.txWithCommodity(s, dir)
+        // The commodity-joined fact feeds THREE consumers (labels spine +
+        // two feature grains), and buildMaterialized runs them as
+        // concurrent jobs — without sharing, each re-runs the
+        // silver ⋈ products join. Materialize it ONCE (the in-session
+        // analog of the reference's stored silver-with-commodity view; a
+        // 100 TB deployment writes this projection durably next to the
+        // silver table). Deterministic content, so checkpoint reuse is
+        // purely a cost optimization.
+        val txc = FeatureBuilder.txWithCommodity(s, dir).localCheckpoint(true)
         val (_, cur) = graft.core.Retail.dayBounds(s, dir)
         val fed = cur.minusDays(LabelBuilder.horizonDays)
         val fedD = Date.valueOf(fed)
