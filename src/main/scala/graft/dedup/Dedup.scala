@@ -349,4 +349,45 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** Cross-document repeated-span exposure — the k-gram core of exact
+    * substring deduplication (the published training-corpus hygiene
+    * pass: long passages recurring across documents are memorization
+    * and eval-contamination vectors; reference practice removes or
+    * down-weights them). A k-word gram occurring in ≥ `minDocs`
+    * DISTINCT documents is a repeated span; a document's exposure is
+    * the fraction of its gram POSITIONS (occurrences, not distinct
+    * grams) that lie inside repeated spans. Output: doc_id, n_grams,
+    * n_repeated, repeated_ratio (9-dp).
+    *
+    * Scale shape: linear by construction — one explode (positions ∝
+    * corpus tokens), two hash aggregations keyed on the gram, one
+    * co-partitioned join back. The gram "inverted index" is reduced to
+    * (gram, n_docs) immediately — never materialized as postings and
+    * never pair-joined, so ultra-frequent boilerplate grams cost one
+    * combiner row each instead of a quadratic fan-out (the stop-shingle
+    * problem does not arise).
+    */
+  def repeatedSpans(docs: DataFrame, n: Int = 8,
+      minDocs: Int = 2): DataFrame = {
+    require(n >= 2 && minDocs >= 2,
+      s"repeatedSpans: need n >= 2 and minDocs >= 2, got $n/$minDocs")
+    val grams = graft.text.TextAnalysis.wordNgrams(docs, n)
+    // per-(doc, gram) occurrence counts; distinct-doc counts derive from
+    // them (one row per (doc, gram)) without a second pass over positions
+    val perDoc = grams.groupBy("doc_id", "gram")
+      .agg(count(lit(1)).as("occ"))
+    val repeatedGrams = perDoc.groupBy("gram")
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .select("gram")
+    val repeated = perDoc.join(repeatedGrams, Seq("gram"))
+      .groupBy("doc_id").agg(sum(col("occ")).as("n_repeated"))
+    grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+      .join(repeated, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_repeated"), lit(0L)).as("n_repeated"),
+        round(coalesce(col("n_repeated"), lit(0L)).cast("double")
+          / col("n_grams").cast("double"), 9).as("repeated_ratio"))
+  }
 }

@@ -192,6 +192,39 @@ object TextQueries {
         |SELECT doc_a, doc_b, n_common, size_a, size_b, jaccard
         |FROM jpairs""".stripMargin)),
 
+    // Cross-document repeated-span exposure (Dedup.repeatedSpans): the
+    // k-gram core of exact substring dedup — per doc, the fraction of its
+    // 8-gram positions occurring in ≥2 distinct documents. Linear plan:
+    // explode → two gram-keyed aggregations → co-partitioned join; no
+    // pair space anywhere. Docs under 8 words carry no grams and emit no
+    // row (both engines).
+    Entry(
+      "dedup_repeated_spans",
+      (s, dir) => Dedup.repeatedSpans(docs(s, dir), n = 8, minDocs = 2),
+      Some(s"""WITH rw AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+        |  FROM documents),
+        |rg AS (
+        |  SELECT doc_id, array_to_string(w[i:i+7], ' ') AS gram
+        |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 7)) AS i
+        |        FROM rw WHERE len(w) >= 8) t),
+        |pd AS (
+        |  SELECT doc_id, gram, CAST(COUNT(*) AS BIGINT) AS occ
+        |  FROM rg GROUP BY doc_id, gram),
+        |rep AS (
+        |  SELECT gram FROM pd GROUP BY gram HAVING COUNT(*) >= 2),
+        |docrep AS (
+        |  SELECT pd.doc_id, CAST(SUM(pd.occ) AS BIGINT) AS n_repeated
+        |  FROM pd JOIN rep ON pd.gram = rep.gram GROUP BY pd.doc_id),
+        |tot AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams
+        |  FROM rg GROUP BY doc_id)
+        |SELECT t.doc_id, t.n_grams,
+        |  COALESCE(d.n_repeated, 0) AS n_repeated,
+        |  ROUND(CAST(COALESCE(d.n_repeated, 0) AS DOUBLE)
+        |    / CAST(t.n_grams AS DOUBLE), 9) AS repeated_ratio
+        |FROM tot t LEFT JOIN docrep d ON t.doc_id = d.doc_id""".stripMargin)),
+
     // Duplicate-cluster resolution: Jaccard pairs → connected components →
     // canonical doc per cluster. Oracle = recursive-CTE transitive closure.
     Entry(

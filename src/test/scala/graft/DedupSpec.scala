@@ -99,4 +99,24 @@ class DedupSpec extends AnyFunSuite {
     // the index never carries text — only (doc_id, band, bucket)
     assert(idx.columns.toSeq == Seq("doc_id", "band", "bucket"))
   }
+
+  test("repeatedSpans: cross-doc grams counted positionally, short docs dropped") {
+    // doc 1 and 2 share the 3-gram "a b c" (doc 1 contains it TWICE —
+    // positional exposure counts occurrences); doc 3 shares nothing;
+    // doc 4 is under 3 words → no grams, no row
+    val docs = Seq(
+      (1L, "a b c x a b c"),     // grams: abc, bcx, cxa, xab, abc → 5
+      (2L, "z a b c z"),         // grams: zab, abc, bcz → 3
+      (3L, "p q r s"),           // grams: pqr, qrs → 2
+      (4L, "t u")
+    ).toDF("doc_id", "text")
+    val got = graft.dedup.Dedup.repeatedSpans(docs, n = 3, minDocs = 2)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L))
+    assert(got(1L) == ((5L, 2L, 0.4)))         // both "a b c" positions
+    assert(got(2L) == ((3L, 1L, graft.ops.Round9.round9d(1.0 / 3).doubleValue())))
+    assert(got(3L) == ((2L, 0L, 0.0)))
+  }
 }
