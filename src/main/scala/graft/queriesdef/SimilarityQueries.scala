@@ -383,6 +383,35 @@ object SimilarityQueries {
         |  WHERE qa.query_id <> ca.neighbor_id) t
         |WHERE rank <= 5""".stripMargin)),
 
+    // Hard-negative mining (Similarity.hardNegatives): per query vector,
+    // the top-5 most-similar DIFFERENT-label corpus vectors — the
+    // contrastive-training pair generator. Brute-force baseline oracled
+    // exactly; the scale path is the same label predicate inside the IVF
+    // candidate join (see the operator scaladoc).
+    Entry(
+      "hard_negative_mining",
+      (s, dir) => {
+        val emb = Catalog.table(s, dir, "embeddings")
+        Similarity.hardNegatives(emb.filter(col("vec_id") < 20), emb, k = 5)
+          .withColumn("rank", col("rank").cast("long"))
+      },
+      Some(s"""WITH q AS (
+        |  SELECT vec_id, embedding, label FROM embeddings WHERE vec_id < 20),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, q.label AS query_label,
+        |    c.vec_id AS neighbor_id, c.label AS neighbor_label,
+        |    ${cosSql("q", "c")} AS cos
+        |  FROM q, embeddings c
+        |  WHERE q.vec_id <> c.vec_id
+        |    AND q.label IS DISTINCT FROM c.label),
+        |ranked AS (
+        |  SELECT *, ROW_NUMBER() OVER (
+        |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, query_label, neighbor_id, neighbor_label, cos,
+        |  CAST(rank AS BIGINT) AS rank
+        |FROM ranked WHERE rank <= 5""".stripMargin)),
+
     // IVF index-health drift metric over the full append lifecycle
     // (Similarity.ivfDriftMetric): build on the first half, append the
     // second, then measure per-cell member count + mean intra-cell

@@ -70,6 +70,39 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Hard-negative mining for contrastive training data: for each query
+    * vector, the `k` most similar corpus vectors carrying a DIFFERENT
+    * `labelCol` — the near-boundary negatives contrastive objectives
+    * need (random negatives are trivially separable; the informative
+    * ones are the closest wrong-label examples). This is the brute-force
+    * correctness baseline (the label predicate is one more filter on the
+    * scored pairs); the 100 TB path composes the SAME predicate into the
+    * IVF candidate join — [[ivfTopK]]'s cells are label-agnostic, so
+    * filtering after the cell join changes nothing about cell recall,
+    * and the per-query candidate set stays |probed cells|, never the
+    * corpus. Output: query_id, query_label, neighbor_id, neighbor_label,
+    * cos, rank.
+    */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame, k: Int,
+      labelCol: String = "label"): DataFrame = {
+    ArrayOps.register(queries.sparkSession)
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("qv"), norm(col("embedding")).as("nq"),
+      col(labelCol).as("query_label"))
+    val c = corpus.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("cv"), norm(col("embedding")).as("nc"),
+      col(labelCol).as("neighbor_label"))
+    val scored = q.crossJoin(c)
+      .filter(col("query_id") =!= col("neighbor_id") &&
+        !(col("query_label") <=> col("neighbor_label")))
+      .select(col("query_id"), col("query_label"), col("neighbor_id"),
+        col("neighbor_label"), pairCos("qv", "cv", "nq", "nc").as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Seeded k-means coarse centroids for IVF cells — (cell_id, centroid,
     * ncent). Fit runs on a deterministic sample capped at `sampleCap`
     * rows: centroid QUALITY needs a representative sample, not the full

@@ -158,6 +158,22 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("hardNegatives: nearest different-label vectors only") {
+    val docs = Seq(
+      (0L, Array(1f, 0f), "a"),
+      (1L, Array(0.99f, 0.14f), "a"),  // nearest overall, SAME label
+      (2L, Array(0.9f, 0.43f), "b"),   // nearest different-label
+      (3L, Array(0f, 1f), "b"),
+      (4L, Array(-1f, 0f), "c")
+    ).toDF("vec_id", "embedding", "label")
+    val got = graft.similarity.Similarity
+      .hardNegatives(docs.filter(col("vec_id") === 0), docs, k = 2)
+      .orderBy("rank").collect()
+    assert(got.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(2L, 3L))
+    assert(got.forall(_.getAs[String]("neighbor_label") != "a"))
+    assert(got.forall(_.getAs[String]("query_label") == "a"))
+  }
+
   test("cosineNearDupPairs honors knownCount without a second scan") {
     val rnd = new scala.util.Random(11)
     val emb = (0L until 50L).map(i => (i, Array.fill(8)(rnd.nextGaussian().toFloat)))
