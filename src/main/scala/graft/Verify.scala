@@ -11,16 +11,16 @@ import java.nio.file.{Files, Paths, StandardOpenOption}
   * record the compare can still score.
   */
 object Verify {
-  /** Heaviest queries at sf0.01 (the measured top-10 of this round's full
-    * dump, progress.jsonl: 27.4s down to 3.1s — together ~33% of the
-    * ~204s total), skipped by the dev-only `--fast` selector when
+  /** Heaviest queries at sf0.01 (the measured top-10 of the round-9
+    * official dump, progress.jsonl: 22.3s down to 2.7s — together ~40%
+    * of the ~190s total), skipped by the dev-only `--fast` selector when
     * wall-clock is the constraint.
     */
   val heavyQueries: Set[String] = Set(
-    "training_set", "ab_cuped", "theil_sen_trend",
+    "training_set", "ab_cmh_stratified", "approx_distinct_audit",
     "household_commodity_features", "household_features",
-    "household_features_reference_exact", "ann_ivf", "conformal_interval",
-    "ann_ivf_indexed", "commodity_features")
+    "household_features_reference_exact", "theil_sen_trend",
+    "ann_ivf_append", "commodity_features", "product_pagerank")
 
   def main(args: Array[String]): Unit = {
     require(args.length == 2 || args.length == 3,

@@ -412,6 +412,50 @@ object SimilarityQueries {
         |  CAST(rank AS BIGINT) AS rank
         |FROM ranked WHERE rank <= 5""".stripMargin)),
 
+    // The IVF scale path of hard-negative mining, fully oracled via the
+    // deterministic first-8 centroids (the ann_ivf_append convention):
+    // assignment rank-1 for the corpus, rank<=2 probes for the queries,
+    // the different-label predicate applied inside the cell join.
+    Entry(
+      "hard_negative_mining_ivf",
+      (s, dir) => {
+        val emb = Catalog.table(s, dir, "embeddings")
+        Similarity.hardNegativesIvf(emb.filter(col("vec_id") < 20), emb,
+          k = 5, nCells = 8, kmeansCells = false)
+          .withColumn("rank", col("rank").cast("long"))
+      },
+      Some(s"""WITH cent AS (
+        |  SELECT vec_id AS cell_id, embedding FROM embeddings
+        |  ORDER BY vec_id LIMIT 8),
+        |ca AS (
+        |  SELECT vec_id AS neighbor_id, cell_id FROM (
+        |    SELECT e.vec_id, c.cell_id,
+        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |        ORDER BY ${cosSql("e", "c")} DESC, c.cell_id) AS rn
+        |    FROM embeddings e, cent c) t
+        |  WHERE rn = 1),
+        |qa AS (
+        |  SELECT vec_id AS query_id, cell_id FROM (
+        |    SELECT e.vec_id, c.cell_id,
+        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |        ORDER BY ${cosSql("e", "c")} DESC, c.cell_id) AS rn
+        |    FROM (SELECT * FROM embeddings WHERE vec_id < 20) e, cent c) t
+        |  WHERE rn <= 2)
+        |SELECT query_id, query_label, neighbor_id, neighbor_label, cos,
+        |  CAST(rank AS BIGINT) AS rank
+        |FROM (
+        |  SELECT qa.query_id, qv.label AS query_label,
+        |    ca.neighbor_id, cv.label AS neighbor_label,
+        |    ${cosSql("qv", "cv")} AS cos,
+        |    ROW_NUMBER() OVER (PARTITION BY qa.query_id
+        |      ORDER BY ${cosSql("qv", "cv")} DESC, ca.neighbor_id) AS rank
+        |  FROM qa JOIN ca ON qa.cell_id = ca.cell_id
+        |  JOIN embeddings qv ON qv.vec_id = qa.query_id
+        |  JOIN embeddings cv ON cv.vec_id = ca.neighbor_id
+        |  WHERE qa.query_id <> ca.neighbor_id
+        |    AND qv.label IS DISTINCT FROM cv.label) t
+        |WHERE rank <= 5""".stripMargin)),
+
     // IVF index-health drift metric over the full append lifecycle
     // (Similarity.ivfDriftMetric): build on the first half, append the
     // second, then measure per-cell member count + mean intra-cell

@@ -103,6 +103,43 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** The 100 TB path of [[hardNegatives]]: the same different-label
+    * predicate composed into the IVF candidate join ([[ivfTopK]]'s
+    * shape) — cells are label-agnostic, so the per-query candidate set
+    * stays |probed cells|, never the corpus, and the label filter prunes
+    * candidates before ranking. Labels ride the assignment output via an
+    * id join (the corpus side is cell-partitioned; the label projection
+    * joins on the id it was derived from, so AQE plans it local).
+    * Recall caveat identical to [[ivfTopK]]: near-cell-border negatives
+    * can be missed at low `probes`; recall is monotone in `probes`.
+    */
+  def hardNegativesIvf(queries: DataFrame, corpus: DataFrame, k: Int,
+      nCells: Int, kmeansCells: Boolean = true, probes: Int = 2,
+      labelCol: String = "label"): DataFrame = {
+    ArrayOps.register(queries.sparkSession)
+    val centroids =
+      if (kmeansCells) kmeansCentroids(corpus, nCells)
+      else corpus.orderBy(col("vec_id")).limit(nCells)
+        .select(col("vec_id").as("cell_id"), col("embedding").as("centroid"),
+          norm(col("embedding")).as("ncent"))
+    val corpusCells = assign(side(corpus, "neighbor_id", "cv", "nc"),
+      "neighbor_id", "cv", "nc", centroids, probes = 1)
+      .join(corpus.select(col("vec_id").as("neighbor_id"),
+        col(labelCol).as("neighbor_label")), Seq("neighbor_id"))
+    val queryCells = assign(side(queries, "query_id", "qv", "nq"),
+      "query_id", "qv", "nq", centroids, probes = probes)
+      .join(queries.select(col("vec_id").as("query_id"),
+        col(labelCol).as("query_label")), Seq("query_id"))
+    val scored = queryCells.join(corpusCells, Seq("cell_id"))
+      .filter(col("query_id") =!= col("neighbor_id") &&
+        !(col("query_label") <=> col("neighbor_label")))
+      .select(col("query_id"), col("query_label"), col("neighbor_id"),
+        col("neighbor_label"), pairCos("qv", "cv", "nq", "nc").as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Seeded k-means coarse centroids for IVF cells — (cell_id, centroid,
     * ncent). Fit runs on a deterministic sample capped at `sampleCap`
     * rows: centroid QUALITY needs a representative sample, not the full

@@ -174,6 +174,27 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got.forall(_.getAs[String]("query_label") == "a"))
   }
 
+  test("hardNegativesIvf: recall vs brute force, labels honored") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 10)
+    val bf = graft.similarity.Similarity.hardNegatives(q, emb, k = 5)
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+      .toSet
+    val ivf = graft.similarity.Similarity
+      .hardNegativesIvf(q, emb, k = 5, nCells = 4, probes = 2)
+      .collect()
+    // every IVF negative is genuinely different-label
+    assert(ivf.forall(r =>
+      r.getAs[String]("query_label") != r.getAs[String]("neighbor_label")))
+    val ivfSet = ivf
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+      .toSet
+    val recall = (bf & ivfSet).size.toDouble / bf.size
+    info(f"hard-negative IVF recall@5 (nCells=4, probes=2): $recall%.3f")
+    assert(recall >= 0.2, s"hard-negative IVF recall unreasonably low: $recall")
+  }
+
   test("cosineNearDupPairs honors knownCount without a second scan") {
     val rnd = new scala.util.Random(11)
     val emb = (0L until 50L).map(i => (i, Array.fill(8)(rnd.nextGaussian().toFloat)))
