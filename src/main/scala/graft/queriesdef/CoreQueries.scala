@@ -324,25 +324,29 @@ object CoreQueries {
       "approx_distinct_audit",
       (s, dir) => {
         val tx = TransactionsAdj(s, dir)
-        def exactDist(c: String, nm: String) =
+        // HLL is SET-based: estimating over the pre-deduped (household,
+        // entity) pairs gives the identical estimate as over raw rows,
+        // so each entity costs ONE distinct-project feeding BOTH the
+        // exact count and the sketch in one grouped pass — 3 aggs + 2
+        // joins instead of 4 aggs + 3 joins, and the expensive
+        // 2^14-register update loop runs over |distinct pairs|, not
+        // |fact rows| (~7s → ~2s at sf0.01).
+        def audit(c: String, nm: String) =
           tx.select(col("household_key"), col(c)).distinct()
-            .groupBy("household_key").agg(count(lit(1)).as(nm))
-        val approx = tx.groupBy("household_key").agg(
-          approx_count_distinct(col("day"), 0.01).as("a_days"),
-          approx_count_distinct(col("basket_id"), 0.01).as("a_baskets"),
-          approx_count_distinct(col("product_id"), 0.01).as("a_products"))
-        def exceed(a: String, e: String) =
-          sum(when(abs(col(a) - col(e)).cast("double")
-            / col(e).cast("double") > 0.10
-            && abs(col(a) - col(e)) > 4, 1L).otherwise(0L))
-        approx
-          .join(exactDist("day", "e_days"), Seq("household_key"))
-          .join(exactDist("basket_id", "e_baskets"), Seq("household_key"))
-          .join(exactDist("product_id", "e_products"), Seq("household_key"))
+            .groupBy("household_key").agg(
+              count(lit(1)).as(s"e_$nm"),
+              approx_count_distinct(col(c), 0.01).as(s"a_$nm"))
+        def exceed(nm: String) =
+          sum(when(abs(col(s"a_$nm") - col(s"e_$nm")).cast("double")
+            / col(s"e_$nm").cast("double") > 0.10
+            && abs(col(s"a_$nm") - col(s"e_$nm")) > 4, 1L).otherwise(0L))
+        audit("day", "days")
+          .join(audit("basket_id", "baskets"), Seq("household_key"))
+          .join(audit("product_id", "products"), Seq("household_key"))
           .agg(count(lit(1)).as("n_households"),
-            exceed("a_days", "e_days").as("n_exceed_days"),
-            exceed("a_baskets", "e_baskets").as("n_exceed_baskets"),
-            exceed("a_products", "e_products").as("n_exceed_products"))
+            exceed("days").as("n_exceed_days"),
+            exceed("baskets").as("n_exceed_baskets"),
+            exceed("products").as("n_exceed_products"))
       },
       Some(s"""WITH ${Oracle.txAdjFull}
         |SELECT CAST(COUNT(DISTINCT household_key) AS BIGINT) AS n_households,

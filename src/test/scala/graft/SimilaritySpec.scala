@@ -193,6 +193,14 @@ class SimilaritySpec extends AnyFunSuite {
     val recall = (bf & ivfSet).size.toDouble / bf.size
     info(f"hard-negative IVF recall@5 (nCells=4, probes=2): $recall%.3f")
     assert(recall >= 0.2, s"hard-negative IVF recall unreasonably low: $recall")
+    // the scale property: candidates come from the CELL equi-join, never
+    // an all-pairs product (the brute path's CartesianProduct is the
+    // thing this variant exists to avoid)
+    val plan = graft.similarity.Similarity
+      .hardNegativesIvf(q, emb, k = 5, nCells = 4, kmeansCells = false)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"IVF hard negatives must not plan an all-pairs join:\n$plan")
   }
 
   test("cosineNearDupPairs honors knownCount without a second scan") {
