@@ -390,4 +390,45 @@ object Dedup {
         round(coalesce(col("n_repeated"), lit(0L)).cast("double")
           / col("n_grams").cast("double"), 9).as("repeated_ratio"))
   }
+
+  /** The stored index for [[repeatedSpansIncremental]]: per k-gram, the
+    * number of DISTINCT corpus documents containing it. KB-to-GB-sized
+    * (one row per distinct gram), gram-keyed — at 100 TB it lives as a
+    * gram-bucketed table so the incremental probe co-partitions.
+    */
+  def repeatedSpanIndex(docs: DataFrame, n: Int = 8): DataFrame =
+    graft.text.TextAnalysis.wordNgrams(docs, n)
+      .select("doc_id", "gram").distinct()
+      .groupBy("gram").agg(count(lit(1)).as("n_docs"))
+
+  /** Incremental twin of [[repeatedSpans]] (the
+    * [[incrementalExact]] / [[incrementalLshCandidates]] lifecycle): audit
+    * ONLY a new batch against a stored [[repeatedSpanIndex]], never
+    * rescanning the corpus. Batch doc ids must be disjoint from the
+    * corpus (ingest contract, same as the other incremental ops), so a
+    * gram's corpus∪batch doc count is `stored + batch` distinct counts —
+    * the result equals the FULL [[repeatedSpans]] over corpus∪batch
+    * restricted to batch docs (hash-proven by
+    * `dedup_repeated_spans_incremental`). Cost ∝ batch grams: one probe
+    * join against the gram-keyed index.
+    */
+  def repeatedSpansIncremental(index: DataFrame, batch: DataFrame,
+      n: Int = 8, minDocs: Int = 2): DataFrame = {
+    val grams = graft.text.TextAnalysis.wordNgrams(batch, n)
+    val perDoc = grams.groupBy("doc_id", "gram")
+      .agg(count(lit(1)).as("occ"))
+    val repeatedGrams = perDoc.groupBy("gram")
+      .agg(count(lit(1)).as("b_docs"))
+      .join(index, Seq("gram"), "left_outer")
+      .filter(col("b_docs") + coalesce(col("n_docs"), lit(0L)) >= minDocs)
+      .select("gram")
+    val repeated = perDoc.join(repeatedGrams, Seq("gram"))
+      .groupBy("doc_id").agg(sum(col("occ")).as("n_repeated"))
+    grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+      .join(repeated, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_repeated"), lit(0L)).as("n_repeated"),
+        round(coalesce(col("n_repeated"), lit(0L)).cast("double")
+          / col("n_grams").cast("double"), 9).as("repeated_ratio"))
+  }
 }

@@ -225,6 +225,44 @@ object TextQueries {
         |    / CAST(t.n_grams AS DOUBLE), 9) AS repeated_ratio
         |FROM tot t LEFT JOIN docrep d ON t.doc_id = d.doc_id""".stripMargin)),
 
+    // Incremental twin: the second half of the corpus audited against the
+    // first half's stored gram index (Dedup.repeatedSpansIncremental) —
+    // cost ∝ batch grams, corpus never rescanned. The oracle recomputes
+    // the FULL corpus-wide audit and restricts to batch docs: equality
+    // hash-proves that stored-count + batch-count composition is exact.
+    Entry(
+      "dedup_repeated_spans_incremental",
+      (s, dir) => {
+        val d = docs(s, dir)
+        val index = Dedup.repeatedSpanIndex(d.filter(col("doc_id") < 250), n = 8)
+        Dedup.repeatedSpansIncremental(index,
+          d.filter(col("doc_id") >= 250), n = 8, minDocs = 2)
+      },
+      Some(s"""WITH rw AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+        |  FROM documents),
+        |rg AS (
+        |  SELECT doc_id, array_to_string(w[i:i+7], ' ') AS gram
+        |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 7)) AS i
+        |        FROM rw WHERE len(w) >= 8) t),
+        |pd AS (
+        |  SELECT doc_id, gram, CAST(COUNT(*) AS BIGINT) AS occ
+        |  FROM rg GROUP BY doc_id, gram),
+        |rep AS (
+        |  SELECT gram FROM pd GROUP BY gram HAVING COUNT(*) >= 2),
+        |docrep AS (
+        |  SELECT pd.doc_id, CAST(SUM(pd.occ) AS BIGINT) AS n_repeated
+        |  FROM pd JOIN rep ON pd.gram = rep.gram GROUP BY pd.doc_id),
+        |tot AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams
+        |  FROM rg GROUP BY doc_id)
+        |SELECT t.doc_id, t.n_grams,
+        |  COALESCE(d.n_repeated, 0) AS n_repeated,
+        |  ROUND(CAST(COALESCE(d.n_repeated, 0) AS DOUBLE)
+        |    / CAST(t.n_grams AS DOUBLE), 9) AS repeated_ratio
+        |FROM tot t LEFT JOIN docrep d ON t.doc_id = d.doc_id
+        |WHERE t.doc_id >= 250""".stripMargin)),
+
     // Duplicate-cluster resolution: Jaccard pairs → connected components →
     // canonical doc per cluster. Oracle = recursive-CTE transitive closure.
     Entry(

@@ -119,4 +119,23 @@ class DedupSpec extends AnyFunSuite {
     assert(got(2L) == ((3L, 1L, graft.ops.Round9.round9d(1.0 / 3).doubleValue())))
     assert(got(3L) == ((2L, 0L, 0.0)))
   }
+
+  test("repeatedSpansIncremental equals full recompute restricted to batch") {
+    val rng = new scala.util.Random(3)
+    val vocab = Vector("a", "b", "c", "d", "e", "f", "g")
+    val all = (0L until 40L).map(i =>
+      (i, Seq.fill(12)(vocab(rng.nextInt(vocab.size))).mkString(" ")))
+      .toDF("doc_id", "text")
+    val corpus = all.filter(col("doc_id") < 25)
+    val batch = all.filter(col("doc_id") >= 25)
+    val idx = graft.dedup.Dedup.repeatedSpanIndex(corpus, n = 3)
+    val inc = graft.dedup.Dedup
+      .repeatedSpansIncremental(idx, batch, n = 3, minDocs = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val full = graft.dedup.Dedup.repeatedSpans(all, n = 3, minDocs = 2)
+      .filter(col("doc_id") >= 25)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(inc == full)
+    assert(inc.nonEmpty)
+  }
 }
