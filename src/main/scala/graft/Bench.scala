@@ -134,6 +134,10 @@ object Bench {
     val timedPasses = sys.env.getOrElse("SPARK_GRAFT_TIMED_PASSES", "2").toInt
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+    // failure REASON (exception class) rides into the JSON errors array —
+    // round-9 lesson: a driver-side run drops stderr, and a bare name in
+    // `errors` made the 100× in-suite failures undiagnosable after the fact
+    val failReason = scala.collection.mutable.Map.empty[String, String]
     val passTimes: Seq[Map[String, Double]] = (1 to timedPasses).map { pass =>
       names.map { case (name, fn) =>
         val gc0 = gcMillis
@@ -146,7 +150,11 @@ object Bench {
         val ok =
           try { fn(spark, sfDir).queryExecution.toRdd.count(); true }
           catch { case e: Throwable =>
-            System.err.println(s"[bench] $name failed: $e"); false
+            System.err.println(s"[bench] $name failed: $e")
+            val root = Iterator.iterate(e)(_.getCause)
+              .takeWhile(_ != null).toSeq.last
+            failReason(name) = root.getClass.getSimpleName
+            false
           }
         val sec = (System.nanoTime() - t0) / 1e9
         sweepTransientBlocks()
@@ -172,7 +180,8 @@ object Bench {
     // from the map (reported as "omitted":N) — the total always covers the
     // full suite, and the full-precision per-query map goes to stderr.
     val total = results.collect { case (_, v, true) => v }.sum
-    val errs = results.collect { case (k, _, false) => s"\"$k\"" }
+    val errs = results.collect { case (k, _, false) =>
+      s"\"$k:${failReason.getOrElse(k, "?")}\"" }
     val errorsPart =
       if (errs.isEmpty) "" else errs.mkString(""","errors":[""", ",", "]")
     System.err.println("[bench] full precision: " + results
