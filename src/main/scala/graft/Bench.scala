@@ -151,8 +151,10 @@ object Bench {
           try { fn(spark, sfDir).queryExecution.toRdd.count(); true }
           catch { case e: Throwable =>
             System.err.println(s"[bench] $name failed: $e")
+            // cap the cause walk: Java only guards DIRECT self-causes, so
+            // a cyclic chain (A caused-by B caused-by A) would spin forever
             val root = Iterator.iterate(e)(_.getCause)
-              .takeWhile(_ != null).toSeq.last
+              .takeWhile(_ != null).take(32).toSeq.last
             failReason(name) = root.getClass.getSimpleName
             false
           }
@@ -180,8 +182,11 @@ object Bench {
     // from the map (reported as "omitted":N) — the total always covers the
     // full suite, and the full-precision per-query map goes to stderr.
     val total = results.collect { case (_, v, true) => v }.sum
+    // structured entries ({"q":name,"why":class}) so tooling that matches
+    // on query names keeps working and the failure reason stays separate
+    // (r9 shipped "name:Class" strings, which broke name-keyed diffs)
     val errs = results.collect { case (k, _, false) =>
-      s"\"$k:${failReason.getOrElse(k, "?")}\"" }
+      s"""{"q":"$k","why":"${failReason.getOrElse(k, "?")}"}""" }
     val errorsPart =
       if (errs.isEmpty) "" else errs.mkString(""","errors":[""", ",", "]")
     System.err.println("[bench] full precision: " + results

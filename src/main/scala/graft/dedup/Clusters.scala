@@ -49,11 +49,16 @@ object Clusters {
     */
   def connectedComponents(docs: DataFrame, pairs: DataFrame,
       maxIter: Int = 20, driverLimit: Long = -1L): DataFrame = {
+    val confKey = "spark.graft.clusters.driverPairLimit"
     val resolvedLimit =
       if (driverLimit >= 0) driverLimit
-      else docs.sparkSession.conf
-        .getOption("spark.graft.clusters.driverPairLimit").map(_.toLong)
-        .getOrElse(defaultDriverPairLimit)
+      else docs.sparkSession.conf.getOption(confKey).map { v =>
+        // a malformed conf value must name the key, not surface as a bare
+        // NumberFormatException deep inside connectedComponents
+        require(v.nonEmpty && v.forall(_.isDigit),
+          s"$confKey must be a non-negative integer, got '$v'")
+        v.toLong
+      }.getOrElse(defaultDriverPairLimit)
     // The candidate pair set is usually the expensive upstream (a shingle
     // self-join); cache it so the cutover probe and the consumer (collect
     // or edge loop) share ONE computation. The probe's `limit` only
@@ -64,6 +69,12 @@ object Clusters {
       org.apache.spark.sql.types.LongType, org.apache.spark.sql.types.IntegerType)
     val small = integralIds.contains(p.schema("doc_a").dataType) &&
       p.limit(math.min(resolvedLimit + 1, Int.MaxValue.toLong).toInt).count() <= resolvedLimit
+    // announce the cutover (the cosineNearDupPairs convention): the
+    // memory-derived default makes this choice environment-dependent, so
+    // which path ran must be visible in the logs, not inferred from plans
+    System.err.println(s"[clusters] connectedComponents: " +
+      (if (small) "driver union-find" else "distributed pointer-doubling") +
+      s" (limit=$resolvedLimit)")
     if (small) {
       val out = driverComponents(docs, p)
       p.unpersist() // mapping is driver-local; out no longer depends on p

@@ -90,12 +90,28 @@ object MarkovAttribution {
     * attribution_share). `channels` must exclude the absorbing states.
     */
   def removalEffects(spark: SparkSession, trans: DataFrame,
-      channels: Seq[String], steps: Int = 8): DataFrame = {
+      channels: Seq[String], steps: Int = 8,
+      driverLimit: Long = 100000L): DataFrame = {
     require(steps >= 1, s"MarkovAttribution: steps ($steps) must be >= 1")
-    val counts = trans.collect().map { r =>
-      (r.getAs[String]("from_state"), r.getAs[String]("to_state")) ->
-        r.getAs[Long]("n")
-    }.toMap
+    // probed cutover guard (the Forecast/Survival pattern): the transition
+    // frame is |states|²-bounded by construction (event-type cardinality),
+    // but nothing upstream ENFORCES that — a caller feeding raw pairs
+    // instead of counted transitions would collect the fact table. `limit`
+    // computes only the partitions it needs, so an oversized frame is
+    // detected without materializing it.
+    val narrowed = trans
+      .select(col("from_state"), col("to_state"), col("n")).cache()
+    val probed = narrowed
+      .limit(math.min(driverLimit + 1, Int.MaxValue.toLong).toInt).count()
+    require(probed <= driverLimit,
+      s"MarkovAttribution.removalEffects: transition frame exceeds " +
+        s"$driverLimit rows — expected a |states|²-bounded count matrix " +
+        "(run transitions() first, or aggregate to channel grain)")
+    val counts = (try narrowed.collect() finally { narrowed.unpersist(); () })
+      .map { r =>
+        (r.getAs[String]("from_state"), r.getAs[String]("to_state")) ->
+          r.getAs[Long]("n")
+      }.toMap
     val totals = counts.groupBy(_._1._1).map { case (f, m) =>
       f -> m.values.sum
     }
