@@ -221,14 +221,17 @@ object SimilarityQueries {
         val emb = Catalog.table(s, dir, "embeddings")
         val tmp = java.nio.file.Files.createTempDirectory("graft-ivf")
         val root = tmp.toString + "/index"
-        Similarity.writeIvfIndex(emb, nCells = 8, root)
-        val out = Similarity.searchIvfIndex(s, root,
-          emb.filter(col("vec_id") < 20), k = 5)
-          .select(col("query_id"), col("neighbor_id"), col("cos"),
-            col("rank").cast("long").as("rank"))
-          .localCheckpoint(true) // materialize, then reclaim the temp index
-        org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
-        out
+        // finally, not success-path: a throw mid-build/search must not
+        // leak the temp index (r9 ADVICE); deletion is idempotent and
+        // safe after the checkpoint materializes the result
+        try {
+          Similarity.writeIvfIndex(emb, nCells = 8, root)
+          Similarity.searchIvfIndex(s, root,
+            emb.filter(col("vec_id") < 20), k = 5)
+            .select(col("query_id"), col("neighbor_id"), col("cos"),
+              col("rank").cast("long").as("rank"))
+            .localCheckpoint(true) // materialize, then reclaim the temp index
+        } finally org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
       },
       None),
 
@@ -338,20 +341,24 @@ object SimilarityQueries {
         val emb = Catalog.table(s, dir, "embeddings")
         val tmp = java.nio.file.Files.createTempDirectory("graft-ivf-app")
         val root = tmp.toString + "/index"
-        Similarity.writeIvfIndex(emb.filter(col("vec_id") < 250),
-          nCells = 8, root, kmeansCells = false)
-        Similarity.appendIvfIndex(emb.filter(col("vec_id") >= 250), root)
-        val out = Similarity.searchIvfIndex(s, root,
-          emb.filter(col("vec_id") < 20), k = 5)
-          .select(col("query_id"), col("neighbor_id"), col("cos"),
-            col("rank").cast("long").as("rank"))
-          // eager materialization so the temp index can be deleted NOW
-          // (the returned plan would otherwise re-read the parquet when
-          // the caller executes it) — without cleanup every invocation
-          // leaked a temp index directory (r8 ADVICE)
-          .localCheckpoint(true)
-        org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
-        out
+        // finally, not success-path (r9 ADVICE): a throw mid-append must
+        // not leak the temp index; the checkpoint materializes the result
+        // before the backing store goes away
+        try {
+          Similarity.writeIvfIndex(emb.filter(col("vec_id") < 250),
+            nCells = 8, root, kmeansCells = false)
+          // the fence is exercised on purpose: the same batch appended
+          // TWICE under one batchId must land exactly once
+          Similarity.appendIvfIndex(emb.filter(col("vec_id") >= 250), root,
+            batchId = "tail")
+          Similarity.appendIvfIndex(emb.filter(col("vec_id") >= 250), root,
+            batchId = "tail")
+          Similarity.searchIvfIndex(s, root,
+            emb.filter(col("vec_id") < 20), k = 5)
+            .select(col("query_id"), col("neighbor_id"), col("cos"),
+              col("rank").cast("long").as("rank"))
+            .localCheckpoint(true)
+        } finally org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
       },
       Some(s"""WITH cent AS (
         |  SELECT vec_id AS cell_id, embedding FROM embeddings
@@ -456,6 +463,95 @@ object SimilarityQueries {
         |    AND qv.label IS DISTINCT FROM cv.label) t
         |WHERE rank <= 5""".stripMargin)),
 
+    // Hard-negative recall audit — the oracled floor the IVF mining path
+    // was missing (ann_recall_audit's treatment applied to the label-
+    // filtered variant): per query and probe count, how many of the
+    // exact brute-force hard negatives the IVF candidate path recovers.
+    // Deterministic first-8 centroids render both engines exactly, so
+    // the recall numbers themselves are hash-checked — a regression in
+    // the cell join, probe fan-out, or label predicate changes a pinned
+    // value instead of sliding past a loose assertion.
+    Entry(
+      "hard_negative_recall_audit",
+      (s, dir) => {
+        val emb = Catalog.table(s, dir, "embeddings")
+        val queries = emb.filter(col("vec_id") < 20)
+        val full = Similarity.hardNegatives(queries, emb, k = 5)
+          .select(col("query_id"), col("neighbor_id"))
+        def recallAt(p: Int) = {
+          val ivf = Similarity.hardNegativesIvf(queries, emb, k = 5,
+            nCells = 8, kmeansCells = false, probes = p)
+            .select(col("query_id"), col("neighbor_id"))
+            .withColumn("__hit", lit(1))
+          // left join (not semi): zero-overlap queries must report 0
+          full.join(ivf, Seq("query_id", "neighbor_id"), "left")
+            .groupBy("query_id").agg(
+              count(col("__hit")).as("n_overlap"),
+              count(lit(1)).as("k"))
+            .select(lit(p).as("probes"), col("query_id"), col("n_overlap"),
+              round(col("n_overlap").cast("double") / col("k").cast("double"),
+                9).as("recall_at_5"))
+        }
+        recallAt(1).unionByName(recallAt(2))
+      },
+      Some {
+        def ivfAt(name: String, probes: Int) =
+          s"""$name AS (
+             |  SELECT query_id, neighbor_id FROM (
+             |    SELECT qa.query_id, ca.neighbor_id,
+             |      ROW_NUMBER() OVER (PARTITION BY qa.query_id
+             |        ORDER BY ${cosSql("qv", "cv")} DESC, ca.neighbor_id)
+             |        AS rank
+             |    FROM qa JOIN ca ON qa.cell_id = ca.cell_id
+             |      AND qa.rn <= $probes
+             |    JOIN embeddings qv ON qv.vec_id = qa.query_id
+             |    JOIN embeddings cv ON cv.vec_id = ca.neighbor_id
+             |    WHERE qa.query_id <> ca.neighbor_id
+             |      AND qv.label IS DISTINCT FROM cv.label) t
+             |  WHERE rank <= 5)""".stripMargin
+        def recallAt(ivf: String, probes: Int) =
+          s"""SELECT $probes AS probes, f.query_id,
+             |  CAST(COUNT(i.query_id) AS BIGINT) AS n_overlap,
+             |  ROUND(CAST(COUNT(i.query_id) AS DOUBLE)
+             |    / CAST(COUNT(*) AS DOUBLE), 9) AS recall_at_5
+             |FROM f LEFT JOIN $ivf i ON f.query_id = i.query_id
+             |  AND f.neighbor_id = i.neighbor_id
+             |GROUP BY f.query_id""".stripMargin
+        s"""WITH f AS (
+           |  SELECT query_id, neighbor_id FROM (
+           |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+           |        ORDER BY ${cosSql("q", "c")} DESC, c.vec_id) AS rank
+           |    FROM (SELECT vec_id, embedding, label FROM embeddings
+           |          WHERE vec_id < 20) q,
+           |      embeddings c
+           |    WHERE q.vec_id <> c.vec_id
+           |      AND q.label IS DISTINCT FROM c.label) t
+           |  WHERE rank <= 5),
+           |cent AS (SELECT vec_id AS cell_id, embedding FROM embeddings
+           |         ORDER BY vec_id LIMIT 8),
+           |ca AS (
+           |  SELECT vec_id AS neighbor_id, cell_id FROM (
+           |    SELECT e.vec_id, c.cell_id,
+           |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+           |        ORDER BY ${cosSql("e", "c")} DESC, c.cell_id) AS rn
+           |    FROM embeddings e, cent c) t
+           |  WHERE rn = 1),
+           |qa AS (
+           |  SELECT vec_id AS query_id, cell_id, rn FROM (
+           |    SELECT e.vec_id, c.cell_id,
+           |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+           |        ORDER BY ${cosSql("e", "c")} DESC, c.cell_id) AS rn
+           |    FROM (SELECT * FROM embeddings WHERE vec_id < 20) e, cent c)
+           |      t
+           |  WHERE rn <= 2),
+           |${ivfAt("ivf1", 1)},
+           |${ivfAt("ivf2", 2)}
+           |${recallAt("ivf1", 1)}
+           |UNION ALL
+           |${recallAt("ivf2", 2)}""".stripMargin
+      }),
+
     // IVF index-health drift metric over the full append lifecycle
     // (Similarity.ivfDriftMetric): build on the first half, append the
     // second, then measure per-cell member count + mean intra-cell
@@ -470,13 +566,14 @@ object SimilarityQueries {
         val emb = Catalog.table(s, dir, "embeddings")
         val tmp = java.nio.file.Files.createTempDirectory("graft-ivf-drift")
         val root = tmp.toString + "/index"
-        Similarity.writeIvfIndex(emb.filter(col("vec_id") < 250),
-          nCells = 8, root, kmeansCells = false)
-        Similarity.appendIvfIndex(emb.filter(col("vec_id") >= 250), root)
-        val out = Similarity.ivfDriftMetric(s, root)
-          .localCheckpoint(true) // materialize, then reclaim the temp index
-        org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
-        out
+        try {
+          Similarity.writeIvfIndex(emb.filter(col("vec_id") < 250),
+            nCells = 8, root, kmeansCells = false)
+          Similarity.appendIvfIndex(emb.filter(col("vec_id") >= 250), root,
+            batchId = "tail")
+          Similarity.ivfDriftMetric(s, root)
+            .localCheckpoint(true) // materialize, then reclaim the temp index
+        } finally org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
       },
       Some(s"""WITH cent AS (
         |  SELECT vec_id AS cell_id, embedding FROM embeddings

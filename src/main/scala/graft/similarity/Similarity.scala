@@ -290,30 +290,78 @@ object Similarity {
     * and LSH ([[graft.dedup.Dedup.incrementalLshCandidates]]) already
     * have: new vectors are assigned to their nearest EXISTING centroid
     * (one pass over the BATCH against the broadcast centroid table — the
-    * stored corpus is never rescanned) and appended as new
-    * cell-partitioned parquet files. Because assignment is a pure
+    * stored corpus is never rescanned) and committed as a new
+    * cell-partitioned batch directory. Because assignment is a pure
     * function of (vector, centroids), append-then-search is IDENTICAL to
     * rebuilding the whole index under the same centroids — the equality
     * `ann_ivf_append` hash-proves. Centroids DO drift as the data
     * distribution shifts; the compaction job is a periodic
-    * [[writeIvfIndex]] rebuild (re-centroid), exactly like LSH band
-    * re-indexing.
+    * [[recentroidIvfIndex]] rebuild, exactly like LSH band re-indexing.
     *
-    * NOT idempotent: `mode("append")` adds files unconditionally, so
-    * re-running the same batch (a retry after a driver failure) writes
-    * its vectors twice and search returns duplicated neighbors. Callers
-    * that need retry-safety must fence batches themselves (write each
-    * batch under a staging path and move it in, or carry a batch_id
-    * column and dedup on (vec_id) at the periodic rebuild — the rebuild
-    * is the natural compaction point).
+    * RETRY-IDEMPOTENT via write-fencing (the staging-then-move option the
+    * r9 scaladoc only described): the batch is written under
+    * `root/batches/.staging-<batchId>` (overwrite mode — a crashed
+    * attempt's partial staging is replaced, never read) and committed by
+    * ONE atomic directory rename to `root/batches/<batchId>`. A retry of
+    * an already-committed batchId is a no-op, so driver retries can
+    * never double-write a batch — the correctness hole a bare
+    * `mode("append")` into the vectors directory had. `batchId` is the
+    * fence key: callers must derive it from the batch identity (ingest
+    * run id, source offset range), not a random value. On stores without
+    * atomic rename (S3 without a committer) front this with a rename-
+    * capable layer or a manifest commit.
     */
-  def appendIvfIndex(newVectors: DataFrame, root: String): Unit = {
-    ArrayOps.register(newVectors.sparkSession)
-    val cents = newVectors.sparkSession.read.parquet(s"$root/centroids")
+  def appendIvfIndex(newVectors: DataFrame, root: String,
+      batchId: String): Unit = {
+    require(batchId.nonEmpty &&
+      batchId.forall(c => c.isLetterOrDigit || c == '-' || c == '_'),
+      s"appendIvfIndex: batchId must be a [A-Za-z0-9_-] token, got '$batchId'")
+    val spark = newVectors.sparkSession
+    ArrayOps.register(spark)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val dest = new org.apache.hadoop.fs.Path(s"$root/batches/$batchId")
+    val fs = dest.getFileSystem(hconf)
+    if (fs.exists(dest)) {
+      System.err.println(s"[similarity] appendIvfIndex: batch '$batchId' " +
+        "already committed — retry is a no-op")
+      return
+    }
+    val staging = new org.apache.hadoop.fs.Path(s"$root/batches/.staging-$batchId")
+    val cents = spark.read.parquet(s"$root/centroids")
     assign(side(newVectors, "vec_id", "embedding", "nv"),
       "vec_id", "embedding", "nv", cents, probes = 1)
-      .write.mode("append").partitionBy("cell_id")
-      .parquet(s"$root/vectors")
+      .write.mode("overwrite").partitionBy("cell_id")
+      .parquet(staging.toString)
+    if (!fs.rename(staging, dest)) {
+      // a concurrent attempt won the commit race — its batch IS this batch
+      fs.delete(staging, true)
+      require(fs.exists(dest),
+        s"appendIvfIndex: commit rename failed for batch '$batchId'")
+    }
+  }
+
+  /** All live vectors of a stored index: the base build plus every
+    * COMMITTED append batch (in-flight `.staging-*` directories are
+    * invisible by construction). Each directory is cell_id-partitioned,
+    * so a cell filter prunes every branch of the union — the scan cost
+    * stays |probed cells| per generation, and generations are bounded by
+    * the re-centroid cadence.
+    */
+  private def indexVectors(spark: org.apache.spark.sql.SparkSession,
+      root: String): DataFrame = {
+    val base = spark.read.parquet(s"$root/vectors")
+    val batchesDir = new org.apache.hadoop.fs.Path(s"$root/batches")
+    val fs = batchesDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val batchDirs =
+      if (!fs.exists(batchesDir)) Seq.empty
+      else fs.listStatus(batchesDir).toSeq
+        .filter(s => s.isDirectory && !s.getPath.getName.startsWith("."))
+        // an empty batch (no partition dirs, only _SUCCESS) has no schema
+        // to read — skip it; semantically it contributes nothing anyway
+        .filter(s => fs.listStatus(s.getPath)
+          .exists(c => !c.getPath.getName.startsWith("_")))
+        .map(_.getPath.toString).sorted
+    batchDirs.foldLeft(base)((df, p) => df.unionByName(spark.read.parquet(p)))
   }
 
   /** Index-health metric for the append lifecycle: per cell, the member
@@ -330,7 +378,7 @@ object Similarity {
       root: String): DataFrame = {
     ArrayOps.register(spark)
     val cents = spark.read.parquet(s"$root/centroids")
-    spark.read.parquet(s"$root/vectors")
+    indexVectors(spark, root)
       .join(broadcast(cents), Seq("cell_id"))
       .select(col("cell_id"),
         round(pairCos("embedding", "centroid", "nv", "ncent"), 9)
@@ -358,9 +406,48 @@ object Similarity {
       kmeansCells: Boolean = true): Unit = {
     require(srcRoot != destRoot,
       "recentroidIvfIndex: destRoot must differ from srcRoot (no in-place rewrite)")
-    val corpus = spark.read.parquet(s"$srcRoot/vectors")
+    // the CURRENT corpus = base build + every committed append batch
+    val corpus = indexVectors(spark, srcRoot)
       .select(col("vec_id"), col("embedding"))
     writeIvfIndex(corpus, nCells, destRoot, kmeansCells)
+  }
+
+  /** Drift-triggered maintenance policy — the connective tissue between
+    * [[ivfDriftMetric]] (the readout) and [[recentroidIvfIndex]] (the
+    * action) that r9 shipped as disconnected parts: compact when the
+    * corpus-weighted mean intra-cell cohesion falls below `minMeanCos`
+    * OR cell-population skew (max members / mean members) exceeds
+    * `maxSkew`. Cohesion decay means appended batches drifted from the
+    * frozen quantizer (recall at fixed probes falls); skew means one
+    * cell absorbed the drift (its scan stops pruning). Both reduce to
+    * ONE control-sized aggregate over the drift metric — the decision
+    * costs one index scan, the same pass a monitoring job already runs.
+    * Returns the live root: `destRoot` if compaction ran (callers flip
+    * their catalog pointer and delete the old generation), else
+    * `srcRoot` untouched.
+    */
+  def maintainIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      srcRoot: String, destRoot: String, nCells: Int,
+      minMeanCos: Double = 0.0, maxSkew: Double = 8.0,
+      kmeansCells: Boolean = true): String = {
+    val m = ivfDriftMetric(spark, srcRoot).agg(
+      sum(col("mean_cos") * col("n_members")).as("w"),
+      sum(col("n_members")).as("n"),
+      max(col("n_members")).as("mx"),
+      count(lit(1)).as("cells")).head() // one control-sized row
+    val n = if (m.isNullAt(1)) 0L else m.getAs[Long]("n")
+    if (n == 0L) return srcRoot // empty index: nothing to compact
+    val meanCos = m.getAs[Double]("w") / n.toDouble
+    val skew = m.getAs[Long]("mx").toDouble /
+      (n.toDouble / m.getAs[Long]("cells").toDouble)
+    val due = meanCos < minMeanCos || skew > maxSkew
+    System.err.println(f"[similarity] maintainIvfIndex: mean_cos=$meanCos%.4f" +
+      f" (floor $minMeanCos%.2f), skew=$skew%.2f (cap $maxSkew%.2f) -> " +
+      (if (due) "re-centroid" else "healthy"))
+    if (due) {
+      recentroidIvfIndex(spark, srcRoot, destRoot, nCells, kmeansCells)
+      destRoot
+    } else srcRoot
   }
 
   /** Top-k search against a stored IVF index. The query batch's probed
@@ -384,7 +471,7 @@ object Similarity {
       .localCheckpoint(true)
     val probed = queryCells.select("cell_id").distinct()
       .collect().map(_.getLong(0)).toSeq
-    val index = spark.read.parquet(s"$root/vectors")
+    val index = indexVectors(spark, root)
       .filter(col("cell_id").isin(probed: _*))
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"),
         col("nv").as("nc"), col("cell_id"))

@@ -98,7 +98,7 @@ class SimilaritySpec extends AnyFunSuite {
     val rootA = java.nio.file.Files.createTempDirectory("ivf-app").toString + "/i"
     Similarity.writeIvfIndex(emb.filter(col("vec_id") < 250), nCells = 4,
       rootA, kmeansCells = false)
-    Similarity.appendIvfIndex(emb.filter(col("vec_id") >= 250), rootA)
+    Similarity.appendIvfIndex(emb.filter(col("vec_id") >= 250), rootA, "b1")
     val rootB = java.nio.file.Files.createTempDirectory("ivf-full").toString + "/i"
     Similarity.writeIvfIndex(emb, nCells = 4, rootB, kmeansCells = false)
     assert(keyed(Similarity.searchIvfIndex(spark, rootA, q, k = 5))
@@ -108,6 +108,36 @@ class SimilaritySpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters: [cell_id"),
       s"appended index must keep the cell_id partition filter:\n$plan")
+  }
+
+  test("appendIvfIndex: retried batch is fenced — double append ≡ single append") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 10)
+    def keyed(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Double]("cos"))).toSeq.sorted
+    val root = java.nio.file.Files.createTempDirectory("ivf-fence").toString + "/i"
+    Similarity.writeIvfIndex(emb.filter(col("vec_id") < 250), nCells = 4,
+      root, kmeansCells = false)
+    val batch = emb.filter(col("vec_id") >= 250)
+    Similarity.appendIvfIndex(batch, root, "retry-me")
+    val once = keyed(Similarity.searchIvfIndex(spark, root, q, k = 5))
+    // the retry: same batchId → committed batch wins, nothing double-writes
+    Similarity.appendIvfIndex(batch, root, "retry-me")
+    val twice = keyed(Similarity.searchIvfIndex(spark, root, q, k = 5))
+    assert(twice == once, "a retried append must not duplicate neighbors")
+    // row-level proof, not just top-k: the stored corpus has each vec once
+    val n = Similarity.ivfDriftMetric(spark, root).collect()
+      .map(_.getAs[Long]("n_members")).sum
+    assert(n == emb.count(), s"index holds $n members, expected ${emb.count()}")
+    // a crashed attempt's staging leftovers are invisible to readers
+    val staging = new java.io.File(root + "/batches/.staging-ghost")
+    staging.mkdirs()
+    assert(keyed(Similarity.searchIvfIndex(spark, root, q, k = 5)) == once)
+    // malformed batch ids are refused before any write
+    intercept[IllegalArgumentException] {
+      Similarity.appendIvfIndex(batch, root, "../escape")
+    }
   }
 
   test("IVF maintenance: drift metric + re-centroid over a 5-batch append cycle") {
@@ -126,7 +156,7 @@ class SimilaritySpec extends AnyFunSuite {
     for (b <- 1 to 4)
       Similarity.appendIvfIndex(
         emb.filter(col("vec_id") >= b * 100L && col("vec_id") < (b + 1) * 100L),
-        root)
+        root, s"batch-$b")
     // drift metric: one row per non-empty cell, counts cover the corpus,
     // cohesion is a valid mean cosine
     val drift = Similarity.ivfDriftMetric(spark, root).collect()
@@ -156,6 +186,53 @@ class SimilaritySpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Similarity.recentroidIvfIndex(spark, root, root, nCells = 4)
     }
+  }
+
+  test("maintainIvfIndex: drift triggers re-centroid, healthy index untouched") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    def cluster(dir: Int, idBase: Long, n: Int) = (0 until n).map { i =>
+      val v = Array.fill(8)(0.03f * rnd.nextGaussian().toFloat)
+      v(dir) += 1.0f
+      (idBase + i, v)
+    }
+    // base corpus: one tight cluster; 5 appended batches: an ORTHOGONAL
+    // cluster the frozen quantizer never saw — cohesion collapses
+    val base = cluster(0, 0L, 200).toDF("vec_id", "embedding")
+    val batches = (0 until 5).map(b => cluster(1, 1000L + b * 40L, 40))
+    val root = java.nio.file.Files.createTempDirectory("ivf-pol").toString + "/i"
+    Similarity.writeIvfIndex(base, nCells = 4, root)
+    for ((batch, b) <- batches.zipWithIndex)
+      Similarity.appendIvfIndex(batch.toDF("vec_id", "embedding"),
+        root, s"drift-$b")
+    // policy: cohesion floor 0.8 — the drifted half sits near cos 0 to
+    // every base centroid, so the weighted mean is far below the floor
+    val dest = java.nio.file.Files.createTempDirectory("ivf-pol2").toString + "/i"
+    val live = Similarity.maintainIvfIndex(spark, root, dest, nCells = 4,
+      minMeanCos = 0.8)
+    assert(live == dest, "drifted index must trigger the re-centroid")
+    // post-compaction: the corpus is intact, cohesion is back above the
+    // floor, and a second policy pass declares the new root healthy
+    val drift2 = Similarity.ivfDriftMetric(spark, dest).collect()
+    val n = drift2.map(_.getAs[Long]("n_members")).sum
+    assert(n == 400L, s"compacted index lost rows: $n")
+    val cohesion = drift2.map(r =>
+      r.getAs[Double]("mean_cos") * r.getAs[Long]("n_members")).sum / n
+    assert(cohesion >= 0.8, s"post-compaction cohesion still low: $cohesion")
+    val dest2 = java.nio.file.Files.createTempDirectory("ivf-pol3").toString + "/i"
+    assert(Similarity.maintainIvfIndex(spark, dest, dest2, nCells = 4,
+      minMeanCos = 0.8) == dest, "healthy index must not re-compact")
+    // recall audit stays green through the triggered maintenance
+    val all = base.unionByName(
+      batches.flatten.toDF("vec_id", "embedding"))
+    val q = all.filter(col("vec_id") < 5 || col("vec_id") >= 1195)
+    val bf = Similarity.bruteForceTopK(q, all, k = 5).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val got = Similarity.searchIvfIndex(spark, dest, q, k = 5).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = (bf & got).size.toDouble / bf.size
+    info(f"post-trigger recall@5: $recall%.3f")
+    assert(recall >= 0.8, s"post-trigger recall collapsed: $recall")
   }
 
   test("hardNegatives: nearest different-label vectors only") {
@@ -192,7 +269,13 @@ class SimilaritySpec extends AnyFunSuite {
       .toSet
     val recall = (bf & ivfSet).size.toDouble / bf.size
     info(f"hard-negative IVF recall@5 (nCells=4, probes=2): $recall%.3f")
-    assert(recall >= 0.2, s"hard-negative IVF recall unreasonably low: $recall")
+    // the measured envelope on this deterministic fixture is 0.66@5
+    // (seeded k-means, fixed corpus) — a floor of 0.6 actually trips on
+    // a cell-join/probe/label-predicate regression, where the old 0.2
+    // let recall collapse by 2/3 unnoticed (r9 VERDICT). The oracled
+    // hard_negative_recall_audit query pins the deterministic-centroid
+    // path's exact per-query values on top of this.
+    assert(recall >= 0.6, s"hard-negative IVF recall regressed: $recall")
     // the scale property: candidates come from the CELL equi-join, never
     // an all-pairs product (the brute path's CartesianProduct is the
     // thing this variant exists to avoid)
