@@ -25,6 +25,7 @@ class MultimodalSpec extends AnyFunSuite {
 
   test("batched extraction plumbing: schema, null payloads, counts") {
     val assets = Seq(
+      // non-PNG image bytes: the real decode declines, the stub covers it
       Asset(1L, "image", "abc".getBytes, Some(64), Some(64), None, Some("fake")),
       Asset(2L, "video", "defg".getBytes, None, None, Some(5000L), Some("fake")),
       Asset(3L, "audio", null, None, None, Some(1000L), None)
@@ -33,14 +34,41 @@ class MultimodalSpec extends AnyFunSuite {
       .map(a => a.asset_id -> a).toMap
     assert(out.size == 3)
     assert(out(1L).n_bytes == 3 && out(1L).feature.length == 8)
+    assert(out(1L).decoded_width.isEmpty) // undecodable → stub, no dims
     assert(out(2L).n_frames_sampled == 5)
     assert(out(3L).n_bytes == 0) // null payload handled
   }
 
-  test("synthetic fixture assets flow through the full path") {
+  test("real image codec: PNG encode→decode roundtrip is exact") {
+    import Multimodal.ImageCodec
+    val png = ImageCodec.syntheticPng(42L)
+    assert(png.take(4).toSeq == Seq(0x89.toByte, 'P'.toByte, 'N'.toByte,
+      'G'.toByte), "payload must be a genuine PNG stream")
+    val d = ImageCodec.decode(png).get
+    assert(d.width == 8 && d.height == 8 && d.nPx == 64)
+    // the decoded checksum equals the generating formula exactly
+    val expected = (for { y <- 0 until 8; x <- 0 until 8 }
+      yield ((42L % 256) * 31 + x * 7 + y * 13) % 256).sum
+    assert(d.pxSum == expected)
+    // non-images decline instead of throwing
+    assert(ImageCodec.decode("not an image".getBytes).isEmpty)
+    assert(ImageCodec.decode(Array.emptyByteArray).isEmpty)
+  }
+
+  test("synthetic fixture assets flow through the full path, images real") {
     val ds = Multimodal.syntheticAssets(spark, "/root/testdata/sf0.001")
-    val out = Multimodal.extractFeatures(spark, ds)
-    assert(out.count() > 0)
-    assert(out.head().feature.length == 8)
+    val out = Multimodal.extractFeatures(spark, ds).collect()
+    assert(out.nonEmpty)
+    val images = out.filter(_.media_type == "image")
+    val rest = out.filter(_.media_type != "image")
+    // every image asset took the REAL decode path: dims from the decoder,
+    // feature = the 1-dim channel mean
+    assert(images.nonEmpty)
+    assert(images.forall(a => a.decoded_width.contains(8) &&
+      a.decoded_height.contains(8) && a.feature.length == 1 &&
+      a.n_frames_sampled == 1))
+    // audio/video stay on the stub: 8-dim fake features, no decoded dims
+    assert(rest.nonEmpty && rest.forall(a =>
+      a.feature.length == 8 && a.decoded_width.isEmpty))
   }
 }
