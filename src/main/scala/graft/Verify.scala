@@ -77,6 +77,31 @@ object Verify {
     // one bucketed+pinned silver fact for the whole dump (values identical;
     // see core.SilverStore)
     graft.core.SilverStore.enable()
+    // self-record rows: (name, ok, rows, cols, sec) — the DuckDB-less
+    // summary written at dump end (and incrementally), so even a round
+    // whose driver artifact truncates to `{}` leaves a machine-readable,
+    // HEAD-accurate record (r2/r6/r8/r9 all lost the official artifact)
+    val selfRows = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Boolean, Long, Int, Double)]
+    def writeSelfRecord(): Unit = {
+      val oracled = SparkEntry.oracleSql.keySet
+      val pass = selfRows.count(_._2)
+      val body = selfRows.sortBy(_._1).map { case (n, ok, rows, cols, sec) =>
+        s"${q(n)}:{" +
+          s""""ok":$ok,"rows":$rows,"cols":$cols,"oracled":${oracled(n)},""" +
+          s""""sec":${String.format(java.util.Locale.ROOT, "%.2f",
+            Double.box(sec))}}"""
+      }.mkString(",")
+      val json = s"""{"sf":${q(sfDir)},"declared":${selected.size},""" +
+        s""""oracled":${(selected.keySet & oracled).size},""" +
+        s""""completed":${selfRows.size},"pass":$pass,""" +
+        s""""fail":${selfRows.size - pass},"queries":{$body}}"""
+      Files.writeString(Paths.get(s"$outDir/CORRECTNESS_SELF.json"), json)
+      // only full official-shaped dumps update the in-repo copy — a
+      // dev-selector run must not overwrite the round record
+      if (args.length == 2)
+        Files.writeString(Paths.get("CORRECTNESS_SELF.json"), json)
+    }
     // heavy queries LAST: under a driver timeout the truncated record then
     // holds the MAXIMUM number of per-query results
     selected.toSeq.sortBy { case (name, _) =>
@@ -97,11 +122,24 @@ object Verify {
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
-        record(name, ok = true, (System.nanoTime() - t0) / 1e9, "")
+        val sec = (System.nanoTime() - t0) / 1e9
+        record(name, ok = true, sec, "")
+        // row/col counts from the JUST-WRITTEN parquet (footer reads —
+        // no recompute), so the self-record reflects what actually landed
+        val written = spark.read.parquet(s"$outDir/$name")
+        selfRows += ((name, true, written.count(), written.columns.length, sec))
       } catch { case e: Throwable =>
         // e.toString keeps the exception class (getMessage is null for NPEs)
         System.err.println(s"[verify] $name failed: $e")
-        record(name, ok = false, (System.nanoTime() - t0) / 1e9, e.toString)
+        val sec = (System.nanoTime() - t0) / 1e9
+        record(name, ok = false, sec, e.toString)
+        selfRows += ((name, false, -1L, -1, sec))
+      }
+      // rewrite after EVERY query (cheap — one small file): a kill mid-
+      // dump still leaves a valid self-record covering what completed
+      try writeSelfRecord()
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] self-record write failed: $e")
       }
     }
     spark.stop()

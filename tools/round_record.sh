@@ -16,4 +16,4 @@ python3 tools/check.py "$SF" "$OUT" --json "CORRECTNESS_LOCAL_r$N.json" \
   | tail -1
 SPARK_GRAFT_SF_DIR="$BSF" sbt -batch "runMain graft.Bench" 2>/dev/null \
   | grep '"metric"' | sed 's/^\[info\] //' > "BENCH_LOCAL_r$N.json" || true
-echo "record: CORRECTNESS_LOCAL_r$N.json + BENCH_LOCAL_r$N.json (commit them)"
+echo "record: CORRECTNESS_LOCAL_r$N.json + BENCH_LOCAL_r$N.json + CORRECTNESS_SELF.json (commit them)"
