@@ -34,4 +34,4 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // 240m default code cache fills after a warm-up pass + timed pass and
   // the JVM silently disables compilation for whatever runs last
   "-XX:ReservedCodeCacheSize=1g",
-)
+) ++ sys.env.get("SPARK_GRAFT_GC").toSeq.flatMap(_.split("\\s+").toSeq)

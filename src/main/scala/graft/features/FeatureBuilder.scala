@@ -1,7 +1,7 @@
 package graft.features
 
 import java.time.LocalDate
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Retail
 import graft.silver.TransactionsAdj
@@ -111,11 +111,25 @@ object FeatureBuilder {
         grain.keys.map(col(_).isNotNull).reduce(_ && _))
       .select(fact.columns.map(col).toSeq ++ pre: _*)
 
+    // `04a:556-558` (all features → DOUBLE) + `04a:595` (fillna 0.0),
+    // fused into each aggregation's RESULT expressions rather than a
+    // post-join cleanup projection. Values are identical (the same
+    // coalesce(cast(agg AS DOUBLE), 0.0) tree, evaluated per aggregate
+    // output row instead of per joined row) — but the plan shape matters:
+    // a ~430-column cleanup Project stacked on the entity-count join chain
+    // put >64 KB of generated code into ONE whole-stage-codegen method,
+    // which janino REJECTS — and because expression ids are fresh per
+    // execution, the doomed compile re-ran on every execution (~1s of
+    // driver time) before falling back to interpreted evaluation of the
+    // widest projection in the plan. Fused into the aggregates, each
+    // HashAggregate emits clean doubles from its own (method-splittable)
+    // span and the join chain carries only pass-through columns.
+    def cleanDouble(c: Column): Column = coalesce(c.cast("double"), lit(0.0))
     val agged =
       if (approxDistinct) {
         // HLL sketches are ordinary algebraic aggregates — one pass, no
         // Expand, nothing to split.
-        val aggCols = aggs.map(a => a.col.as(a.name))
+        val aggCols = aggs.map(a => cleanDouble(a.col).as(a.name))
         prefiltered.groupBy(keyCols: _*).agg(aggCols.head, aggCols.tail: _*)
       } else {
         val plain = aggs.filter(_.kind == AggKind.Plain)
@@ -123,7 +137,7 @@ object FeatureBuilder {
           case d: AggKind.DistinctOf => Some((a, d))
           case AggKind.Plain => None
         })
-        val plainCols = plain.map(a => a.col.as(a.name))
+        val plainCols = plain.map(a => cleanDouble(a.col).as(a.name))
         val plainDf = prefiltered.groupBy(keyCols: _*)
           .agg(plainCols.head, plainCols.tail: _*)
 
@@ -141,7 +155,7 @@ object FeatureBuilder {
           // stage 2: per keys — count the entities seen under each
           // condition (sum of 0/1 indicators ≡ exact distinct count).
           val counts = forE.map { case (a, _) =>
-            sum(col(s"seen__${a.name}")).as(a.name)
+            cleanDouble(sum(col(s"seen__${a.name}"))).as(a.name)
           }
           pre.groupBy(keyCols: _*).agg(counts.head, counts.tail: _*)
         }
@@ -150,11 +164,9 @@ object FeatureBuilder {
         entityCounts.foldLeft(plainDf)((acc, df) => acc.join(df, grain.keys, "inner"))
       }
 
-    // `04a:556-558` (all features → DOUBLE) + `04a:595` (fillna 0.0) in one
-    // projection; also restores the canonical metric order after the joins.
-    val cleaned = agged.select(
-      keyCols ++
-        aggs.map(a => coalesce(col(a.name).cast("double"), lit(0.0)).as(a.name)): _*)
+    // canonical metric order after the joins (pass-through projection; the
+    // DOUBLE cast + 0.0 fill happened inside each aggregate above)
+    val cleaned = agged.select(keyCols ++ aggs.map(a => col(a.name)): _*)
 
     cleaned.select(
       (keyCols ++ aggs.map(a => col(a.name))

@@ -147,6 +147,22 @@ object TrainScoreQueries {
         // one bounds job per distinct fact, shared across grains
         val hb = FeatureBuilder.bounds(txAsOf)
         val cb = FeatureBuilder.bounds(txcAsOf)
+        // Spine pre-filter (guide §3.2, decide-with-small-rows): the
+        // assembly left-joins the commodity grains on the spine's
+        // commodity set, which is EXACTLY the ≤10-row to-score control
+        // table — so feature rows for any other commodity are computed
+        // and then dropped by the join. Filtering the fact to the scored
+        // commodities BEFORE the c/hc builds removes ~60% of aggregated
+        // rows and shrinks the hc grain's group space from |households| ×
+        // |commodities| to |households| × 10, without changing any kept
+        // group: the grains partition by commodity, so a group's input
+        // rows all carry its own commodity value, and the window bounds
+        // stay pinned by the UNFILTERED `cb` passed as knownBounds.
+        // The control table is driver-pinned (≤10 rows, the LabelBuilder
+        // convention), so `isin` pushes the predicate into the scan.
+        val ctsNames = Commodities.commoditiesToScore(s, dir)
+          .select("commodity_desc").collect().map(_.getString(0)).toSeq
+        val txcScored = txcAsOf.filter(col("commodity_desc").isin(ctsNames: _*))
         // Materialized assembly (reference architecture: the training set
         // joins stored feature tables, not live feature queries). The
         // commodity grain is catalog-bounded (one row per commodity), so
@@ -158,11 +174,11 @@ object TrainScoreQueries {
               knownBounds = Some(hb)),
             Seq("household_key"), "household__"),
           TrainingSetBuilder.Lookup(
-            FeatureBuilder.build(txcAsOf, FeatureBuilder.commodity,
+            FeatureBuilder.build(txcScored, FeatureBuilder.commodity,
               knownBounds = Some(cb)),
             Seq("commodity_desc"), "commodity__", broadcastable = true),
           TrainingSetBuilder.Lookup(
-            FeatureBuilder.build(txcAsOf, FeatureBuilder.householdCommodity,
+            FeatureBuilder.build(txcScored, FeatureBuilder.householdCommodity,
               knownBounds = Some(cb)),
             Seq("household_key", "commodity_desc"), "household_commodity__")),
           joinDay = false)
