@@ -137,7 +137,18 @@ object TrainScoreQueries {
         // 100 TB deployment writes this projection durably next to the
         // silver table). Deterministic content, so checkpoint reuse is
         // purely a cost optimization.
-        val txc = FeatureBuilder.txWithCommodity(s, dir).localCheckpoint(true)
+        // Checkpointed with AQE off so the LogicalRDD captures the silver's
+        // HashPartitioning(household_key) (see buildMaterialized): every
+        // downstream grain build and the assembly then reuse that
+        // clustering instead of re-exchanging — the whole query plans ZERO
+        // exchanges of fact-scale or feature-width rows.
+        val txc = {
+          val aqeKey = "spark.sql.adaptive.enabled"
+          val prev = s.conf.get(aqeKey)
+          s.conf.set(aqeKey, "false")
+          try FeatureBuilder.txWithCommodity(s, dir).localCheckpoint(true)
+          finally s.conf.set(aqeKey, prev)
+        }
         val (_, cur) = graft.core.Retail.dayBounds(s, dir)
         val fed = cur.minusDays(LabelBuilder.horizonDays)
         val fedD = Date.valueOf(fed)
