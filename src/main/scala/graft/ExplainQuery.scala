@@ -18,6 +18,10 @@ object ExplainQuery {
       qe.toRdd.count()
       println(qe.executedPlan.treeString(verbose = false)
         .linesIterator.take(250).mkString("\n"))
+      println(s"===== $name (formatted) =====")
+      println(qe.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+        .linesIterator.take(400).mkString("\n"))
     }
     spark.stop()
   }

@@ -131,7 +131,10 @@ object FeatureBuilder {
         // Expand, nothing to split.
         val aggCols = aggs.map(a => cleanDouble(a.col).as(a.name))
         prefiltered.groupBy(keyCols: _*).agg(aggCols.head, aggCols.tail: _*)
-      } else {
+      } else if (!fact.sparkSession.conf
+          .getOption("spark.graft.features.dayFusion").forall(_.toBoolean)) {
+        // flag-off path (the pre-r10 single-pass shape, kept for A/B and
+        // for fixtures where (keys, day) does not compress below rows)
         val plain = aggs.filter(_.kind == AggKind.Plain)
         val dist = aggs.flatMap(a => a.kind match {
           case d: AggKind.DistinctOf => Some((a, d))
@@ -140,8 +143,58 @@ object FeatureBuilder {
         val plainCols = plain.map(a => cleanDouble(a.col).as(a.name))
         val plainDf = prefiltered.groupBy(keyCols: _*)
           .agg(plainCols.head, plainCols.tail: _*)
-
         val entities = dist.map(_._2.entity).distinct
+        val entityCounts = entities.map { e =>
+          val forE = dist.filter(_._2.entity == e)
+          val indicators = forE.map { case (a, d) =>
+            max(when(d.cond && col(e).isNotNull, lit(1))).as(s"seen__${a.name}")
+          }
+          val pre = prefiltered.groupBy((keyCols :+ col(e)): _*)
+            .agg(indicators.head, indicators.tail: _*)
+          val counts = forE.map { case (a, _) =>
+            cleanDouble(sum(col(s"seen__${a.name}"))).as(a.name)
+          }
+          pre.groupBy(keyCols: _*).agg(counts.head, counts.tail: _*)
+        }
+        entityCounts.foldLeft(plainDf)((acc, df) => acc.join(df, grain.keys, "inner"))
+      } else {
+        val plain = aggs.filter(_.kind == AggKind.Plain)
+        val dist = aggs.flatMap(a => a.kind match {
+          case d: AggKind.DistinctOf => Some((a, d))
+          case AggKind.Plain => None
+        })
+        // Day fusion (MetricDefs.dayPartials scaladoc): every plain
+        // aggregate AND the day-entity distincts reduce exactly over a
+        // (keys, day) pre-aggregate, so the widest pass — ~88 conditional
+        // aggregates — runs over keys × horizon-days rows instead of fact
+        // rows, and the fact itself is scanned once less (the former
+        // standalone plain pass folds into the day pass). Stage 1 is ~21
+        // narrow, window-independent, map-combinable partials.
+        val partials = MetricDefs.dayPartials(referenceExact)
+        val dayKeyed = prefiltered
+          .groupBy((keyCols :+ col("day")): _*)
+          .agg(partials.head, partials.tail: _*)
+        val dayFlags = WindowSpec.windows(cur).map(w =>
+          col("day").between(
+            lit(java.sql.Date.valueOf(w.start)), lit(java.sql.Date.valueOf(w.end)))
+            .as(MetricDefs.winFlagCol(w)))
+        val dayFrame = dayKeyed.select(
+          dayKeyed.columns.map(col).toSeq ++ dayFlags: _*)
+        val fused = wins.flatMap(w =>
+          MetricDefs.fusedDayAggs(w, referenceExact))
+        // construction-time guard: the fused set must cover exactly the
+        // plain aggregates plus the day-entity distincts of aggsFor —
+        // a metric added to one renderer but not the other fails fast
+        // here, not as a silent column drift
+        require(fused.map(_.name).toSet ==
+          (plain.map(_.name) ++
+            dist.filter(_._2.entity == "day").map(_._1.name)).toSet,
+          "FeatureBuilder: fusedDayAggs out of sync with aggsFor")
+        val fusedCols = fused.map(a => cleanDouble(a.col).as(a.name))
+        val plainDf = dayFrame.groupBy(keyCols: _*)
+          .agg(fusedCols.head, fusedCols.tail: _*)
+
+        val entities = dist.map(_._2.entity).distinct.filter(_ != "day")
         val entityCounts = entities.map { e =>
           val forE = dist.filter(_._2.entity == e)
           // stage 1: per (keys, entity) — has any row satisfied each

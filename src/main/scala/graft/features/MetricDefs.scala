@@ -196,6 +196,101 @@ object MetricDefs {
     base ++ money ++ condDistinct ++ condCount ++ daysSince
   }
 
+  /** Two-stage "day fusion" of every aggregate whose value is a pure
+    * function of per-day partials (guide §2.3 "aggregate before you
+    * shuffle", applied to per-row CPU: the wide conditional aggregates
+    * were the measured cost of a grain build — 18-48 s of task CPU at
+    * sf0.1 — and most of them reduce EXACTLY over a (grain keys, day)
+    * pre-aggregate whose cardinality is bounded by keys × horizon days,
+    * not by fact rows).
+    *
+    * Stage 1 ([[dayPartials]]) groups by (keys, day) and computes ~21
+    * WINDOW-INDEPENDENT partials: row/units/product counts, exact
+    * decimal money sums, per-flag conditional row counts, and per-flag
+    * has-positive / has-non-positive indicators. Stage 2
+    * ([[fusedDayAggs]]) reduces those partials per key with the window
+    * conditions folded in — value-identical to the single-pass forms:
+    *
+    *  - `COUNT(DISTINCT CASE WHEN inWin THEN day END)` ≡ `COUNT(CASE
+    *    WHEN inWin THEN 1 END)` over one-row-per-day partials;
+    *  - `SUM/COUNT over rows` ≡ `SUM over per-day SUM/COUNT partials`
+    *    (decimal sums stay exact — addition is associative on the exact
+    *    decimal lattice; count/int sums are exact integers);
+    *  - the recency `MIN(CASE WHEN day <= end THEN (CASE WHEN pos THEN
+    *    dd ELSE floor END) END)`: within one day dd and floor are
+    *    constants, so the per-day minimum is `dd` if only positive rows,
+    *    `floor` if only non-positive (incl. null-flag) rows, and
+    *    `LEAST(dd, floor)` when both kinds occur — reconstructed from
+    *    the two indicators. (`pos` null ⇒ the original CASE falls to its
+    *    ELSE, i.e. null flags count as non-positive — preserved.)
+    *
+    * Only the basket/product exact-distinct families cannot reduce by
+    * day (an entity may span days) — they keep their per-entity split
+    * passes. The oracle SQL is untouched: names and SQL render from the
+    * SAME [[aggsFor]] list, and [[graft.features.FeatureBuilder.build]]
+    * cross-checks name sets at construction time.
+    */
+  def dayPartials(referenceExact: Boolean): Seq[Column] = {
+    val base = Seq(
+      count(lit(1)).as("__dp_lines"),
+      sum(col("units")).as("__dp_units")) ++
+      (if (referenceExact) Seq(count(col("product_id")).as("__dp_pid")) else Nil)
+    val money = moneyMetrics.map(m => sum(col(decCol(m))).as(s"__dp_dec_$m"))
+    val flags = flagMetrics.flatMap { m =>
+      Seq(
+        count(when(col(posFlagCol(m)), lit(1))).as(s"__dp_licnt_$m"),
+        max(when(col(posFlagCol(m)), lit(1)).otherwise(lit(0)))
+          .as(s"__dp_haspos_$m"),
+        max(when(col(posFlagCol(m)), lit(0)).otherwise(lit(1)))
+          .as(s"__dp_hasnonpos_$m"))
+    }
+    base ++ money ++ flags
+  }
+
+  /** Stage-2 columns over the [[dayPartials]] frame for window `w`: one
+    * entry per aggregate of [[aggsFor]] that day-fuses (everything except
+    * the basket/product distincts). Names match [[aggsFor]] exactly.
+    */
+  def fusedDayAggs(w: WindowDef, referenceExact: Boolean): Seq[AggDef] = {
+    val s = w.name
+    val inWin = col(winFlagCol(w))
+    val productsAgg =
+      if (referenceExact)
+        Some(AggDef(s"products_$s", sum(when(inWin, col("__dp_pid"))), ""))
+      else None
+    val base = Seq(
+      AggDef(s"days_$s", count(when(inWin, lit(1))), "")) ++
+      productsAgg ++ Seq(
+      AggDef(s"line_items_$s", sum(when(inWin, col("__dp_lines"))), ""),
+      AggDef(s"units_$s", sum(when(inWin, col("__dp_units"))), ""))
+    val money = moneyMetrics.map { m =>
+      AggDef(s"${m}_$s",
+        sum(when(inWin, col(s"__dp_dec_$m"))).cast("double"), "")
+    }
+    val condDistinctDay = flagMetrics.map { m =>
+      AggDef(s"days_with_${m}_$s",
+        count(when(inWin && col(s"__dp_haspos_$m") === 1, lit(1))), "")
+    }
+    val condCount = flagMetrics.map { m =>
+      AggDef(s"line_items_with_${m}_$s",
+        sum(when(inWin, col(s"__dp_licnt_$m"))), "")
+    }
+    val inScan = col("day") <= dlit(w.end)
+    val dd = datediff(dlit(w.end), col("day"))
+    val sinceFloor = datediff(dlit(w.end), dlit(w.start))
+    val daysSince =
+      AggDef(s"days_since_$s", min(when(inScan, dd)), "") +:
+        flagMetrics.map { m =>
+          AggDef(s"days_since_${m}_$s",
+            min(when(inScan,
+              when(col(s"__dp_haspos_$m") === 1,
+                when(col(s"__dp_hasnonpos_$m") === 1, least(dd, sinceFloor))
+                  .otherwise(dd))
+                .otherwise(sinceFloor))), "")
+        }
+    base ++ money ++ condDistinctDay ++ condCount ++ daysSince
+  }
+
   /** Null-safe ratio shared by both renderers. The reference's plain
     * divisions null out on 0 denominators and are fillna'd to 0.0
     * downstream (`04a:595`); folding the guard in here gives the same

@@ -28,8 +28,16 @@ object KeySkew {
       hotFactor: Double = 10.0): DataFrame = {
     require(keyCols.nonEmpty, "profile: at least one key column")
     keyCols.map { k =>
+      // Materialize the frequency table ONCE per key column: it feeds
+      // `stats`, the hot-key re-aggregate, AND the broadcast copy of
+      // `stats` inside `hot` — three references whose lineages Catalyst
+      // does not unify, so without the checkpoint the fact-scale groupBy
+      // executed 3× per key column (9 fact aggregations for the default
+      // 3-key profile). The frequency table is |distinct keys| × 16 B —
+      // executor-resident blocks at any scale.
       val freq = df.groupBy(col(k).as("__k"))
         .agg(count(lit(1)).as("f"))
+        .localCheckpoint(true)
       val stats = freq.agg(
         sum(col("f")).cast("long").as("rows"),
         count(lit(1)).as("n_keys"),

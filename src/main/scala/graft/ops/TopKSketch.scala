@@ -43,11 +43,23 @@ object TopKSketch {
     val w = Window.partitionBy(col(dayCol))
       .orderBy(col("cnt").desc, col("item").asc)
     val ranked = counts.withColumn("rn", row_number().over(w))
-    val thresh = ranked.filter(col("rn") === m + 1)
-      .select(col(dayCol), col("cnt").as("thresh"))
-    ranked.filter(col("rn") <= m).drop("rn")
-      .join(thresh, Seq(dayCol), "left_outer")
-      .na.fill(0L, Seq("thresh"))
+    // Single-lineage threshold attach: the old shape derived `thresh` by
+    // FILTERING rn == m+1 and left-joining it back, which duplicates the
+    // whole counts+window subtree (ReuseExchange does not unify across
+    // the self-join's attribute dedup — the 4-full-scans lesson of
+    // BasketPairs, measured here as two of the query's five CPU-heavy
+    // stages). Instead keep rn <= m+1 (WindowGroupLimit prunes the
+    // per-day sort to a top-(m+1) heap) and read the threshold off the
+    // SAME slice with an unordered per-day window max — ≤ m+1 rows per
+    // day, one lineage, no join. thresh = the (m+1)-th count when the
+    // day has one, else 0 — identical to the join+fill result.
+    val top = ranked.filter(col("rn") <= m + 1)
+    val wd = Window.partitionBy(col(dayCol))
+    top
+      .withColumn("thresh", coalesce(
+        max(when(col("rn") === m + 1, col("cnt"))).over(wd), lit(0L)))
+      .filter(col("rn") <= m)
+      .drop("rn")
   }
 
   /** Merge partials (any subset of days): top `k` candidates by certain
