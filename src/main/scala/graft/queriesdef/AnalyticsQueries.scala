@@ -1570,12 +1570,17 @@ object AnalyticsQueries {
       "theil_sen_trend",
       (s, dir) => {
         val (lo, _) = Retail.dayBounds(s, dir)
+        // weekly is referenced three times (both pair-join sides + the
+        // n_pairs aggregate) — checkpoint the calendar-bounded frame
+        // (|commodities| × weeks rows) so the fact-scale weekly
+        // aggregation runs once, not three times.
         val weekly = FeatureBuilder.txWithCommodity(s, dir)
           .withColumn("week_idx",
             expr(s"datediff(day, DATE '${lo}') div 7").cast("long"))
           .groupBy(col("commodity_desc"), col("week_idx"))
           .agg(sum(col("amount_paid").cast("decimal(18,4)"))
             .cast("double").as("y"))
+          .localCheckpoint(true)
         val a = weekly.select(col("commodity_desc"),
           col("week_idx").as("w1"), col("y").as("y1"))
         val b = weekly.select(col("commodity_desc"),

@@ -265,12 +265,15 @@ object TrainScoreQueries {
         val tmp = java.nio.file.Files.createTempDirectory("graft-merge")
         val table = graft.features.FeatureTable(
           tmp.toString + "/scores", Seq("household_key", "day"))
-        table.overwrite(batch1)
-        MergeWriter.mergeWide(s, table, batch2)
-        val out = table.read(s)
-          .localCheckpoint(true) // materialize, then reclaim the temp table
-        org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
-        out
+        // finally, not success-path (the r9 ADVICE rule applied to the
+        // one remaining temp-dir site): a throw mid-merge must not leak
+        // the temp table; the checkpoint materializes the result first
+        try {
+          table.overwrite(batch1)
+          MergeWriter.mergeWide(s, table, batch2)
+          table.read(s)
+            .localCheckpoint(true) // materialize, then reclaim the temp table
+        } finally org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
       },
       Some(s"""WITH ${Oracle.txCommodity},
         |gb AS (SELECT max(day) AS cur FROM tx),
