@@ -120,8 +120,28 @@ object Bench {
     // memory and later wide aggregations spill. Sweep = unpersist every
     // persistent RDD that did not exist at warm-up end.
     val pinnedRdds = spark.sparkContext.getPersistentRDDs.keySet
-    def sweepTransientBlocks(): Unit =
+    // Storage-pressure-gated drain (r9 VERDICT ask #4): unpersist covers
+    // RDD blocks, but BROADCAST blocks (task binaries, broadcast joins)
+    // are only reclaimed when the ContextCleaner sees their driver
+    // objects garbage-collected — at 100× scale a long one-JVM suite
+    // accumulated enough of them that the block manager spilled and two
+    // heavy queries died. When >25% of storage memory is occupied after
+    // the sweep, force one GC so the cleaner can reap; at sf0.1 the gate
+    // almost never fires (storage stays near-empty), so the driver's
+    // timed protocol is unaffected.
+    def drainIfPressured(): Unit = {
+      val status = spark.sparkContext.getExecutorMemoryStatus.values
+      val maxMem = status.map(_._1).sum
+      val used = status.map { case (mx, rem) => mx - rem }.sum
+      if (maxMem > 0 && used > maxMem / 4) {
+        System.gc()
+        Thread.sleep(100) // let the async ContextCleaner issue removals
+      }
+    }
+    def sweepTransientBlocks(): Unit = {
       graft.core.GraftSession.sweepTransientBlocks(spark, pinnedRdds)
+      drainIfPressured()
+    }
 
     // Per-query seconds are the MIN over `timedPasses` full passes of the
     // suite (default 2, SPARK_GRAFT_TIMED_PASSES=1 restores single-pass).

@@ -72,6 +72,11 @@ object GraftSession {
       // env-switchable so Verify can hash-prove both modes on one build.
       .config("spark.graft.rangePrefix.deterministic",
         sys.env.getOrElse("SPARK_GRAFT_DETERMINISTIC_PREFIX", "false"))
+      // FeatureBuilder two-stage day fusion (r10): default on; "false"
+      // restores the single-pass wide aggregate — env-switchable so
+      // Verify/Bench can hash-prove and A/B both shapes on one build.
+      .config("spark.graft.features.dayFusion",
+        sys.env.getOrElse("SPARK_GRAFT_DAY_FUSION", "true"))
 
   /** Unpersist every persistent RDD not in `pinned` — the harness sweep
     * for transient per-query blocks (localCheckpoint/cache blocks are only
