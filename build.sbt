@@ -11,6 +11,20 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Driver-contract output hygiene (round 11): the bench/verify driver reads
+// the LAST ~2000 chars of this process's stdout and tries to parse the one
+// JSON line. Under sbt's default LoggedOutput the forked app's stdout is
+// re-logged with an "[info] " prefix and the run ends with a
+// "[success] Total time..." line — ten rounds of BENCH_rNN.json show
+// `parsed: null` with the complete JSON line sitting in the tail behind
+// that prefix. StdoutOutput passes the forked process's stdout through
+// verbatim (stderr stays stderr), and showSuccess drops the trailing
+// [success] line, so the bare JSON line is the last thing on stdout.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+// showSuccess is consumed by sbt's command loop, not by another setting —
+// exclude it from the unused-key lint so the warning doesn't precede runs
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

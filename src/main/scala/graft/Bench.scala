@@ -201,6 +201,14 @@ object Bench {
     // if the line still exceeds the budget the FASTEST queries are dropped
     // from the map (reported as "omitted":N) — the total always covers the
     // full suite, and the full-precision per-query map goes to stderr.
+    // Round 11: build.sbt now passes the forked stdout through VERBATIM
+    // (OutputStrategy.StdoutOutput) and suppresses sbt's trailing
+    // "[success] Total time..." line (showSuccess := false) — rounds 9/10
+    // proved the complete JSON line sat inside the 2000-char tail yet
+    // `parsed` stayed null, because it carried sbt's "[info] " prefix and
+    // was not the final line. With the line now bare AND last, the budget
+    // rises to 1950 (2000 minus newline and slack), so ~15 more of the
+    // slowest queries fit in the reported map.
     val total = results.collect { case (_, v, true) => v }.sum
     // structured entries ({"q":name,"why":class}) so tooling that matches
     // on query names keeps working and the failure reason stays separate
@@ -211,7 +219,7 @@ object Bench {
       if (errs.isEmpty) "" else errs.mkString(""","errors":[""", ",", "]")
     System.err.println("[bench] full precision: " + results
       .map { case (k, v, _) => s"\"$k\":$v" }.mkString("{", ",", "}"))
-    val lineBudget = 1800
+    val lineBudget = 1950
     // Locale.ROOT: the f interpolator is default-locale-sensitive and a
     // comma-decimal locale would corrupt the one JSON line the driver reads
     def d3(v: Double): String =

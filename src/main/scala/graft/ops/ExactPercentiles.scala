@@ -93,4 +93,67 @@ object ExactPercentiles {
     }
     agg.select(outCols: _*)
   }
+
+  /** Weighted percentiles over a PRE-AGGREGATED per-group value domain:
+    * `df` carries ONE row per (group, value) with `weightCol` = how many
+    * original rows hold that value. For BOUNDED value domains (integer
+    * day gaps, fixed price grids) this is the scale-right shape: the
+    * caller collapses the fact to its value domain with one map-side-
+    * combinable aggregation, and the ranking window here only ever sees
+    * a calendar/grid-bounded frame per group — no range partitioning, no
+    * checkpoint pin, and the expensive upstream lineage executes once
+    * (both consumers of the domain table share its exchange via reuse)
+    * instead of once per prefix branch.
+    *
+    * Identical values to [[perGroup]] over the expanded rows (spec-
+    * pinned): a domain row covers the 0-based rank interval
+    * [cum − w, cum − 1] under the value order, so the floor/ceil order
+    * statistics at rank (n−1)·p are the same doubles, and the
+    * interpolation arithmetic is unchanged. Groups whose values are all
+    * null (i.e. absent from the domain table) are dropped, as in
+    * [[perGroup]]. Caller contract: (group, value) rows are UNIQUE —
+    * duplicates would make the cumulative ranks partitioning-dependent.
+    */
+  def perGroupWeighted(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, weightCol: String,
+      percentiles: Seq[(String, Double)]): DataFrame = {
+    require(groupCols.nonEmpty, "perGroupWeighted: at least one group column")
+    require(percentiles.nonEmpty, "perGroupWeighted: at least one percentile")
+    percentiles.foreach { case (nm, p) =>
+      require(p >= 0.0 && p <= 1.0,
+        s"perGroupWeighted: $nm fraction $p outside [0,1]")
+    }
+    val gs = groupCols.map(col)
+    val base = df.filter(col(valueCol).isNotNull)
+      .select(gs ++ Seq(col(valueCol).cast("double").as("__v"),
+        col(weightCol).cast("long").as("__w")): _*)
+    val byGroup = Window.partitionBy(gs: _*).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val whole = Window.partitionBy(gs: _*).rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val ranked = base
+      .withColumn("__cum", sum(col("__w")).over(byGroup))
+      .withColumn("__n", sum(col("__w")).over(whole))
+
+    def pos(p: Double): Column = (col("__n") - 1L).cast("double") * lit(p)
+
+    // the domain row whose rank interval [cum − w, cum − 1] contains the
+    // floor/ceil target rank — exactly one matches per group
+    val picks = percentiles.flatMap { case (nm, p) =>
+      def covers(target: Column): Column =
+        col("__cum") - col("__w") <= target && target <= col("__cum") - 1L
+      Seq(
+        max(when(covers(floor(pos(p)).cast("long")), col("__v")))
+          .as(s"__lo_$nm"),
+        max(when(covers(ceil(pos(p)).cast("long")), col("__v")))
+          .as(s"__hi_$nm"))
+    } :+ max(col("__n")).as("__n")
+    val agg = ranked.groupBy(gs: _*).agg(picks.head, picks.tail: _*)
+
+    val outCols = gs ++ percentiles.map { case (nm, p) =>
+      val frac = pos(p) - floor(pos(p))
+      (col(s"__lo_$nm") + (col(s"__hi_$nm") - col(s"__lo_$nm")) * frac).as(nm)
+    }
+    agg.select(outCols: _*)
+  }
 }

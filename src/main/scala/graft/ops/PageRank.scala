@@ -67,10 +67,14 @@ object PageRank {
           .localCheckpoint(true)
         (e0, n0, d0)
       } finally spark.conf.set(aqeKey, aqePrev)
-    val nRow = nodes.agg(count(lit(1)).as("n_nodes"))
-    val init = nodes.crossJoin(broadcast(nRow))
-      .select(col("node"),
-        round(lit(1.0) / col("n_nodes").cast("double"), 15).as("rank"))
+    // |nodes| is a control-sized scalar (graph order, not data rows):
+    // collect it ONCE and embed as a literal. The broadcast-joined
+    // 1-row aggregate it replaces was re-broadcast in init + every
+    // iteration (4 broadcast exchanges + 4 count jobs for 3 iterations);
+    // the arithmetic is unchanged — same exact long, same division.
+    val nNodes = nodes.count().toDouble
+    val init = nodes
+      .select(col("node"), round(lit(1.0) / lit(nNodes), 15).as("rank"))
     (1 to iterations).foldLeft(init) { (ranks, _) =>
       val contrib = ranks
         .join(deg, ranks("node") === deg("src"))
@@ -81,9 +85,8 @@ object PageRank {
         .groupBy("node")
         .agg(sum(col("c")).as("in_mass"))
       nodes.join(contrib, Seq("node"), "left_outer")
-        .crossJoin(broadcast(nRow))
         .select(col("node"),
-          round(lit(1.0 - damping) / col("n_nodes").cast("double")
+          round(lit(1.0 - damping) / lit(nNodes)
             + lit(damping) * coalesce(col("in_mass").cast("double"), lit(0.0)),
             15).as("rank"))
     }

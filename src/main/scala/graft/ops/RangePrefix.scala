@@ -138,6 +138,22 @@ object RangePrefix {
     df.withColumn("__pid", pid)
   }
 
+  /** The slice-local window below needs ClusteredDistribution(__pid) —
+    * the checkpointed frame comes back with unknown partitioning, so an
+    * exchange is planned, and AQE's byte-based coalescing collapses it to
+    * ONE task whenever the frame is KB-sized (aggregated domains, pair
+    * frames) even though the window pass is the consumer's CPU. A
+    * numbered repartition on __pid (REPARTITION_BY_NUM, exempt from
+    * coalescing) pins the window stage at the session's
+    * shuffle-partitions parallelism; every __pid group still lands whole
+    * in one partition, so the per-slice sums are unchanged. Fact-scale
+    * consumers see the same single exchange they already paid, just with
+    * a pinned partition count.
+    */
+  private def pinParallel(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions,
+      col("__pid"))
+
   /** For each weight column `w` in `weights` (integral type), append
     * `<w>_cum` = the inclusive global running sum of `w` under `orderBy`,
     * and `<w>_tot` = its grand total. Row order and all input columns are
@@ -162,7 +178,7 @@ object RangePrefix {
       weights.flatMap(w => Seq(col(s"__off_$w"), col(s"__tot_$w"))): _*)
     val local = Window.partitionBy(col("__pid")).orderBy(orderBy: _*)
       .rowsBetween(Window.unboundedPreceding, 0)
-    val joined = parted.join(broadcast(offsets), Seq("__pid"))
+    val joined = pinParallel(parted).join(broadcast(offsets), Seq("__pid"))
     weights.foldLeft(joined) { (d, w) =>
       d.withColumn(s"${w}_cum", col(s"__off_$w") + sum(col(w)).over(local))
         .withColumn(s"${w}_tot", col(s"__tot_$w"))
@@ -215,7 +231,9 @@ object RangePrefix {
     // group is a group, the module convention)
     val cond = (col("__pid") === col("__opid")) &&
       groupCols.map(c => col(c) <=> col(s"__gk_$c")).reduce(_ && _)
-    val joined = parted.join(broadcast(offsets), cond)
+    // hash(__pid) is a subset of the window's (__pid, groups) clustering,
+    // so the pinned repartition serves the window with no extra exchange
+    val joined = pinParallel(parted).join(broadcast(offsets), cond)
     weights.foldLeft(joined) { (d, w) =>
       d.withColumn(s"${w}_cum", col(s"__off_$w") + sum(col(w)).over(local))
         .withColumn(s"${w}_tot", col(s"__tot_$w"))

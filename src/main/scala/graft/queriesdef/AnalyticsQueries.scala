@@ -837,6 +837,16 @@ object AnalyticsQueries {
           .agg(sum(col("amount_paid").cast("decimal(18,4)"))
             .cast("decimal(18,4)").as("spend"))
           .withColumn("dn", datediff(col("day"), lit("1992-01-01")))
+          // The daily frame is KB-sized (|commodities| × |days|) but the
+          // trailing-window pass over it is the query's CPU (three RANGE
+          // frames of decimal sliding sums) — AQE's byte-based coalescing
+          // collapses the window exchange to ONE task and serializes it
+          // (profiled: two ~0.7 s single-task stages at sf0.1). Pin the
+          // window's partitioning at the session's shuffle-partitions knob
+          // (REPARTITION_BY_NUM is exempt from coalescing); the window
+          // reuses it, so no extra exchange is added.
+          .repartition(s.sessionState.conf.numShufflePartitions,
+            col("commodity_desc"))
         val w = Window.partitionBy("commodity_desc").orderBy(col("dn"))
           .rangeBetween(-28, -1)
         val stats = daily
@@ -1171,12 +1181,22 @@ object AnalyticsQueries {
           .filter(col("prev_day").isNotNull)
           .select(col("commodity_desc"),
             datediff(col("day"), col("prev_day")).as("gap"))
-        val base = intervals.groupBy("commodity_desc").agg(
-          count(lit(1)).as("n_intervals"),
-          round(sum(col("gap").cast("long")).cast("double")
-            / count(lit(1)).cast("double"), 9).as("mean_days"))
-        val pct = graft.ops.ExactPercentiles.perGroup(intervals,
-          Seq("commodity_desc"), "gap",
+        // Gaps are integer day counts — a CALENDAR-bounded value domain
+        // (≤ horizon days per commodity at any fact scale). Collapse the
+        // heavy lineage (distinct + lag window) to that domain ONCE; the
+        // mean and the weighted percentile ranking both derive from the
+        // domain table and share its exchange (reused within the one
+        // plan), where the previous shape executed the lineage three
+        // times (range-prefix boundary sampling + checkpoint + the mean
+        // aggregate). Mean stays exact: Σ(gap·cnt) is the same integer.
+        val byGap = intervals.groupBy("commodity_desc", "gap")
+          .agg(count(lit(1)).as("cnt"))
+        val base = byGap.groupBy("commodity_desc").agg(
+          sum(col("cnt")).as("n_intervals"),
+          round(sum(col("gap").cast("long") * col("cnt")).cast("double")
+            / sum(col("cnt")).cast("double"), 9).as("mean_days"))
+        val pct = graft.ops.ExactPercentiles.perGroupWeighted(byGap,
+          Seq("commodity_desc"), "gap", "cnt",
           Seq("p50_days" -> 0.5, "p90_days" -> 0.9))
           .select(col("commodity_desc"),
             round(col("p50_days"), 6).as("p50_days"),
@@ -1581,17 +1601,36 @@ object AnalyticsQueries {
           .agg(sum(col("amount_paid").cast("decimal(18,4)"))
             .cast("double").as("y"))
           .localCheckpoint(true)
-        val a = weekly.select(col("commodity_desc"),
+        // The pair self-join explodes |weeks| rows into C(|weeks|, 2)
+        // pairs per commodity — the query's real work — but its inputs
+        // are KB-sized, so AQE's byte-based coalescing collapses the join
+        // stage to ONE task and serializes the explosion (+ the window
+        // ranking fused after it; profiled 3.5 s single-task at sf0.1).
+        // A numbered repartition (REPARTITION_BY_NUM is exempt from AQE
+        // coalescing) on the session's shuffle-partitions knob pins the
+        // explosion + ranking stage at |commodities|-way parallelism —
+        // the byte-counter can't see that output »» input here.
+        val wk = weekly.repartition(
+          s.sessionState.conf.numShufflePartitions, col("commodity_desc"))
+        val a = wk.select(col("commodity_desc"),
           col("week_idx").as("w1"), col("y").as("y1"))
-        val b = weekly.select(col("commodity_desc"),
+        val b = wk.select(col("commodity_desc"),
           col("week_idx").as("w2"), col("y").as("y2"))
         val slopes = a.join(b, Seq("commodity_desc"))
           .filter(col("w2") > col("w1"))
           .select(col("commodity_desc"),
             round((col("y2") - col("y1"))
               / (col("w2") - col("w1")).cast("double"), 9).as("slope"))
+        // manyTinyGroups: a slope group is CALENDAR-bounded (≤ C(weeks, 2)
+        // rows per commodity at ANY fact scale), so the plain per-group
+        // window is the scale-right shape — the grouped range-prefix
+        // machinery would range-partition + pin the pair frame, executing
+        // the self-join TWICE (boundary sampling + checkpoint; profiled as
+        // two ~2 s single-task stages at sf0.1) for a frame whose groups
+        // can never outgrow a task.
         val med = graft.ops.ExactPercentiles.perGroup(slopes,
-          Seq("commodity_desc"), "slope", Seq("median_slope" -> 0.5))
+          Seq("commodity_desc"), "slope", Seq("median_slope" -> 0.5),
+          manyTinyGroups = true)
         // n_pairs = C(n_weeks, 2) from the weekly table — counting the
         // slopes frame would re-execute the whole pair join a second time
         weekly.groupBy("commodity_desc")

@@ -53,6 +53,36 @@ class ExactPercentilesSpec extends AnyFunSuite {
     assert((1 to 3).forall(i => r.getDouble(i) == 42.0))
   }
 
+  test("perGroupWeighted over the collapsed value domain computes " +
+      "identical values to perGroup over the expanded rows") {
+    val rnd = new scala.util.Random(13)
+    // integer-grid values with heavy ties — the bounded-domain regime the
+    // weighted path exists for; group sizes hit every interpolation shape
+    val rows = (1 to 6).flatMap { g =>
+      (1 to (g * 7 + 1)).map(_ => (s"g$g", (rnd.nextInt(12) + 1).toDouble))
+    }
+    val df = rows.toDF("grp", "v").repartition(5)
+    val ps = Seq("p10" -> 0.1, "p50" -> 0.5, "p90" -> 0.9)
+    val expanded = ExactPercentiles.perGroup(df, Seq("grp"), "v", ps)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val domain = df.groupBy("grp", "v").agg(count(lit(1)).as("w"))
+    val weighted = ExactPercentiles.perGroupWeighted(
+      domain, Seq("grp"), "v", "w", ps)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(weighted == expanded)
+  }
+
+  test("perGroupWeighted: single-value domain and null values") {
+    val domain = Seq(("a", Some(5.0), 9L), ("b", None, 3L))
+      .toDF("grp", "v", "w")
+    val out = ExactPercentiles.perGroupWeighted(domain, Seq("grp"), "v", "w",
+      Seq("p0" -> 0.0, "p50" -> 0.5, "p100" -> 1.0)).collect()
+    assert(out.length == 1 && out.head.getString(0) == "a")
+    assert((1 to 3).forall(i => out.head.getDouble(i) == 5.0))
+  }
+
   test("manyTinyGroups window path computes identical values") {
     val rnd = new scala.util.Random(11)
     val rows = (1 to 40).flatMap { g =>
